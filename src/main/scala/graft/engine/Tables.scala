@@ -1,0 +1,40 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.functions._
+
+/** Table loaders + shared numeric-determinism helpers.
+  *
+  * Tables are one parquet per name under the scale-factor dir
+  * (TESTDATA.md). The reference keeps a date+provider-partitioned
+  * snapshot tree (crocus base_scraper.py:72-83); our engine reads
+  * columnar parquet so filters/projections push to the scan.
+  */
+object Tables {
+  val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // events.ts is parquet TIMESTAMP(NANOS), which Spark's reader
+    // rejects; read it as raw nanos and truncate to micros — exactly
+    // what DuckDB does when it loads the same file (micros timestamps).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events" && raw.schema("ts").dataType == LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+    else raw
+  }
+
+  /** Exact decimal views of double columns: sums over these are
+    * order-independent (exact), so parallel aggregation is deterministic
+    * and bit-matches DuckDB once cast back to double. */
+  def dec2(c: Column): Column = c.cast("decimal(18,2)")
+  def dec4(c: Column): Column = c.cast("decimal(18,4)")
+
+  /** Exact decimal(18,2) sum of a double column, emitted as double. */
+  def dsum2(c: Column): Column = sum(dec2(c)).cast("double")
+
+  /** Exact decimal(18,4) sum of a double column, emitted as double. */
+  def dsum4(c: Column): Column = sum(dec4(c)).cast("double")
+}

@@ -1,0 +1,134 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Codegen-facing static helpers (kept tiny so generated code stays a
+  * single static call — whole-stage codegen is preserved). */
+object ExprHelpers {
+  def dot(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
+  def pct(s: UTF8String): java.lang.Double =
+    if (s == null) null else LocaleParse.parsePct(s.toString)
+
+  /** null, or struct(amount double, ccy string-or-null). */
+  def money(s: UTF8String): InternalRow = {
+    val r = LocaleParse.parseMoney(if (s == null) null else s.toString)
+    if (r == null || r._1 == null) null
+    else new GenericInternalRow(Array[Any](
+      r._1.doubleValue(),
+      if (r._2 == null) null else UTF8String.fromString(r._2)))
+  }
+
+  def dateIt(s: UTF8String): java.lang.Integer =
+    if (s == null) null else LocaleParse.parseDateIt(s.toString)
+}
+
+/** dot_d(a, b): Σ double(a_i)·double(b_i) over two float vectors.
+  * Left-to-right accumulation in double — the DuckDB oracle mirrors the
+  * exact operand order (list_transform cast-to-double then 'sum'), so
+  * results are bit-identical. Codegen'd: the hot loop in similarity /
+  * near-dup queries stays inside whole-stage codegen. */
+case class DotProductD(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    ExprHelpers.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.ExprHelpers.dot($a, $b);")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** parse_locale_pct('0,22%') → 0.0022 (crocus vanguard.json:7). */
+case class ParseLocalePct(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def nullSafeEval(s: Any): Any = {
+    val r = ExprHelpers.pct(s.asInstanceOf[UTF8String])
+    if (r == null) null else r.doubleValue()
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      java.lang.Double r = graft.functions.ExprHelpers.pct($c);
+      if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = r.doubleValue(); }
+    """)
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** parse_locale_money('USD 632,42' | '5,66 €') →
+  * struct(amount double, ccy string) (crocus ishares.json:7, vanguard.json:8,20). */
+case class ParseLocaleMoney(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("amount", DoubleType, nullable = false),
+    StructField("ccy", StringType, nullable = true)))
+  override def nullable: Boolean = true
+  override def nullSafeEval(s: Any): Any =
+    ExprHelpers.money(s.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      InternalRow r = graft.functions.ExprHelpers.money($c);
+      if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = r; }
+    """)
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** parse_date_it('28 feb 2025' | '21/02/25') → date
+  * (crocus ishares.json:8, vanguard.json:9; explicit Italian month map). */
+case class ParseDateIt(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = DateType
+  override def nullable: Boolean = true
+  override def nullSafeEval(s: Any): Any = {
+    val r = ExprHelpers.dateIt(s.asInstanceOf[UTF8String])
+    if (r == null) null else r.intValue()
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      java.lang.Integer r = graft.functions.ExprHelpers.dateIt($c);
+      if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = r.intValue(); }
+    """)
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Session registration + Column-level API for the custom expressions. */
+object GraftFunctions {
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("dot_d",
+      es => DotProductD(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("parse_locale_pct",
+      es => ParseLocalePct(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("parse_locale_money",
+      es => ParseLocaleMoney(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("parse_date_it",
+      es => ParseDateIt(es.head), "scala_udf")
+  }
+
+  def dot_d(a: Column, b: Column): Column = call_function("dot_d", a, b)
+  def parse_locale_pct(c: Column): Column = call_function("parse_locale_pct", c)
+  def parse_locale_money(c: Column): Column = call_function("parse_locale_money", c)
+  def parse_date_it(c: Column): Column = call_function("parse_date_it", c)
+}

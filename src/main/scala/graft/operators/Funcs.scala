@@ -1,0 +1,218 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.engine.{QueryPack, Tables}
+import graft.functions.GraftFunctions
+
+/** Scalar-function surface: string / URL / date / JSON / array ops and
+  * the locale-normalization layer (SURVEY.md §2A A18-A24 → §2B q_*_funcs,
+  * q_locale_normalize, q_multimodal_cols).
+  *
+  * q_locale_normalize is the reference's core "confront" enabler
+  * (crocus §1.3: '0,22%', 'USD 632,42', '28 feb 2025'): locale strings
+  * are built deterministically from table columns, parsed by our custom
+  * codegen'd Catalyst expressions, and the oracle computes the expected
+  * typed value directly — so the parser itself is hash-checked.
+  */
+object Funcs extends QueryPack {
+
+  override def queries: Map[String, Q] = Map(
+    "q_string_funcs" -> ((s, d) => {
+      Tables.t(s, d, "part")
+        .select(col("p_partkey"),
+          split_part(col("p_name"), lit(" "), lit(1)).as("first_word"),
+          upper(col("p_brand")).as("brand_u"),
+          concat_ws("|", col("p_brand"), col("p_type")).as("tag"),
+          regexp_replace(col("p_name"), " ", "_").as("name_snake"),
+          length(col("p_name")).cast("int").as("name_len"),
+          lower(trim(col("p_type"))).as("type_lc"),
+          substring(col("p_name"), 1, 4).as("name_pfx"),
+          element_at(split(col("p_name"), " "), -1).as("last_word"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    // URL parse + query-param default (crocus ishares.py:181-182:
+    // parse_qs(...).get('fileType', ['csv'])).
+    "q_url_parse" -> ((s, d) => {
+      val url = concat(lit("https://files.example.com/"),
+        regexp_replace(col("p_type"), " ", "-"), lit("/holdings"),
+        when(col("p_size") % 3 === 0, lit("?fileType=csv&v=1"))
+          .when(col("p_size") % 3 === 1, lit("?fileType=xlsx&v=2"))
+          .otherwise(lit("")))
+      Tables.t(s, d, "part")
+        .withColumn("url", url)
+        .select(col("p_partkey"), col("url"),
+          parse_url(col("url"), lit("HOST")).as("host"),
+          parse_url(col("url"), lit("PATH")).as("path"),
+          coalesce(parse_url(col("url"), lit("QUERY"), lit("fileType")),
+            lit("csv")).as("file_ext"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    "q_date_funcs" -> ((s, d) => {
+      Tables.t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderdate"),
+          date_trunc("month", col("o_orderdate")).cast("date").as("month_start"),
+          year(col("o_orderdate")).cast("int").as("o_year"),
+          month(col("o_orderdate")).cast("int").as("o_month"),
+          dayofmonth(col("o_orderdate")).cast("int").as("o_day"),
+          quarter(col("o_orderdate")).cast("int").as("o_quarter"),
+          datediff(col("o_orderdate").cast("date"),
+            lit(java.sql.Date.valueOf("1995-01-01"))).cast("int").as("days_since"),
+          last_day(col("o_orderdate")).as("month_end"),
+          add_months(col("o_orderdate").cast("date"), 3).as("plus3m"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    "q_json_funcs" -> ((s, d) => {
+      Tables.t(s, d, "events")
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("k_val"),
+          (get_json_object(col("props"), "$.k").cast("int") % 10).as("k_mod"),
+          get_json_object(col("props"), "$.missing").as("absent"))
+        .orderBy(col("event_id"))
+    }),
+
+    "q_array_map_funcs" -> ((s, d) => {
+      val e = col("embedding")
+      Tables.t(s, d, "embeddings")
+        .select(col("vec_id"),
+          size(e).cast("int").as("dim"),
+          element_at(e, 1).cast("double").as("first_e"),
+          element_at(e, -1).cast("double").as("last_e"),
+          array_max(e).cast("double").as("max_e"),
+          array_min(e).cast("double").as("min_e"),
+          size(filter(e, x => x > 0f)).cast("int").as("n_pos"),
+          aggregate(e, lit(0.0),
+            (acc, x) => acc + x.cast("double")).as("sum_e"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // Locale normalization round-trip: build the reference's raw
+    // encodings from typed columns, parse with our custom expressions,
+    // oracle recomputes expected values directly from the typed source.
+    "q_locale_normalize" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val itMonth = Seq("gen", "feb", "mar", "apr", "mag", "giu", "lug",
+        "ago", "set", "ott", "nov", "dic")
+        .zipWithIndex.foldLeft(lit(""): org.apache.spark.sql.Column) {
+          case (acc, (nm, i)) =>
+            when(month(col("o_orderdate")) === (i + 1), lit(nm)).otherwise(acc)
+        }
+      Tables.t(s, d, "part")
+        .join(Tables.t(s, d, "orders"), col("p_partkey") === col("o_orderkey"))
+        .withColumn("raw_price",
+          concat(regexp_replace(col("p_retailprice").cast("decimal(18,2)")
+            .cast("string"), "\\.", ","), lit(" €")))
+        .withColumn("raw_ter",
+          concat(regexp_replace(col("p_size").cast("decimal(6,2)")
+            .cast("string"), "\\.", ","), lit("%")))
+        .withColumn("raw_date", concat(dayofmonth(col("o_orderdate")),
+          lit(" "), itMonth, lit(" "), year(col("o_orderdate"))))
+        .select(col("p_partkey"),
+          GraftFunctions.parse_locale_money(col("raw_price"))
+            .getField("amount").as("price_amount"),
+          GraftFunctions.parse_locale_money(col("raw_price"))
+            .getField("ccy").as("price_ccy"),
+          GraftFunctions.parse_locale_pct(col("raw_ter")).as("ter_frac"),
+          GraftFunctions.parse_date_it(col("raw_date")).as("parsed_date"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    // Multimodal columns: opaque binary payload + typed metadata struct
+    // (north star). Binary plumbing is real; the payload here is the
+    // utf-8 text bytes standing in for image/audio blobs.
+    "q_multimodal_cols" -> ((s, d) => {
+      Tables.t(s, d, "documents")
+        .withColumn("payload", col("text").cast("binary"))
+        .withColumn("meta",
+          struct(col("lang"), col("source"), col("n_chars")))
+        .select(col("doc_id"),
+          octet_length(col("payload")).cast("int").as("payload_bytes"),
+          md5(col("payload")).as("fingerprint"),
+          col("meta").getField("lang").as("lang"),
+          concat_ws(":", col("meta").getField("lang"),
+            col("meta").getField("source")).as("src_tag"),
+          col("meta").getField("n_chars").as("n_chars"))
+        .orderBy(col("doc_id"))
+    })
+  )
+
+  override def oracle: Map[String, String] = Map(
+    "q_string_funcs" ->
+      """SELECT p_partkey,
+        |  split_part(p_name, ' ', 1) AS first_word,
+        |  upper(p_brand) AS brand_u,
+        |  concat_ws('|', p_brand, p_type) AS tag,
+        |  replace(p_name, ' ', '_') AS name_snake,
+        |  CAST(length(p_name) AS INT) AS name_len,
+        |  lower(trim(p_type)) AS type_lc,
+        |  substring(p_name, 1, 4) AS name_pfx,
+        |  str_split(p_name, ' ')[-1] AS last_word
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q_url_parse" ->
+      """WITH u AS (
+        |  SELECT p_partkey,
+        |    'https://files.example.com/' || replace(p_type, ' ', '-') || '/holdings' ||
+        |    CASE WHEN p_size % 3 = 0 THEN '?fileType=csv&v=1'
+        |         WHEN p_size % 3 = 1 THEN '?fileType=xlsx&v=2'
+        |         ELSE '' END AS url
+        |  FROM part)
+        |SELECT p_partkey, url,
+        |  regexp_extract(url, '^https://([^/]+)', 1) AS host,
+        |  regexp_extract(url, '^https://[^/]+([^?]*)', 1) AS path,
+        |  COALESCE(NULLIF(regexp_extract(url, 'fileType=([^&]*)', 1), ''), 'csv') AS file_ext
+        |FROM u ORDER BY p_partkey""".stripMargin,
+
+    "q_date_funcs" ->
+      """SELECT o_orderkey, o_orderdate,
+        |  CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+        |  CAST(year(o_orderdate) AS INT) AS o_year,
+        |  CAST(month(o_orderdate) AS INT) AS o_month,
+        |  CAST(day(o_orderdate) AS INT) AS o_day,
+        |  CAST(quarter(o_orderdate) AS INT) AS o_quarter,
+        |  CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT) AS days_since,
+        |  last_day(CAST(o_orderdate AS DATE)) AS month_end,
+        |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus3m
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q_json_funcs" ->
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS INT) AS k_val,
+        |  CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_mod,
+        |  json_extract_string(props, '$.missing') AS absent
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_array_map_funcs" ->
+      """SELECT vec_id,
+        |  CAST(len(embedding) AS INT) AS dim,
+        |  CAST(embedding[1] AS DOUBLE) AS first_e,
+        |  CAST(embedding[len(embedding)] AS DOUBLE) AS last_e,
+        |  CAST(list_aggregate(embedding, 'max') AS DOUBLE) AS max_e,
+        |  CAST(list_aggregate(embedding, 'min') AS DOUBLE) AS min_e,
+        |  CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_pos,
+        |  list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)), 'sum') AS sum_e
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "q_locale_normalize" ->
+      """SELECT p_partkey,
+        |  CAST(CAST(p_retailprice AS DECIMAL(18,2)) AS DOUBLE) AS price_amount,
+        |  'EUR' AS price_ccy,
+        |  CAST(p_size AS DOUBLE) / 100 AS ter_frac,
+        |  CAST(o_orderdate AS DATE) AS parsed_date
+        |FROM part JOIN orders ON p_partkey = o_orderkey
+        |ORDER BY p_partkey""".stripMargin,
+
+    "q_multimodal_cols" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(CAST(text AS BLOB)) AS INT) AS payload_bytes,
+        |  md5(text) AS fingerprint,
+        |  lang,
+        |  lang || ':' || source AS src_tag,
+        |  n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}

@@ -1,0 +1,365 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.engine.{QueryPack, Tables}
+import graft.functions.GraftFunctions
+
+/** Training-data pipeline operators (north star): deduplication (exact,
+  * n-gram Jaccard, MinHash/LSH, SimHash, embedding-cosine), similarity
+  * search (brute-force + LSH-bucketed ANN), text analysis (tokens,
+  * quality, language-id, fingerprinting).
+  *
+  * Scale notes:
+  *  - exact dedup = hash-groupBy on a fingerprint: one shuffle keyed by
+  *    the hash — uniform by construction, no skew;
+  *  - MinHash/LSH: signatures are a single groupBy over exploded
+  *    shingles; candidate generation joins on (band, bucket) — only
+  *    near-dup docs collide, so the join output is ~linear in dups,
+  *    never all-pairs. This is the 100 TB path; the n-gram Jaccard
+  *    all-pairs query is deliberately capped to a 100-doc audit slice
+  *    (jaccard ground truth for the LSH self-check);
+  *  - similarity: cosine via the codegen'd dot_d expression; the
+  *    brute-force top-k broadcasts the single query vector (no
+  *    shuffle); the ANN variant prunes by random-hyperplane bucket.
+  */
+object Pipeline extends QueryPack {
+
+  /** Distinct lowercase whitespace tokens per doc. */
+  private def tokens(docs: DataFrame, cap: Option[Int]): DataFrame = {
+    val base = cap.map(c => docs.filter(col("doc_id") < c)).getOrElse(docs)
+    base.select(col("doc_id"),
+        explode(array_distinct(split(lower(col("text")), " "))).as("token"))
+      .filter(col("token") =!= "")
+  }
+
+  private val nSig = 32   // minhash signature length
+  private val nBands = 8  // 8 bands x 4 rows
+
+  /** doc_id + h0..h{nSig-1} minhash signature columns. */
+  private def minhashSig(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), split(lower(col("text")), " ").as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(toks)-3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"))
+        .as("sh"))
+      .distinct()
+    toks.groupBy(col("doc_id"))
+      .agg((0 until nSig).map(i => min(xxhash64(lit(i), col("sh"))).as(s"h$i")).head,
+        (1 until nSig).map(i => min(xxhash64(lit(i), col("sh"))).as(s"h$i")): _*)
+  }
+
+  override def queries: Map[String, Q] = Map(
+    // Exact dedup: canonical doc per normalized-text hash (min doc_id
+    // wins — deterministic, SURVEY.md §7 hard part 3).
+    "q_dedup_exact" -> ((s, d) => {
+      Tables.t(s, d, "documents")
+        .groupBy(md5(lower(trim(col("text")))).as("norm_hash"))
+        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+        .select(col("doc_id"), col("n_copies"), col("norm_hash"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Word-set Jaccard over an audit slice (ground truth for LSH).
+    "q_dedup_ngram" -> ((s, d) => {
+      val tok = tokens(Tables.t(s, d, "documents"), Some(100)).cache()
+      val cnt = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val inter = tok.as("a").join(tok.as("b"),
+          col("a.token") === col("b.token") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+        .agg(count(lit(1)).as("inter_n"))
+      val jac = col("inter_n").cast("double") /
+        (col("ca.n") + col("cb.n") - col("inter_n"))
+      inter.join(cnt.as("ca"), col("da") === col("ca.doc_id"))
+        .join(cnt.as("cb"), col("db") === col("cb.doc_id"))
+        .select(col("da"), col("db"), col("inter_n"),
+          (col("ca.n") + col("cb.n") - col("inter_n")).as("union_n"),
+          jac.as("jac"))
+        .filter(col("jac") >= 0.5)
+        .orderBy(col("da"), col("db"))
+    }),
+
+    // MinHash + LSH banding: near-dup candidate pairs + estimated
+    // jaccard from signature agreement. Deterministic seeds via
+    // xxhash64(i, shingle). Rows-only check; ground-truthed against
+    // q_dedup_ngram in the test suite.
+    "q_dedup_minhash" -> ((s, d) => {
+      val sig = minhashSig(Tables.t(s, d, "documents")).cache()
+      val bands = sig.select(col("doc_id"), explode(array(
+        (0 until nBands).map { j =>
+          struct(lit(j).as("band"),
+            xxhash64((Seq(lit(1000 + j)) ++
+              (0 until 4).map(r => col(s"h${j * 4 + r}"))): _*).as("bucket"))
+        }: _*)).as("bb"))
+        .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      val cand = bands.as("x").join(bands.as("y"),
+          col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
+        .distinct()
+      val est = (0 until nSig)
+        .map(i => when(col(s"sa.h$i") === col(s"sb.h$i"), 1).otherwise(0))
+        .reduce(_ + _).cast("double") / nSig
+      cand.join(sig.as("sa"), col("da") === col("sa.doc_id"))
+        .join(sig.as("sb"), col("db") === col("sb.doc_id"))
+        .select(col("da"), col("db"), est.as("est_jac"))
+        .filter(col("est_jac") >= 0.5)
+        .orderBy(col("da"), col("db"))
+    }),
+
+    // SimHash fingerprint + near-pairs by hamming distance on an audit
+    // slice. Deterministic (xxhash64 token hashes). Rows-only check.
+    "q_dedup_simhash" -> ((s, d) => {
+      val tok = tokens(Tables.t(s, d, "documents"), None)
+      val bitCols = (0 until 64).map { b =>
+        sum(when(shiftright(xxhash64(col("token")), b).bitwiseAND(1) === 1, 1)
+          .otherwise(-1)).as(s"b$b")
+      }
+      val sim = tok.groupBy(col("doc_id")).agg(bitCols.head, bitCols.tail: _*)
+        .select(col("doc_id"),
+          (0 until 64).map(b => when(col(s"b$b") > 0, shiftleft(lit(1L), b))
+            .otherwise(0L)).reduce((a, c) => a.bitwiseOR(c)).as("simhash"))
+      sim.as("x").join(sim.as("y"), col("x.doc_id") < col("y.doc_id"))
+        .filter(col("x.doc_id") < 100 && col("y.doc_id") < 100)
+        .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"),
+          bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+        .filter(col("hamming") <= 4)
+        .orderBy(col("da"), col("db"))
+    }),
+
+    // Embedding near-dup: exact cosine over all pairs (codegen'd dot_d;
+    // one side broadcast — embeddings stay ≤ thousands of rows per SF;
+    // the LSH-bucketed q_similarity_ann below is the >>1M-row path).
+    "q_dedup_embedding" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val e = Tables.t(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding"),
+          sqrt(GraftFunctions.dot_d(col("embedding"), col("embedding"))).as("nrm"))
+      val cos = GraftFunctions.dot_d(col("a.embedding"), col("b.embedding")) /
+        (col("a.nrm") * col("b.nrm"))
+      e.as("a").join(broadcast(e.as("b")), col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
+          cos.as("cos_sim"))
+        .orderBy(desc("cos_sim"), col("va"), col("vb"))
+        .limit(50)
+    }),
+
+    // Brute-force cosine top-k vs the vec_id=0 query vector.
+    "q_similarity_topk" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val e = Tables.t(s, d, "embeddings")
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("q_emb"),
+          sqrt(GraftFunctions.dot_d(col("embedding"), col("embedding"))).as("q_nrm"))
+      val cos = GraftFunctions.dot_d(col("embedding"), col("q_emb")) /
+        (sqrt(GraftFunctions.dot_d(col("embedding"), col("embedding"))) * col("q_nrm"))
+      e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), cos.as("cos_sim"))
+        .orderBy(desc("cos_sim"), col("vec_id"))
+        .limit(10)
+    }),
+
+    // LSH-bucketed ANN: 4 hash tables × 8 deterministic random
+    // hyperplanes → sign buckets; candidates = union over tables of the
+    // query's bucket, then exact cosine re-rank. Rows-only check
+    // (recall vs q_similarity_topk asserted in the test suite). At
+    // scale: the bucket join shuffles by (table, bucket) — candidate
+    // volume ~ n·L/2^b, never all-pairs.
+    "q_similarity_ann" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val rnd = new scala.util.Random(42)
+      val nTables = 4; val nBits = 8
+      val planes: IndexedSeq[Column] = (0 until nTables * nBits).map { _ =>
+        typedLit((0 until 64).map(_ => rnd.nextGaussian().toFloat).toArray)
+      }
+      def bucketCols(v: Column): Column = array((0 until nTables).map { t =>
+        (0 until nBits).map { i =>
+          when(GraftFunctions.dot_d(v, planes(t * nBits + i)) > 0,
+            shiftleft(lit(1), i)).otherwise(0)
+        }.reduce(_ + _)
+      }: _*)
+      val e = Tables.t(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding"),
+          posexplode(bucketCols(col("embedding"))).as(Seq("tbl", "bkt")),
+          sqrt(GraftFunctions.dot_d(col("embedding"), col("embedding"))).as("nrm"))
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("q_emb"), col("tbl").as("q_tbl"),
+          col("bkt").as("q_bkt"), col("nrm").as("q_nrm"))
+      val cos = GraftFunctions.dot_d(col("embedding"), col("q_emb")) /
+        (col("nrm") * col("q_nrm"))
+      e.join(broadcast(q),
+          col("tbl") === col("q_tbl") && col("bkt") === col("q_bkt") &&
+            col("vec_id") =!= 0)
+        .select(col("vec_id"), cos.as("cos_sim"))
+        .distinct()
+        .orderBy(desc("cos_sim"), col("vec_id"))
+        .limit(10)
+    }),
+
+    // Token frequency: tokenize → explode → stopword filter → count.
+    "q_text_analysis" -> ((s, d) => {
+      Tables.t(s, d, "documents")
+        .select(explode(split(lower(col("text")), " ")).as("token"))
+        .filter(col("token") =!= "" &&
+          !col("token").isin("the", "a", "of", "and", "is"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(desc("cnt"), col("token"))
+        .limit(20)
+    }),
+
+    // Quality scoring: length/stopword/shape heuristics + BPE-ish
+    // token estimate (n_chars/4).
+    "q_text_quality" -> ((s, d) => {
+      val toks = filter(split(lower(col("text")), " "), t => t =!= "")
+      val isStop = (t: Column) => t === "the" || t === "a" || t === "of" ||
+        t === "and" || t === "is"
+      Tables.t(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          size(toks).cast("int").as("n_tokens"),
+          size(filter(toks, isStop)).cast("int").as("n_stop"))
+        .withColumn("chars_per_token",
+          col("n_chars").cast("double") / col("n_tokens"))
+        .withColumn("stop_ratio",
+          col("n_stop").cast("double") / col("n_tokens"))
+        .withColumn("token_est",
+          ceil(col("n_chars").cast("double") / 4).cast("long"))
+        .withColumn("quality",
+          when(col("chars_per_token").between(3, 8) && col("n_tokens") >= 20, 1.0)
+            .when(col("n_tokens") >= 5, 0.5).otherwise(0.0))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Language-id: marker-token heuristic vs the labeled lang column.
+    "q_lang_id" -> ((s, d) => {
+      val t = lower(col("text"))
+      def score(m: String): Column =
+        when(t.contains(s" $m "), 1).otherwise(0)
+      val sEn = score("the") + score("and")
+      val sDe = score("der") + score("und")
+      val sEs = score("el") + score("los")
+      val sFr = score("le") + score("les")
+      Tables.t(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          when(sDe > sEn, "de").when(sEs > sEn, "es")
+            .when(sFr > sEn, "fr").otherwise("en").as("pred_lang"))
+        .withColumn("is_match", (col("lang") === col("pred_lang")).cast("int"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Document fingerprinting: 64-bit-hex content hash + min token
+    // signature (rolling-hash family; md5 keeps it oracle-checkable).
+    "q_doc_fingerprint" -> ((s, d) => {
+      val tokSig = tokens(Tables.t(s, d, "documents"), None)
+        .groupBy(col("doc_id")).agg(min(md5(col("token"))).as("min_tok_sig"))
+      Tables.t(s, d, "documents")
+        .select(col("doc_id"),
+          substring(md5(lower(trim(col("text")))), 1, 16).as("fp64"))
+        .join(tokSig, Seq("doc_id"), "left")
+        .orderBy(col("doc_id"))
+    })
+  )
+
+  override def oracle: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT min(doc_id) AS doc_id, COUNT(*) AS n_copies,
+        |  md5(lower(trim(text))) AS norm_hash
+        |FROM documents GROUP BY md5(lower(trim(text))) ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_ngram" ->
+      """WITH tok AS (
+        |  SELECT DISTINCT doc_id, token FROM (
+        |    SELECT doc_id, unnest(str_split(lower(text), ' ')) AS token
+        |    FROM documents WHERE doc_id < 100) t
+        |  WHERE token <> ''),
+        |cnt AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS inter_n
+        |  FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT da, db, inter_n, ca.n + cb.n - inter_n AS union_n,
+        |  CAST(inter_n AS DOUBLE) / (ca.n + cb.n - inter_n) AS jac
+        |FROM inter JOIN cnt ca ON da = ca.doc_id JOIN cnt cb ON db = cb.doc_id
+        |WHERE CAST(inter_n AS DOUBLE) / (ca.n + cb.n - inter_n) >= 0.5
+        |ORDER BY da, db""".stripMargin,
+
+    "q_dedup_embedding" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e)
+        |SELECT a.vec_id AS va, b.vec_id AS vb,
+        |  list_inner_product(a.v, b.v) / (a.nrm * b.nrm) AS cos_sim
+        |FROM n a JOIN n b ON a.vec_id < b.vec_id
+        |ORDER BY cos_sim DESC, va, vb LIMIT 50""".stripMargin,
+
+    "q_similarity_topk" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |q AS (SELECT v AS qv, sqrt(list_inner_product(v, v)) AS q_nrm
+        |      FROM e WHERE vec_id = 0)
+        |SELECT vec_id,
+        |  list_inner_product(v, qv) / (sqrt(list_inner_product(v, v)) * q_nrm) AS cos_sim
+        |FROM e CROSS JOIN q
+        |WHERE vec_id <> 0
+        |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
+
+    "q_text_analysis" ->
+      """SELECT token, COUNT(*) AS cnt FROM (
+        |  SELECT unnest(str_split(lower(text), ' ')) AS token FROM documents) t
+        |WHERE token <> '' AND token NOT IN ('the', 'a', 'of', 'and', 'is')
+        |GROUP BY token ORDER BY cnt DESC, token LIMIT 20""".stripMargin,
+
+    "q_text_quality" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    CAST(len(list_filter(str_split(lower(text), ' '), x -> x <> '')) AS INT) AS n_tokens,
+        |    CAST(len(list_filter(str_split(lower(text), ' '),
+        |      x -> x = 'the' OR x = 'a' OR x = 'of' OR x = 'and' OR x = 'is')) AS INT) AS n_stop
+        |  FROM documents)
+        |SELECT doc_id, lang, n_chars, n_tokens, n_stop,
+        |  CAST(n_chars AS DOUBLE) / n_tokens AS chars_per_token,
+        |  CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio,
+        |  CAST(CEIL(CAST(n_chars AS DOUBLE) / 4) AS BIGINT) AS token_est,
+        |  CAST(CASE WHEN CAST(n_chars AS DOUBLE) / n_tokens BETWEEN 3 AND 8
+        |         AND n_tokens >= 20 THEN 1.0
+        |       WHEN n_tokens >= 5 THEN 0.5 ELSE 0.0 END AS DOUBLE) AS quality
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "q_lang_id" ->
+      """WITH s AS (
+        |  SELECT doc_id, lang, lower(text) AS t FROM documents),
+        |sc AS (
+        |  SELECT doc_id, lang,
+        |    (CASE WHEN t LIKE '% the %' THEN 1 ELSE 0 END +
+        |     CASE WHEN t LIKE '% and %' THEN 1 ELSE 0 END) AS s_en,
+        |    (CASE WHEN t LIKE '% der %' THEN 1 ELSE 0 END +
+        |     CASE WHEN t LIKE '% und %' THEN 1 ELSE 0 END) AS s_de,
+        |    (CASE WHEN t LIKE '% el %' THEN 1 ELSE 0 END +
+        |     CASE WHEN t LIKE '% los %' THEN 1 ELSE 0 END) AS s_es,
+        |    (CASE WHEN t LIKE '% le %' THEN 1 ELSE 0 END +
+        |     CASE WHEN t LIKE '% les %' THEN 1 ELSE 0 END) AS s_fr
+        |  FROM s)
+        |SELECT doc_id, lang,
+        |  CASE WHEN s_de > s_en THEN 'de' WHEN s_es > s_en THEN 'es'
+        |       WHEN s_fr > s_en THEN 'fr' ELSE 'en' END AS pred_lang,
+        |  CAST(lang = (CASE WHEN s_de > s_en THEN 'de' WHEN s_es > s_en THEN 'es'
+        |       WHEN s_fr > s_en THEN 'fr' ELSE 'en' END) AS INT) AS is_match
+        |FROM sc ORDER BY doc_id""".stripMargin,
+
+    "q_doc_fingerprint" ->
+      """WITH tok AS (
+        |  SELECT DISTINCT doc_id, token FROM (
+        |    SELECT doc_id, unnest(str_split(lower(text), ' ')) AS token
+        |    FROM documents) t
+        |  WHERE token <> ''),
+        |sig AS (SELECT doc_id, min(md5(token)) AS min_tok_sig FROM tok GROUP BY doc_id)
+        |SELECT d.doc_id, substring(md5(lower(trim(d.text))), 1, 16) AS fp64,
+        |  sig.min_tok_sig
+        |FROM documents d LEFT JOIN sig ON d.doc_id = sig.doc_id
+        |ORDER BY d.doc_id""".stripMargin
+  )
+}

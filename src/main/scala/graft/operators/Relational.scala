@@ -1,0 +1,362 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.engine.{QueryPack, Tables}
+import graft.engine.Tables.{dec2, dec4, dsum2, dsum4}
+
+/** Relational core: scan/filter/project, the join family, aggregation,
+  * set ops, top-k (SURVEY.md §2B, generalizing §2A A1-A17).
+  *
+  * Scale notes (100 TB design point):
+  *  - filters/projections are plain Catalyst expressions → pushed into
+  *    the parquet scan (PushedFilters / ReadSchema);
+  *  - small dimensions (part, nation, region, supplier) are broadcast —
+  *    no shuffle of the fact table for those joins;
+  *  - big-big joins (orders⋈customer, lineitem⋈orders) shuffle on the
+  *    join key once; aggregations reuse partial (map-side) aggregation;
+  *  - AQE (enabled in session conf) coalesces post-shuffle partitions
+  *    and splits skewed ones at runtime.
+  */
+object Relational extends QueryPack {
+
+  private def ts(s: String) = lit(java.sql.Timestamp.valueOf(s))
+
+  override def queries: Map[String, Q] = Map(
+    "q_scan_project" -> ((s, d) => {
+      Tables.t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_quantity"), col("l_extendedprice"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    "q_filter_pred" -> ((s, d) => {
+      Tables.t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= ts("1996-01-01 00:00:00") &&
+          col("l_shipdate") < ts("1998-01-01 00:00:00") &&
+          col("l_discount").between(0.03, 0.07) &&
+          col("l_quantity") < 25)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"),
+          col("l_discount"), col("l_quantity"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    "q_join_inner" -> ((s, d) => {
+      Tables.t(s, d, "orders")
+        .join(Tables.t(s, d, "customer"),
+          col("o_custkey") === col("c_custkey"), "inner")
+        .select(col("o_orderkey"), col("o_totalprice"), col("c_name"),
+          col("c_mktsegment"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    "q_join_broadcast" -> ((s, d) => {
+      Tables.t(s, d, "lineitem")
+        .join(broadcast(Tables.t(s, d, "part").filter(col("p_size") <= 10)),
+          col("l_partkey") === col("p_partkey"), "inner")
+        .select(col("l_orderkey"), col("l_linenumber"), col("p_name"),
+          col("p_brand"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // TPC-H Q5 shape: local-supplier revenue by nation.
+    "q_join_multiway" -> ((s, d) => {
+      val c = Tables.t(s, d, "customer"); val o = Tables.t(s, d, "orders")
+      val l = Tables.t(s, d, "lineitem"); val su = Tables.t(s, d, "supplier")
+      val n = Tables.t(s, d, "nation"); val r = Tables.t(s, d, "region")
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .join(l, col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(su), col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA" &&
+          col("o_orderdate") >= ts("1996-01-01 00:00:00") &&
+          col("o_orderdate") < ts("1998-01-01 00:00:00"))
+        .groupBy(col("n_name"))
+        .agg(sum(dec2(col("l_extendedprice")) * (lit(1) - dec4(col("l_discount"))))
+          .cast("double").as("revenue"))
+        .orderBy(desc("revenue"), col("n_name"))
+    }),
+
+    // Cross-catalog "confront" (crocus README.md:4): full-outer + diffs.
+    "q_join_outer_diff" -> ((s, d) => {
+      val cs = Tables.t(s, d, "customer").groupBy(col("c_nationkey").as("nk"))
+        .agg(count(lit(1)).as("n_cust"), dsum2(col("c_acctbal")).as("cust_bal"))
+      val ss = Tables.t(s, d, "supplier").groupBy(col("s_nationkey").as("nk"))
+        .agg(count(lit(1)).as("n_supp"), dsum2(col("s_acctbal")).as("supp_bal"))
+      cs.join(ss, Seq("nk"), "full_outer")
+        .select(col("nk"),
+          coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+          coalesce(col("n_supp"), lit(0L)).as("n_supp"),
+          (coalesce(col("n_cust"), lit(0L)) - coalesce(col("n_supp"), lit(0L)))
+            .as("n_diff"),
+          col("cust_bal"), col("supp_bal"))
+        .orderBy(col("nk"))
+    }),
+
+    "q_join_semi" -> ((s, d) => {
+      Tables.t(s, d, "customer")
+        .join(Tables.t(s, d, "orders"),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    "q_join_anti" -> ((s, d) => {
+      Tables.t(s, d, "customer")
+        .join(Tables.t(s, d, "orders"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // TPC-H Q1 shape; exact decimal sums → deterministic under parallelism.
+    "q_agg_group" -> ((s, d) => {
+      val l = Tables.t(s, d, "lineitem")
+      l.filter(col("l_shipdate") <= ts("2001-09-01 00:00:00"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum2(col("l_quantity")).as("sum_qty"),
+          dsum2(col("l_extendedprice")).as("sum_base_price"),
+          sum(dec2(col("l_extendedprice")) * (lit(1) - dec4(col("l_discount"))))
+            .cast("double").as("sum_disc_price"),
+          (dsum2(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+          (dsum4(col("l_discount")) / count(lit(1))).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    "q_agg_distinct" -> ((s, d) => {
+      Tables.t(s, d, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(countDistinct(col("o_custkey")).as("n_cust"),
+          countDistinct(col("o_orderpriority")).as("n_prio"),
+          count(lit(1)).as("n_orders"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    // HLL sketch — scale path for 100 TB distinct counts. Sketch impls
+    // differ across engines → rows-only check (no oracle entry).
+    "q_agg_approx_distinct" -> ((s, d) => {
+      Tables.t(s, d, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(approx_count_distinct(col("o_custkey"), 0.02).as("approx_cust"),
+          count(lit(1)).as("n_orders"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    "q_agg_rollup" -> ((s, d) => {
+      Tables.t(s, d, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping(col("l_returnflag")).cast("int").as("gflag"),
+          grouping(col("l_linestatus")).cast("int").as("gstat"),
+          dsum2(col("l_quantity")).as("sum_qty"),
+          count(lit(1)).as("n"))
+        .orderBy(col("gflag"), col("gstat"), col("l_returnflag"),
+          col("l_linestatus"))
+    }),
+
+    "q_agg_cube" -> ((s, d) => {
+      Tables.t(s, d, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping(col("l_returnflag")).cast("int").as("gflag"),
+          grouping(col("l_linestatus")).cast("int").as("gstat"),
+          dsum2(col("l_quantity")).as("sum_qty"),
+          count(lit(1)).as("n"))
+        .orderBy(col("gflag"), col("gstat"), col("l_returnflag"),
+          col("l_linestatus"))
+    }),
+
+    "q_grouping_sets" -> ((s, d) => {
+      Tables.t(s, d, "lineitem")
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_returnflag")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping(col("l_returnflag")).cast("int").as("gflag"),
+          grouping(col("l_linestatus")).cast("int").as("gstat"),
+          dsum2(col("l_quantity")).as("sum_qty"),
+          count(lit(1)).as("n"))
+        .orderBy(col("gflag"), col("gstat"), col("l_returnflag"),
+          col("l_linestatus"))
+    }),
+
+    "q_sort_limit_topk" -> ((s, d) => {
+      Tables.t(s, d, "orders")
+        .orderBy(desc("o_totalprice"), col("o_orderkey"))
+        .limit(10)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    }),
+
+    // Union of 3 branches + last-wins key dedup — the reference's
+    // {**equity, **bond, **multi_asset} merge (crocus vanguard.py:101-109).
+    "q_union_dedup" -> ((s, d) => {
+      val o = Tables.t(s, d, "orders")
+      val b1 = o.select(col("o_orderkey").as("k"),
+        col("o_totalprice").as("v"), lit(1).as("src"))
+      val b2 = o.filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey").as("k"),
+          (col("o_totalprice") * 0.5).as("v"), lit(2).as("src"))
+      val b3 = o.filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey").as("k"),
+          (col("o_totalprice") * 0.25).as("v"), lit(3).as("src"))
+      val w = Window.partitionBy(col("k")).orderBy(desc("src"))
+      b1.unionByName(b2).unionByName(b3)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("k"), col("v"), col("src"))
+        .orderBy(col("k"))
+    }),
+
+    "q_intersect" -> ((s, d) => {
+      Tables.t(s, d, "customer").select(col("c_custkey").as("k"))
+        .intersect(Tables.t(s, d, "orders").select(col("o_custkey").as("k")))
+        .orderBy(col("k"))
+    }),
+
+    "q_except" -> ((s, d) => {
+      Tables.t(s, d, "customer").select(col("c_custkey").as("k"))
+        .except(Tables.t(s, d, "orders").select(col("o_custkey").as("k")))
+        .orderBy(col("k"))
+    })
+  )
+
+  override def oracle: Map[String, String] = Map(
+    "q_scan_project" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity, l_extendedprice
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_filter_pred" ->
+      """SELECT l_orderkey, l_linenumber, l_shipdate, l_discount, l_quantity
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 25
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_join_inner" ->
+      """SELECT o_orderkey, o_totalprice, c_name, c_mktsegment
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_join_broadcast" ->
+      """SELECT l_orderkey, l_linenumber, p_name, p_brand
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_size <= 10
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_join_multiway" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q_join_outer_diff" ->
+      """WITH cs AS (
+        |  SELECT c_nationkey AS nk, COUNT(*) AS n_cust,
+        |    CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS cust_bal
+        |  FROM customer GROUP BY c_nationkey),
+        |ss AS (
+        |  SELECT s_nationkey AS nk, COUNT(*) AS n_supp,
+        |    CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS supp_bal
+        |  FROM supplier GROUP BY s_nationkey)
+        |SELECT COALESCE(cs.nk, ss.nk) AS nk,
+        |  COALESCE(n_cust, 0) AS n_cust, COALESCE(n_supp, 0) AS n_supp,
+        |  COALESCE(n_cust, 0) - COALESCE(n_supp, 0) AS n_diff,
+        |  cust_bal, supp_bal
+        |FROM cs FULL OUTER JOIN ss ON cs.nk = ss.nk
+        |ORDER BY nk""".stripMargin,
+
+    "q_join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_agg_group" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        |  CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_disc,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_agg_distinct" ->
+      """SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_cust,
+        |  COUNT(DISTINCT o_orderpriority) AS n_prio, COUNT(*) AS n_orders
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q_agg_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(GROUPING(l_returnflag) AS INT) AS gflag,
+        |  CAST(GROUPING(l_linestatus) AS INT) AS gstat,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY gflag, gstat, l_returnflag, l_linestatus""".stripMargin,
+
+    "q_agg_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(GROUPING(l_returnflag) AS INT) AS gflag,
+        |  CAST(GROUPING(l_linestatus) AS INT) AS gstat,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY gflag, gstat, l_returnflag, l_linestatus""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(GROUPING(l_returnflag) AS INT) AS gflag,
+        |  CAST(GROUPING(l_linestatus) AS INT) AS gstat,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        |ORDER BY gflag, gstat, l_returnflag, l_linestatus""".stripMargin,
+
+    "q_sort_limit_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q_union_dedup" ->
+      """WITH u AS (
+        |  SELECT o_orderkey AS k, o_totalprice AS v, 1 AS src FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey, o_totalprice * 0.5, 2 FROM orders WHERE o_orderstatus = 'F'
+        |  UNION ALL
+        |  SELECT o_orderkey, o_totalprice * 0.25, 3 FROM orders WHERE o_orderpriority = '1-URGENT')
+        |SELECT k, v, src FROM (
+        |  SELECT k, v, src, ROW_NUMBER() OVER (PARTITION BY k ORDER BY src DESC) AS rn
+        |  FROM u) t
+        |WHERE rn = 1 ORDER BY k""".stripMargin,
+
+    "q_intersect" ->
+      """SELECT c_custkey AS k FROM customer
+        |INTERSECT SELECT o_custkey FROM orders ORDER BY k""".stripMargin,
+
+    "q_except" ->
+      """SELECT c_custkey AS k FROM customer
+        |EXCEPT SELECT o_custkey FROM orders ORDER BY k""".stripMargin
+  )
+}

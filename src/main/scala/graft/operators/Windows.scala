@@ -1,0 +1,155 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.engine.{QueryPack, Tables}
+import graft.engine.Tables.dec2
+
+/** Window functions + temporal joins (SURVEY.md §2B: q_window_*,
+  * q_join_range, q_join_asof — generalizing the reference's top-1-by-
+  * mtime argmax, crocus base_scraper.py:96, and snapshot time-series
+  * comparisons, §1.1).
+  *
+  * Scale notes:
+  *  - every window here partitions by a key (nation / user / customer) —
+  *    one hash shuffle, state bounded per key; no global windows;
+  *  - the range join buckets both sides by hour so the join is
+  *    equi-key (user_id, bucket) + residual range filter — at 100 TB
+  *    this avoids the quadratic per-user blow-up of a pure theta join;
+  *  - the as-of join is a union + running `last(ignoreNulls)` window —
+  *    a single shuffle by user_id, no point lookups (no native as-of
+  *    join in Spark; same rewrite Flink/Trino docs recommend).
+  */
+object Windows extends QueryPack {
+
+  override def queries: Map[String, Q] = Map(
+    // Top-N per group — generalized argmax (crocus base_scraper.py:96).
+    "q_window_rank" -> ((s, d) => {
+      val wTies = Window.partitionBy(col("c_nationkey")).orderBy(desc("c_acctbal"))
+      val wTotal = Window.partitionBy(col("c_nationkey"))
+        .orderBy(desc("c_acctbal"), col("c_custkey"))
+      Tables.t(s, d, "customer")
+        .select(col("c_nationkey"), col("c_custkey"), col("c_acctbal"))
+        .withColumn("rn", row_number().over(wTotal))
+        .withColumn("rnk", rank().over(wTies))
+        .withColumn("drnk", dense_rank().over(wTies))
+        .filter(col("rn") <= 5)
+        .orderBy(col("c_nationkey"), col("rn"))
+    }),
+
+    "q_window_analytic" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.t(s, d, "events")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+        .withColumn("prev_value", lag(col("value"), 1).over(w))
+        .withColumn("next_value", lead(col("value"), 1).over(w))
+        .withColumn("delta", col("value") - col("prev_value"))
+        .orderBy(col("event_id"))
+    }),
+
+    "q_window_frame" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val mov = w.rowsBetween(-2, Window.currentRow)
+      Tables.t(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          col("o_totalprice"))
+        .withColumn("running_spend",
+          sum(dec2(col("o_totalprice"))).over(cum).cast("double"))
+        .withColumn("mov3_avg",
+          sum(dec2(col("o_totalprice"))).over(mov).cast("double") /
+            count(lit(1)).over(mov))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    // Range join: ordered event pairs within 1 hour per user.
+    // Equi-join on (user_id, hour bucket) + residual filter: the left
+    // side probes its own bucket and the next one.
+    "q_join_range" -> ((s, d) => {
+      val e = Tables.t(s, d, "events").select(col("event_id"), col("user_id"), col("ts"))
+      val probe = e
+        .withColumn("bucket",
+          explode(array(date_trunc("hour", col("ts")),
+            date_trunc("hour", col("ts")) + expr("INTERVAL 1 HOUR"))))
+      val build = e
+        .withColumnRenamed("event_id", "event_id2")
+        .withColumnRenamed("ts", "ts2")
+        .withColumn("bucket", date_trunc("hour", col("ts2")))
+      probe.join(build, Seq("user_id", "bucket"))
+        .filter(col("event_id2") =!= col("event_id") &&
+          col("ts2") >= col("ts") &&
+          col("ts2") <= col("ts") + expr("INTERVAL 1 HOUR"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("user_id"))
+    }),
+
+    // As-of join: for each purchase, the latest click at-or-before it
+    // (same user). Union + running last(ignoreNulls) — clicks sort
+    // before purchases at equal ts to give >= semantics, matching the
+    // DuckDB ASOF JOIN oracle.
+    "q_join_asof" -> ((s, d) => {
+      val ev = Tables.t(s, d, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id").as("click_id"),
+          lit(null).cast("long").as("p_id"), lit(0).as("side"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), lit(null).cast("long").as("click_id"),
+          col("event_id").as("p_id"), lit(1).as("side"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("side"), coalesce(col("click_id"), col("p_id")))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      clicks.unionByName(purchases)
+        .withColumn("asof_click", last(col("click_id"), ignoreNulls = true).over(w))
+        .filter(col("side") === 1)
+        .select(col("p_id").as("event_id"), col("user_id"), col("ts"),
+          col("asof_click").as("click_id"))
+        .orderBy(col("event_id"))
+    })
+  )
+
+  override def oracle: Map[String, String] = Map(
+    "q_window_rank" ->
+      """SELECT c_nationkey, c_custkey, c_acctbal,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS INT) AS rn,
+        |  CAST(RANK() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS INT) AS rnk,
+        |  CAST(DENSE_RANK() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS INT) AS drnk
+        |FROM customer QUALIFY rn <= 5
+        |ORDER BY c_nationkey, rn""".stripMargin,
+
+    "q_window_analytic" ->
+      """SELECT event_id, user_id, ts, value,
+        |  LAG(value, 1) OVER w AS prev_value,
+        |  LEAD(value, 1) OVER w AS next_value,
+        |  value - LAG(value, 1) OVER w AS delta
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY event_id""".stripMargin,
+
+    "q_window_frame" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    / COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mov3_avg
+        |FROM orders
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q_join_range" ->
+      """SELECT e1.user_id, COUNT(*) AS n_pairs
+        |FROM events e1 JOIN events e2
+        |  ON e1.user_id = e2.user_id AND e2.event_id <> e1.event_id
+        |  AND e2.ts >= e1.ts AND e2.ts <= e1.ts + INTERVAL 1 HOUR
+        |GROUP BY e1.user_id
+        |ORDER BY e1.user_id""".stripMargin,
+
+    "q_join_asof" ->
+      """SELECT p.event_id, p.user_id, p.ts, c.event_id AS click_id
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.event_id""".stripMargin
+  )
+}
