@@ -1,0 +1,127 @@
+package graft.catalog
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+
+/** The reference's product domain re-expressed Spark-first: an
+  * ISIN-keyed, snapshot-partitioned ETF catalog (SURVEY.md §1).
+  *
+  * Bronze (raw, all-string — exactly what the scrapers emit, crocus
+  * ishares.py:79-88 / vanguard.py:86-97) → silver (typed, normalized —
+  * the layer the reference never built but needs for its stated goal
+  * "confront them with eachover", README.md:4) → confront (full-outer
+  * per-field diff).
+  *
+  * Scale notes: catalogs are small-dim data; the heavy artifacts are
+  * the per-ISIN holdings files and the daily snapshot time-series —
+  * both land as date+provider-partitioned parquet (partition-pruned
+  * scans), mirroring the reference's /base/{date}/{provider}/ tree
+  * (base_scraper.py:72-83).
+  */
+object Catalog {
+
+  /** iShares bronze → silver. Encodings (crocus output_examples/
+    * ishares.json): name multi-line (first line wins, ishares.py:150),
+    * ter '0,07' (comma decimal, percent, no % sign), price 'USD 632,42'
+    * (ccy prefix), date '28 feb 2025' (Italian month). */
+  def normalizeIShares(raw: DataFrame): DataFrame = {
+    GraftFunctions.register(raw.sparkSession)
+    val money = GraftFunctions.parse_locale_money(col("price"))
+    raw.select(
+      col("isin"),
+      split(col("name"), "\n").getItem(0).as("name"),
+      col("fund_type"),
+      lit(null).cast("string").as("ticker"),
+      col("currency"),
+      GraftFunctions.parse_locale_pct(col("ter")).as("ter"),
+      money.getField("amount").as("price"),
+      coalesce(money.getField("ccy"), col("currency")).as("price_ccy"),
+      GraftFunctions.parse_date_it(col("date")).as("price_date"),
+      col("factsheet"), col("kid"), col("product_page"),
+      col("holdings_file"),
+      lit("ishares").as("provider"))
+  }
+
+  /** Vanguard bronze → silver. Encodings (crocus output_examples/
+    * vanguard.json): name 'Vanguard ' prefix + newline→space
+    * (vanguard.py:60), ter '0,22%', price '144,12 USD' / '5,66 €'
+    * (ccy suffix, code or symbol), date '21/02/25'. */
+  def normalizeVanguard(raw: DataFrame): DataFrame = {
+    GraftFunctions.register(raw.sparkSession)
+    val money = GraftFunctions.parse_locale_money(col("price"))
+    raw.select(
+      col("isin"),
+      concat(lit("Vanguard "),
+        regexp_replace(col("name"), "\n", " ")).as("name"),
+      col("asset_class").as("fund_type"),
+      col("ticker"),
+      col("currency"),
+      GraftFunctions.parse_locale_pct(col("ter")).as("ter"),
+      money.getField("amount").as("price"),
+      coalesce(money.getField("ccy"), col("currency")).as("price_ccy"),
+      GraftFunctions.parse_date_it(col("date")).as("price_date"),
+      col("factsheet"), col("kid"), col("product_page"),
+      lit(null).cast("string").as("holdings_file"),
+      lit("vanguard").as("provider"))
+  }
+
+  /** Cross-provider "confront" (crocus README.md:4): full-outer join on
+    * ISIN with per-field diff columns. Both catalogs are dimension-
+    * sized; Catalyst broadcasts the smaller side automatically. */
+  def confront(a: DataFrame, b: DataFrame): DataFrame = {
+    val an = a.select(col("isin"), col("name").as("a_name"),
+      col("ter").as("a_ter"), col("price").as("a_price"),
+      col("price_ccy").as("a_ccy"), col("price_date").as("a_date"))
+    val bn = b.select(col("isin"), col("name").as("b_name"),
+      col("ter").as("b_ter"), col("price").as("b_price"),
+      col("price_ccy").as("b_ccy"), col("price_date").as("b_date"))
+    an.join(bn, Seq("isin"), "full_outer")
+      .select(col("isin"),
+        col("a_name").isNotNull.as("in_a"),
+        col("b_name").isNotNull.as("in_b"),
+        col("a_name"), col("b_name"),
+        col("a_ter"), col("b_ter"),
+        (col("a_ter") - col("b_ter")).as("ter_diff"),
+        col("a_price"), col("b_price"),
+        col("a_ccy"), col("b_ccy"),
+        (col("a_ccy") === col("b_ccy")).as("same_ccy"),
+        datediff(col("a_date"), col("b_date")).as("date_lag_days"))
+      .orderBy(col("isin"))
+  }
+
+  /** Keyed-object products.json (crocus base_scraper.py:172-178) →
+    * one row per ISIN. The file is a single JSON object whose keys are
+    * ISINs; inference gives one struct column per key. */
+  def readProductsJson(spark: SparkSession, path: String): DataFrame = {
+    val raw = spark.read.option("multiLine", true).json(path)
+    val entries = raw.schema.fields.map { f =>
+      struct(lit(f.name).as("isin"), col(s"`${f.name}`").as("rec"))
+    }
+    raw.select(explode(array(entries: _*)).as("e"))
+      .select(col("e.isin").as("isin"), col("e.rec.*"))
+  }
+
+  /** Keyed-object JSON sink matching the reference's golden shape
+    * ({isin: {...record...}}, base_scraper.py:165-170). Catalogs are
+    * driver-small by definition; the aggregate collapses to one row. */
+  def productsJsonString(df: DataFrame): String = {
+    val rec = struct(df.columns.filterNot(_ == "isin").map(col): _*)
+    df.agg(to_json(map_from_entries(
+      collect_list(struct(col("isin"), rec)))).as("j"))
+      .collect()(0).getString(0)
+  }
+
+  /** Snapshot-partitioned sink: /base/{snapshot_date}/{provider}/ as
+    * parquet partitions (crocus base_scraper.py:72-83). Partition
+    * columns give pruned time-series scans at read. */
+  def writeSnapshot(df: DataFrame, basePath: String, date: String): Unit =
+    df.withColumn("snapshot_date", lit(date))
+      .write.mode("append")
+      .partitionBy("snapshot_date", "provider")
+      .parquet(basePath)
+
+  def readSnapshots(spark: SparkSession, basePath: String): DataFrame =
+    spark.read.parquet(basePath)
+}

@@ -1,0 +1,87 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.engine.Tables.dec2
+
+/** Structured Streaming surface over the `events` table (SURVEY.md §2B
+  * streaming; reference analog: the daily re-scrape snapshot stream,
+  * crocus base_scraper.py:72-83 — each day's folder is a new batch).
+  *
+  * The transforms are the same window()/session_window() expressions as
+  * the batch queries in operators.StreamingQueries — batch/stream
+  * equivalence is the correctness argument (tested in StreamingSpec).
+  *
+  * Scale notes: watermark bounds state (late events beyond 1 hour are
+  * dropped); Trigger.AvailableNow gives batch-incremental runs — the
+  * 100 TB pattern for daily snapshot ingest (process what's new, then
+  * stop; no always-on cluster).
+  */
+object StreamRunner {
+
+  /** readStream view of events with the same nanos→micros normalization
+    * as the batch loader (events.parquet is TIMESTAMP(NANOS)). */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = graft.engine.Tables.t(spark, dir, "events").schema
+    val rawSchema = org.apache.spark.sql.types.StructType(schema.map(f =>
+      if (f.name == "ts") f.copy(dataType = org.apache.spark.sql.types.LongType)
+      else f))
+    // NOTE: streaming keeps instant-typed timestamps — EventTimeWatermark
+    // rejects TIMESTAMP_NTZ; the batch queries use NTZ (session tz UTC
+    // makes the wall-clock values identical).
+    // events.parquet is a single file; the streaming file source wants a
+    // directory — stream the SF dir with a glob filter instead.
+    spark.readStream.schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Tumbling 1-hour counts with a 1-hour watermark. */
+  def tumblingHourly(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec2(col("value"))).cast("double").as("sum_value"))
+      .select(col("w.start").as("win_start"), col("n"), col("sum_value"))
+
+  /** Per-user 30-minute session windows with watermark. */
+  def sessions(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("session_start"), col("n_events"))
+
+  /** Run a streaming frame to completion (AvailableNow) into an
+    * in-memory table and return its final contents. */
+  def runAvailableNow(spark: SparkSession, df: DataFrame, name: String): DataFrame = {
+    val q = df.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  /** foreachBatch parquet sink (append) — the batch-incremental write
+    * path; each micro-batch lands atomically under `outDir`. */
+  def runForeachBatchParquet(spark: SparkSession, df: DataFrame,
+      outDir: String, checkpoint: String): Unit = {
+    val q = df.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        batch.write.mode("append").parquet(outDir)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+}

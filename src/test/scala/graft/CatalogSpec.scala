@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.catalog.Catalog
+
+/** The reference domain end-to-end: bronze catalog records (the exact
+  * golden encodings from crocus output_examples/, embedded per
+  * FIXTURES.md §A) → normalize → confront → keyed-JSON round-trip →
+  * snapshot-partitioned store. */
+class CatalogSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def isharesBronze = Seq(
+    ("IE00B5BMR087", "iShares Core S&P 500 UCITS ETF\nCSPX", null: String,
+      "USD", "0,07", "USD 632,42", "28 feb 2025",
+      "https://e.com/fs", "https://e.com/kid", "https://e.com/p",
+      "https://e.com/h?fileType=csv"))
+    .toDF("isin", "name", "fund_type", "currency", "ter", "price", "date",
+      "factsheet", "kid", "product_page", "holdings_file")
+
+  private def vanguardBronze = Seq(
+    ("IE00BK5BQT80", "FTSE All-World UCITS ETF (USD)\nACCUMULATING",
+      "VWCE IM", "equity", "USD", "0,22%", "144,12 USD", "21/02/25",
+      "https://v.com/fs", "https://v.com/kid", "https://v.com/p"),
+    ("IE00BFMXXD54", "S&P 500 UCITS ETF (USD)\nACCUMULATING",
+      "VUAA IM", "equity", "EUR", "0,07%", "5,66 €", "21/02/25",
+      "https://v.com/fs2", "https://v.com/kid2", "https://v.com/p2"))
+    .toDF("isin", "name", "ticker", "asset_class", "currency", "ter",
+      "price", "date", "factsheet", "kid", "product_page")
+
+  test("iShares normalization types the golden record") {
+    val r = Catalog.normalizeIShares(isharesBronze).collect()(0)
+    assert(r.getAs[String]("name") == "iShares Core S&P 500 UCITS ETF")
+    assert(r.getAs[Double]("ter") == 0.07 / 100)
+    assert(r.getAs[Double]("price") == 632.42)
+    assert(r.getAs[String]("price_ccy") == "USD")
+    assert(r.getAs[java.sql.Date]("price_date").toString == "2025-02-28")
+    assert(r.getAs[String]("provider") == "ishares")
+  }
+
+  test("Vanguard normalization types the golden records") {
+    val rows = Catalog.normalizeVanguard(vanguardBronze)
+      .orderBy("isin").collect()
+    val vwce = rows.find(_.getAs[String]("isin") == "IE00BK5BQT80").get
+    assert(vwce.getAs[String]("name") ==
+      "Vanguard FTSE All-World UCITS ETF (USD) ACCUMULATING")
+    assert(vwce.getAs[Double]("ter") == 0.22 / 100)
+    assert(vwce.getAs[Double]("price") == 144.12)
+    assert(vwce.getAs[String]("price_ccy") == "USD")
+    val vuaa = rows.find(_.getAs[String]("isin") == "IE00BFMXXD54").get
+    assert(vuaa.getAs[Double]("price") == 5.66)
+    assert(vuaa.getAs[String]("price_ccy") == "EUR")
+    assert(vuaa.getAs[java.sql.Date]("price_date").toString == "2025-02-21")
+  }
+
+  test("confront: disjoint keys → full-outer null sides") {
+    val c = Catalog.confront(
+      Catalog.normalizeIShares(isharesBronze),
+      Catalog.normalizeVanguard(vanguardBronze)).collect()
+    assert(c.length == 3)
+    val a = c.find(_.getAs[String]("isin") == "IE00B5BMR087").get
+    assert(a.getAs[Boolean]("in_a") && !a.getAs[Boolean]("in_b"))
+    val b = c.find(_.getAs[String]("isin") == "IE00BK5BQT80").get
+    assert(!b.getAs[Boolean]("in_a") && b.getAs[Boolean]("in_b"))
+  }
+
+  test("confront: shared key → field diffs") {
+    val a = Catalog.normalizeIShares(isharesBronze)
+      .withColumn("isin", lit("SHARED"))
+    val b = Catalog.normalizeVanguard(vanguardBronze.limit(1))
+      .withColumn("isin", lit("SHARED"))
+    val r = Catalog.confront(a, b).collect()(0)
+    assert(r.getAs[Boolean]("in_a") && r.getAs[Boolean]("in_b"))
+    assert(math.abs(r.getAs[Double]("ter_diff") - (0.07 / 100 - 0.22 / 100)) < 1e-12)
+    assert(r.getAs[Boolean]("same_ccy"))
+    assert(r.getAs[Int]("date_lag_days") == 7)
+  }
+
+  test("keyed products.json round-trip (reference sink shape)") {
+    val silver = Catalog.normalizeIShares(isharesBronze)
+      .select("isin", "name", "ter", "price_ccy")
+    val json = Catalog.productsJsonString(silver)
+    assert(json.startsWith("""{"IE00B5BMR087":{"""))
+    val tmp = java.nio.file.Files.createTempDirectory("cat").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$tmp/products.json"), json)
+    val back = Catalog.readProductsJson(spark, s"$tmp/products.json")
+    val r = back.collect()(0)
+    assert(r.getAs[String]("isin") == "IE00B5BMR087")
+    assert(r.getAs[Double]("ter") == 0.07 / 100)
+  }
+
+  test("snapshot-partitioned store prunes by date+provider") {
+    val tmp = java.nio.file.Files.createTempDirectory("snap").toString
+    Catalog.writeSnapshot(Catalog.normalizeIShares(isharesBronze), tmp, "2025-02-28")
+    Catalog.writeSnapshot(Catalog.normalizeVanguard(vanguardBronze), tmp, "2025-02-28")
+    Catalog.writeSnapshot(Catalog.normalizeIShares(isharesBronze), tmp, "2025-03-01")
+    val all = Catalog.readSnapshots(spark, tmp)
+    assert(all.count() == 4)
+    val pruned = all.filter(col("snapshot_date") === "2025-03-01" &&
+      col("provider") === "ishares")
+    assert(pruned.count() == 1)
+    // partition pruning visible in the physical plan
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") || pruned.inputFiles.length == 1)
+  }
+}

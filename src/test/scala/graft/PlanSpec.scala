@@ -1,0 +1,64 @@
+package graft
+
+/** Physical-plan assertions for the 100 TB design point (SURVEY.md §4):
+  * filters/columns reach the parquet scan, small dims broadcast,
+  * aggregation is map-side partial, hot paths stay in whole-stage
+  * codegen. These guard against plan regressions that small-SF row
+  * counts would never catch. */
+class PlanSpec extends SparkTestBase {
+
+  private def plan(name: String): String =
+    q(name).queryExecution.executedPlan.toString
+
+  /** Plan after execution — AQE finalizes stages (codegen visible). */
+  private def finalPlan(name: String): String = {
+    val df = q(name)
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q_filter_pred pushes predicates into the parquet scan") {
+    val p = plan("q_filter_pred")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("GreaterThanOrEqual(l_shipda") ||
+      p.contains("GreaterThanOrEqual(`l_shipda"), p)
+  }
+
+  test("q_scan_project prunes to the 5 selected columns") {
+    val p = plan("q_scan_project")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_orderkey") && readSchema.contains("l_quantity"))
+    assert(!readSchema.contains("l_shipdate") && !readSchema.contains("l_returnflag"),
+      readSchema)
+  }
+
+  test("q_join_broadcast uses a broadcast hash join (no fact shuffle)") {
+    assert(plan("q_join_broadcast").contains("BroadcastHashJoin"))
+  }
+
+  test("q_join_multiway broadcasts all dimension sides") {
+    val p = plan("q_join_multiway")
+    assert(p.contains("BroadcastHashJoin"))
+    // the one big-big join (customer ⋈ orders ⋈ lineitem) may shuffle;
+    // dims must not introduce extra sort-merge joins
+    assert(!p.contains("SortMergeJoin") || p.split("SortMergeJoin").length <= 3, p)
+  }
+
+  test("q_agg_group aggregates map-side before the shuffle") {
+    val p = finalPlan("q_agg_group")
+    assert(p.contains("partial_sum"), p)
+    // whole-stage codegen renders as "*(n)" stage markers
+    assert(p.contains("*(1) HashAggregate"), p)
+  }
+
+  test("q_dedup_embedding keeps dot_d inside codegen") {
+    val p = finalPlan("q_dedup_embedding")
+    assert(p.contains("*(2) Project") || p.contains("*(1) Project"), p)
+    assert(p.contains("dotproductd"), p)
+  }
+
+  test("q_join_range is an equi-join on (user, bucket), not a nested loop") {
+    val p = plan("q_join_range")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+}
