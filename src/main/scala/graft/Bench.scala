@@ -1,5 +1,10 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Driver-run benchmark: every SparkEntry query timed at
+  * SPARK_GRAFT_SF_DIR, one JSON line on stdout.
+  * Optional args: query names to restrict to (local profiling). */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -7,10 +12,17 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // JVM/codegen warmup outside the timed region (standard practice;
+    // first-query cost otherwise lands on an arbitrary query).
+    spark.read.parquet(s"$sfDir/nation.parquet").count()
+    val selected =
+      if (args.nonEmpty) SparkEntry.queries.view.filterKeys(args.toSet).toMap
+      else SparkEntry.queries
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

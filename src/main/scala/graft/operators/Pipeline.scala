@@ -37,17 +37,22 @@ object Pipeline extends QueryPack {
   private val nSig = 32   // minhash signature length
   private val nBands = 8  // 8 bands x 4 rows
 
-  /** doc_id + h0..h{nSig-1} minhash signature columns. */
+  /** doc_id + h0..h{nSig-1} minhash signature columns.
+    * Each 3-word shingle is string-hashed ONCE to a 64-bit base; the
+    * nSig permutation hashes re-hash that fixed-width base (cheap) —
+    * ~nSig× less string hashing than hashing (seed, shingle) pairs.
+    * No distinct() on shingles: min-aggregation is duplicate-idempotent,
+    * so the dedup shuffle is pure waste. */
   private def minhashSig(docs: DataFrame): DataFrame = {
-    val toks = docs.select(col("doc_id"), split(lower(col("text")), " ").as("toks"))
+    val base = docs.select(col("doc_id"), split(lower(col("text")), " ").as("toks"))
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(0, size(toks)-3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"))
         .as("sh"))
-      .distinct()
-    toks.groupBy(col("doc_id"))
-      .agg((0 until nSig).map(i => min(xxhash64(lit(i), col("sh"))).as(s"h$i")).head,
-        (1 until nSig).map(i => min(xxhash64(lit(i), col("sh"))).as(s"h$i")): _*)
+      .select(col("doc_id"), xxhash64(col("sh")).as("base"))
+    base.groupBy(col("doc_id"))
+      .agg(min(xxhash64(lit(0), col("base"))).as("h0"),
+        (1 until nSig).map(i => min(xxhash64(lit(i), col("base"))).as(s"h$i")): _*)
   }
 
   override def queries: Map[String, Q] = Map(

@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.engine.GraftSession
+import graft.sources.{Holdings, HttpSource}
+
+/** Acquisition + holdings connectors (crocus A4/A8/A9) and the SQL
+  * surface, driven end-to-end on local files. */
+class SourcesSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def tmpDir(tag: String) =
+    java.nio.file.Files.createTempDirectory(tag).toString
+
+  test("HttpSource fetches a url catalog partition-parallel (file:// scheme)") {
+    val src = tmpDir("src")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$src/a.csv"), "h1,h2\n1,2\n")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$src/b.csv"), "h1,h2\n3,4\n5,6\n")
+    val dest = tmpDir("dest")
+    val urls = Seq(
+      (s"file://$src/a.csv", "IE00AAA.csv"),
+      (s"file://$src/b.csv", "IE00BBB.csv"),
+      (s"file://$src/missing.csv", "IE00CCC.csv"))
+      .toDF("url", "filename")
+    val res = HttpSource.fetchAll(urls, dest, parallelism = 2)
+    assert(res.filter(col("ok")).count() == 2)
+    val bad = res.filter(!col("ok")).collect()
+    assert(bad.length == 1 && bad(0).getAs[String]("error").nonEmpty)
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dest/IE00AAA.csv")))
+  }
+
+  test("holdingsFilename: fileType param with csv default (A11/A22)") {
+    val got = Seq(
+      ("https://x.com/d?fileType=xlsx", "IE1"),
+      ("https://x.com/d", "IE2"))
+      .toDF("url", "isin")
+      .select(HttpSource.holdingsFilename(col("url"), col("isin")).as("f"))
+      .as[String].collect().toSet
+    assert(got == Set("IE1.xlsx", "IE2.csv"))
+  }
+
+  test("holdings csv ingest derives isin from filename with inferred schema") {
+    val dir = tmpDir("hold")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/IE00B5BMR087.csv"),
+      "ticker,weight\nAAPL,7.1\nMSFT,6.5\n")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/IE00BK5BQT80.csv"),
+      "ticker,weight\nNVDA,5.0\n")
+    val df = Holdings.readHoldings(spark, dir)
+    assert(df.count() == 3)
+    assert(df.schema("weight").dataType.typeName == "double")
+    val byIsin = df.groupBy("isin").count().as[(String, Long)].collect().toMap
+    assert(byIsin == Map("IE00B5BMR087" -> 2L, "IE00BK5BQT80" -> 1L))
+  }
+
+  test("latestPerKey is the argmax-by-mtime of the reference rename") {
+    val dir = tmpDir("latest")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/IE1.csv"), "old")
+    Thread.sleep(1100) // binaryFile mtime granularity is 1s
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/IE1.xlsx"), "newer")
+    val latest = Holdings.latestPerKey(spark, dir).collect()
+    assert(latest.length == 1)
+    assert(latest(0).getAs[String]("path").endsWith("IE1.xlsx"))
+  }
+
+  test("SQL surface: openCatalog + spark.sql runs Q1 and custom functions") {
+    GraftSession.openCatalog(spark, sf)
+    val q1 = spark.sql(
+      """SELECT l_returnflag, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) s
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)
+    assert(q1.count() == 3)
+    val fn = spark.sql(
+      """SELECT parse_locale_pct('0,22%') p,
+        |       parse_date_it('28 feb 2025') d,
+        |       dot_d(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
+        |             array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) dp""".stripMargin)
+      .collect()(0)
+    assert(fn.getDouble(0) == 0.22 / 100)
+    assert(fn.getDate(1).toString == "2025-02-28")
+    assert(fn.getDouble(2) == 11.0)
+  }
+
+  test("GraftExtensions wires functions through SparkSessionExtensions") {
+    import org.apache.spark.sql.SparkSession
+    spark // force shared session init first
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[2]")
+        .config("spark.sql.extensions", "graft.engine.GraftExtensions")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      assert(s2 ne spark, "must be a fresh session for the test to mean anything")
+      val r = s2.sql("SELECT parse_locale_pct('0,07') p").collect()(0)
+      assert(r.getDouble(0) == 0.07 / 100)
+    } finally {
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
+    }
+  }
+}
