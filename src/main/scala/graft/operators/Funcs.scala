@@ -90,6 +90,17 @@ object Funcs extends QueryPack {
         .orderBy(col("vec_id"))
     }),
 
+    // Generator surface: positional array explode.
+    "q_explode_pos" -> ((s, d) => {
+      Tables.t(s, d, "embeddings")
+        .filter(col("vec_id") < 20)
+        .select(col("vec_id"),
+          posexplode(col("embedding")).as(Seq("pos", "val")))
+        .select(col("vec_id"), col("pos").cast("int").as("pos"),
+          col("val").cast("double").as("val"))
+        .orderBy(col("vec_id"), col("pos"))
+    }),
+
     // Locale normalization round-trip: build the reference's raw
     // encodings from typed columns, parse with our custom expressions,
     // oracle recomputes expected values directly from the typed source.
@@ -196,6 +207,13 @@ object Funcs extends QueryPack {
         |  CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_pos,
         |  list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)), 'sum') AS sum_e
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "q_explode_pos" ->
+      """SELECT vec_id,
+        |  CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS pos,
+        |  CAST(unnest(embedding) AS DOUBLE) AS val
+        |FROM embeddings WHERE vec_id < 20
+        |ORDER BY vec_id, pos""".stripMargin,
 
     "q_locale_normalize" ->
       """SELECT p_partkey,

@@ -211,6 +211,36 @@ object Relational extends QueryPack {
         .orderBy(col("k"))
     }),
 
+    // Pivot: order counts by status × priority (reporting surface).
+    "q_pivot" -> ((s, d) => {
+      val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+      val p = Tables.t(s, d, "orders")
+        .groupBy(col("o_orderstatus"))
+        .pivot("o_orderpriority", prios)
+        .agg(count(lit(1)))
+      p.select(col("o_orderstatus") +:
+          prios.map(n => coalesce(col(s"`$n`"), lit(0L)).as(n)): _*)
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    // Discrete percentiles (p50/p90) via window position — exact element
+    // selection, no interpolation arithmetic to diverge between engines.
+    "q_agg_percentile" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables.t(s, d, "orders")
+        .select(col("o_orderstatus"), col("o_totalprice"), col("o_orderkey"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("o_orderstatus"))))
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          min(when(col("rn") === ceil(col("cnt") * 0.5), col("o_totalprice"))).as("p50"),
+          min(when(col("rn") === ceil(col("cnt") * 0.9), col("o_totalprice"))).as("p90"),
+          min(col("o_totalprice")).as("p_min"),
+          max(col("o_totalprice")).as("p_max"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     "q_intersect" -> ((s, d) => {
       Tables.t(s, d, "customer").select(col("c_custkey").as("k"))
         .intersect(Tables.t(s, d, "orders").select(col("o_custkey").as("k")))
@@ -350,6 +380,28 @@ object Relational extends QueryPack {
         |  SELECT k, v, src, ROW_NUMBER() OVER (PARTITION BY k ORDER BY src DESC) AS rn
         |  FROM u) t
         |WHERE rn = 1 ORDER BY k""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT o_orderstatus,
+        |  COALESCE(COUNT(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END), 0) AS "1-URGENT",
+        |  COALESCE(COUNT(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END), 0) AS "2-HIGH",
+        |  COALESCE(COUNT(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END), 0) AS "3-MEDIUM",
+        |  COALESCE(COUNT(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 END), 0) AS "4-NOT SPECIFIED",
+        |  COALESCE(COUNT(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END), 0) AS "5-LOW"
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q_agg_percentile" ->
+      """WITH w AS (
+        |  SELECT o_orderstatus, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey) AS rn,
+        |    COUNT(*) OVER (PARTITION BY o_orderstatus) AS cnt
+        |  FROM orders)
+        |SELECT o_orderstatus,
+        |  MIN(CASE WHEN rn = CEIL(cnt * 0.5) THEN o_totalprice END) AS p50,
+        |  MIN(CASE WHEN rn = CEIL(cnt * 0.9) THEN o_totalprice END) AS p90,
+        |  MIN(o_totalprice) AS p_min,
+        |  MAX(o_totalprice) AS p_max
+        |FROM w GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "q_intersect" ->
       """SELECT c_custkey AS k FROM customer
