@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.engine.{Layout, Tables}
+
+/** Bucketed layout must make the repeated join shuffle-free: joining
+  * two tables bucketed on the join key produces a plan with no
+  * Exchange on either side. */
+class LayoutSpec extends SparkTestBase {
+
+  test("join of co-bucketed tables elides both shuffles") {
+    Layout.writeBucketed(Tables.t(spark, sf, "orders"), "orders_b",
+      "o_orderkey", 8)
+    Layout.writeBucketed(
+      Tables.t(spark, sf, "lineitem").withColumnRenamed("l_orderkey", "o_orderkey"),
+      "lineitem_b", "o_orderkey", 8)
+    // force the non-broadcast path — at real scale neither side fits
+    // in a broadcast, which is exactly when bucketing pays off
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760b")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val j = try {
+      val j0 = Layout.readTable(spark, "orders_b")
+        .join(Layout.readTable(spark, "lineitem_b"), "o_orderkey")
+        .groupBy("o_orderkey").agg(count(lit(1)).as("n"))
+      j0.collect()
+      val p = j0.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"), "bucketed join must not shuffle:\n" + p)
+      j0
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+    // sanity: same result as the unbucketed join
+    val direct = Tables.t(spark, sf, "orders")
+      .join(Tables.t(spark, sf, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .count()
+    assert(j.agg(sum("n")).collect()(0).getLong(0) == direct)
+  }
+}

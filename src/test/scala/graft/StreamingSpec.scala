@@ -30,6 +30,50 @@ class StreamingSpec extends SparkTestBase {
     assert(stream.exceptAll(batch).isEmpty && batch.exceptAll(stream).isEmpty)
   }
 
+  test("watermark drops data later than 1h across micro-batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = java.nio.file.Files.createTempDirectory("wm").toString
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    def landBatch(name: String, rows: Seq[(java.sql.Timestamp, Double)],
+        mtime: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("wmb").toString
+      rows.toDF("ts", "value").coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dest = new java.io.File(s"$dir/$name")
+      java.nio.file.Files.move(part.toPath, dest.toPath)
+      dest.setLastModified(mtime)
+    }
+    // batch 1 only: events in the 10:00 and 11:00 windows
+    landBatch("b1.parquet", Seq(
+      (ts("2024-01-01 10:05:00"), 1.0), (ts("2024-01-01 10:40:00"), 1.0),
+      (ts("2024-01-01 11:30:00"), 1.0)), System.currentTimeMillis() - 60000)
+    val stream = spark.readStream
+      .schema("ts timestamp, value double")
+      .parquet(dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sv"))
+      .select(col("w.start").as("win_start"), col("n"), col("sv"))
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("t_wm").start()
+    q.processAllAvailable() // batch 1 → watermark = 11:30 - 1h = 10:30
+    // batch 2: one event >1h late (09:30 < wm 10:30) + fresh data
+    landBatch("b2.parquet", Seq(
+      (ts("2024-01-01 09:30:00"), 99.0), (ts("2024-01-01 12:10:00"), 1.0)),
+      System.currentTimeMillis())
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("t_wm").collect()
+      .map(r => r.getTimestamp(0).toString -> (r.getLong(1), r.getDouble(2))).toMap
+    // the 10:00 window finalized with only batch-1 rows; the 99.0-valued
+    // late event was dropped (no 09:00 window); 11:00/12:00 windows are
+    // still open (end > wm 11:10) so append emitted nothing for them
+    assert(out.keySet == Set("2024-01-01 10:00:00.0"), out.toString)
+    assert(out("2024-01-01 10:00:00.0") == ((2L, 2.0)), out.toString)
+  }
+
   test("foreachBatch parquet sink lands the stream incrementally") {
     val tmp = java.nio.file.Files.createTempDirectory("sink").toString
     StreamRunner.runForeachBatchParquet(spark,
