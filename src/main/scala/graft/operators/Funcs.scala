@@ -90,6 +90,25 @@ object Funcs extends QueryPack {
         .orderBy(col("vec_id"))
     }),
 
+    // String distance + conditional scalar functions over adjacent-part
+    // pairs (near-dup name matching is a catalog-comparison primitive).
+    "q_misc_funcs" -> ((s, d) => {
+      val p = Tables.t(s, d, "part")
+      val a = p.select(col("p_partkey").as("k"), col("p_name").as("name_a"),
+        col("p_size").as("size_a"))
+      val b = p.select((col("p_partkey") - 1).as("k"), col("p_name").as("name_b"),
+        col("p_size").as("size_b"))
+      a.join(b, Seq("k"))
+        .select(col("k"),
+          levenshtein(col("name_a"), col("name_b")).cast("int").as("lev"),
+          greatest(col("size_a"), col("size_b")).as("size_hi"),
+          least(col("size_a"), col("size_b")).as("size_lo"),
+          nullif(col("size_a"), col("size_b")).as("size_nullif"),
+          lpad(col("name_a"), 30, ".").as("name_pad"),
+          reverse(col("name_b")).as("name_rev"))
+        .orderBy(col("k"))
+    }),
+
     // Generator surface: positional array explode.
     "q_explode_pos" -> ((s, d) => {
       Tables.t(s, d, "embeddings")
@@ -207,6 +226,17 @@ object Funcs extends QueryPack {
         |  CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_pos,
         |  list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)), 'sum') AS sum_e
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "q_misc_funcs" ->
+      """SELECT a.p_partkey AS k,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS INT) AS lev,
+        |  CAST(GREATEST(a.p_size, b.p_size) AS INT) AS size_hi,
+        |  CAST(LEAST(a.p_size, b.p_size) AS INT) AS size_lo,
+        |  NULLIF(a.p_size, b.p_size) AS size_nullif,
+        |  LPAD(a.p_name, 30, '.') AS name_pad,
+        |  REVERSE(b.p_name) AS name_rev
+        |FROM part a JOIN part b ON a.p_partkey = b.p_partkey - 1
+        |ORDER BY k""".stripMargin,
 
     "q_explode_pos" ->
       """SELECT vec_id,

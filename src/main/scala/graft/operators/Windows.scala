@@ -39,6 +39,18 @@ object Windows extends QueryPack {
         .orderBy(col("c_nationkey"), col("rn"))
     }),
 
+    // Distribution functions: ntile / percent_rank / cume_dist.
+    "q_window_dist" -> ((s, d) => {
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      Tables.t(s, d, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+        .withColumn("nt", ntile(4).over(w).cast("int"))
+        .withColumn("pr", percent_rank().over(w))
+        .withColumn("cd", cume_dist().over(w))
+        .orderBy(col("c_mktsegment"), col("c_acctbal"), col("c_custkey"))
+    }),
+
     "q_window_analytic" -> ((s, d) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
       Tables.t(s, d, "events")
@@ -119,6 +131,15 @@ object Windows extends QueryPack {
         |  CAST(DENSE_RANK() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS INT) AS drnk
         |FROM customer QUALIFY rn <= 5
         |ORDER BY c_nationkey, rn""".stripMargin,
+
+    "q_window_dist" ->
+      """SELECT c_custkey, c_mktsegment, c_acctbal,
+        |  CAST(NTILE(4) OVER w AS INT) AS nt,
+        |  PERCENT_RANK() OVER w AS pr,
+        |  CUME_DIST() OVER w AS cd
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+        |ORDER BY c_mktsegment, c_acctbal, c_custkey""".stripMargin,
 
     "q_window_analytic" ->
       """SELECT event_id, user_id, ts, value,

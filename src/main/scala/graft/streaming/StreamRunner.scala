@@ -57,6 +57,32 @@ object StreamRunner {
       .agg(count(lit(1)).as("n_events"))
       .select(col("user_id"), col("w.start").as("session_start"), col("n_events"))
 
+  /** Custom keyed state (SURVEY.md §1.4 "daily re-scrape stream"):
+    * per-user running stats maintained across micro-batches with
+    * flatMapGroupsWithState — the engine's arbitrary-state surface for
+    * logic window aggregates can't express. State is bounded per key
+    * (a few counters), the 100 TB pattern for long-running per-entity
+    * accumulators. */
+  case class UserEvent(user_id: Long, value: Double)
+  case class UserState(n: Long, sum: Double)
+  case class UserUpdate(user_id: Long, n: Long, sum: Double, batch_n: Long)
+
+  def runningUserStats(events: DataFrame): org.apache.spark.sql.Dataset[UserUpdate] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events.select(col("user_id"), col("value")).as[UserEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserState, UserUpdate](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[UserEvent], state: GroupState[UserState]) =>
+          val batch = rows.toSeq
+          val prev = state.getOption.getOrElse(UserState(0L, 0.0))
+          val next = UserState(prev.n + batch.size, prev.sum + batch.map(_.value).sum)
+          state.update(next)
+          Iterator.single(UserUpdate(user, next.n, next.sum, batch.size.toLong))
+      }
+  }
+
   /** Run a streaming frame to completion (AvailableNow) into an
     * in-memory table and return its final contents. */
   def runAvailableNow(spark: SparkSession, df: DataFrame, name: String): DataFrame = {

@@ -74,6 +74,33 @@ class StreamingSpec extends SparkTestBase {
     assert(out("2024-01-01 10:00:00.0") == ((2L, 2.0)), out.toString)
   }
 
+  test("flatMapGroupsWithState carries per-user state across micro-batches") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("fmgs").toString
+    def land(name: String, rows: Seq[(Long, Double)]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("fmgsb").toString
+      rows.toDF("user_id", "value").coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        new java.io.File(s"$dir/$name").toPath)
+    }
+    land("b1.parquet", Seq((1L, 10.0), (1L, 5.0), (2L, 1.0)))
+    val stream = StreamRunner.runningUserStats(
+      spark.readStream.schema("user_id long, value double").parquet(dir).toDF())
+    val q = stream.toDF().writeStream.outputMode("append")
+      .format("memory").queryName("t_fmgs").start()
+    q.processAllAvailable()
+    land("b2.parquet", Seq((1L, 100.0)))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("t_fmgs").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    // user 1: batch1 emits (n=2,sum=15), batch2 emits cumulative (n=3,sum=115)
+    assert(rows.toSet == Set((1L, 2L, 15.0, 2L), (2L, 1L, 1.0, 1L),
+      (1L, 3L, 115.0, 1L)), rows.mkString(", "))
+  }
+
   test("foreachBatch parquet sink lands the stream incrementally") {
     val tmp = java.nio.file.Files.createTempDirectory("sink").toString
     StreamRunner.runForeachBatchParquet(spark,
