@@ -241,6 +241,23 @@ object Relational extends QueryPack {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // Null semantics: outer-join nulls, null-safe equality, coalesce
+    // defaults, explicit null ordering.
+    "q_null_semantics" -> ((s, d) => {
+      val big = Tables.t(s, d, "orders").filter(col("o_totalprice") > 150000)
+      Tables.t(s, d, "customer")
+        .join(big, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_big"),
+          max(dec2(col("o_totalprice"))).cast("double").as("mx"))
+        .select(col("c_custkey"), col("n_big"),
+          col("mx"),
+          coalesce(col("mx"), lit(-1.0)).as("mx_dflt"),
+          col("mx").isNull.cast("int").as("mx_is_null"),
+          (col("mx") <=> lit(null).cast("double")).cast("int").as("mx_nullsafe_eq_null"))
+        .orderBy(desc_nulls_last("mx"), col("c_custkey"))
+    }),
+
     "q_intersect" -> ((s, d) => {
       Tables.t(s, d, "customer").select(col("c_custkey").as("k"))
         .intersect(Tables.t(s, d, "orders").select(col("o_custkey").as("k")))
@@ -402,6 +419,20 @@ object Relational extends QueryPack {
         |  MIN(o_totalprice) AS p_min,
         |  MAX(o_totalprice) AS p_max
         |FROM w GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q_null_semantics" ->
+      """WITH j AS (
+        |  SELECT c_custkey, COUNT(o_orderkey) AS n_big,
+        |    CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS mx
+        |  FROM customer LEFT JOIN (
+        |    SELECT * FROM orders WHERE o_totalprice > 150000) o
+        |    ON c_custkey = o_custkey
+        |  GROUP BY c_custkey)
+        |SELECT c_custkey, n_big, mx,
+        |  COALESCE(mx, -1.0) AS mx_dflt,
+        |  CAST(mx IS NULL AS INT) AS mx_is_null,
+        |  CAST(mx IS NOT DISTINCT FROM NULL AS INT) AS mx_nullsafe_eq_null
+        |FROM j ORDER BY mx DESC NULLS LAST, c_custkey""".stripMargin,
 
     "q_intersect" ->
       """SELECT c_custkey AS k FROM customer

@@ -61,4 +61,17 @@ class PlanSpec extends SparkTestBase {
     val p = plan("q_join_range")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
   }
+
+  test("join strategy hints are honored (merge / shuffle_hash / broadcast)") {
+    import graft.engine.Tables
+    import org.apache.spark.sql.functions.col
+    val o = Tables.t(spark, sf, "orders")
+    val c = Tables.t(spark, sf, "customer")
+    def planOf(strategy: String): String =
+      o.join(c.hint(strategy), col("o_custkey") === col("c_custkey"))
+        .queryExecution.executedPlan.toString
+    assert(planOf("merge").contains("SortMergeJoin"))
+    assert(planOf("shuffle_hash").contains("ShuffledHashJoin"))
+    assert(planOf("broadcast").contains("BroadcastHashJoin"))
+  }
 }
