@@ -26,4 +26,26 @@ object Layout {
 
   def readTable(spark: SparkSession, table: String): DataFrame =
     spark.table(table)
+
+  /** Compact a directory of small parquet files into ~`targetMB`-sized
+    * ones. Small-files is the canonical 100 TB operational problem
+    * (per-file open cost, driver listing pressure, tiny tasks); daily
+    * snapshot ingestion (Catalog.writeSnapshot) produces exactly this
+    * shape over time. Rewrites into a temp dir then swaps, so readers
+    * never see a half-compacted directory. */
+  def compact(spark: SparkSession, dir: String, targetMB: Int = 128): Long = {
+    val df = spark.read.parquet(dir)
+    val bytes = df.inputFiles.map(f =>
+      new java.io.File(new java.net.URI(f)).length()).sum
+    val parts = math.max(1, (bytes / (targetMB * 1024L * 1024L)).toInt)
+    val tmp = dir.stripSuffix("/") + ".compacting"
+    df.repartition(parts).write.mode("overwrite").parquet(tmp)
+    val dest = new java.io.File(dir)
+    val old = java.nio.file.Files.createTempDirectory("compact-old")
+    java.nio.file.Files.move(dest.toPath, old.resolve("old"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    java.nio.file.Files.move(new java.io.File(tmp).toPath, dest.toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    parts.toLong
+  }
 }

@@ -75,6 +75,20 @@ object Funcs extends QueryPack {
         .orderBy(col("event_id"))
     }),
 
+    // Corrupt-record tolerance (crocus A25 continue-on-error): a fifth
+    // of the payloads are mangled; parsing yields nulls + a validity
+    // flag instead of failing the job.
+    "q_json_corrupt" -> ((s, d) => {
+      val raw = when(col("event_id") % 5 === 0,
+        concat(lit("corrupt::"), col("props"))).otherwise(col("props"))
+      Tables.t(s, d, "events")
+        .withColumn("raw", raw)
+        .select(col("event_id"),
+          get_json_object(col("raw"), "$.k").cast("int").as("k_val"),
+          get_json_object(col("raw"), "$.k").isNotNull.cast("int").as("is_valid"))
+        .orderBy(col("event_id"))
+    }),
+
     "q_array_map_funcs" -> ((s, d) => {
       val e = col("embedding")
       Tables.t(s, d, "embeddings")
@@ -226,6 +240,16 @@ object Funcs extends QueryPack {
         |  CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_pos,
         |  list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)), 'sum') AS sum_e
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "q_json_corrupt" ->
+      """WITH r AS (
+        |  SELECT event_id,
+        |    CASE WHEN event_id % 5 = 0 THEN 'corrupt::' || props ELSE props END AS raw
+        |  FROM events)
+        |SELECT event_id,
+        |  CAST(CASE WHEN json_valid(raw) THEN json_extract_string(raw, '$.k') END AS INT) AS k_val,
+        |  CAST(CASE WHEN json_valid(raw) THEN json_extract_string(raw, '$.k') END IS NOT NULL AS INT) AS is_valid
+        |FROM r ORDER BY event_id""".stripMargin,
 
     "q_misc_funcs" ->
       """SELECT a.p_partkey AS k,

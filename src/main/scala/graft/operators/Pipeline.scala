@@ -66,6 +66,49 @@ object Pipeline extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Dedup keeping the best representative (longest doc wins, doc_id
+    // tiebreak) — the policy real corpus dedup uses, vs min-id above.
+    "q_dedup_keep_best" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("norm_hash"))
+        .orderBy(desc("n_chars"), col("doc_id"))
+      Tables.t(s, d, "documents")
+        .withColumn("norm_hash", md5(lower(trim(col("text")))))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("n_chars"), col("lang"), col("norm_hash"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Per-language corpus statistics (training-mix reporting).
+    "q_text_stats_by_lang" -> ((s, d) => {
+      Tables.t(s, d, "documents")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"),
+          countDistinct(col("source")).as("n_sources"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"))
+        .orderBy(col("lang"))
+    }),
+
+    // Int8 quantization of embeddings (max-abs scaling) — the storage/
+    // bandwidth path for billion-vector ANN.
+    "q_embed_quantize" -> ((s, d) => {
+      val e = col("embedding")
+      val mx = greatest(abs(array_max(e)), abs(array_min(e)))
+      Tables.t(s, d, "embeddings")
+        .select(col("vec_id"), mx.cast("double").as("scale"),
+          transform(e, x =>
+            round(x.cast("double") / mx.cast("double") * 127, 0).cast("int"))
+            .as("q8"))
+        .select(col("vec_id"), col("scale"),
+          element_at(col("q8"), 1).as("q8_first"),
+          aggregate(col("q8"), lit(0L), (a, x) => a + abs(x)).as("q8_l1"))
+        .orderBy(col("vec_id"))
+    }),
+
     // Word-set Jaccard over an audit slice (ground truth for LSH).
     "q_dedup_ngram" -> ((s, d) => {
       val tok = tokens(Tables.t(s, d, "documents"), Some(100)).cache()
@@ -272,6 +315,33 @@ object Pipeline extends QueryPack {
       """SELECT min(doc_id) AS doc_id, COUNT(*) AS n_copies,
         |  md5(lower(trim(text))) AS norm_hash
         |FROM documents GROUP BY md5(lower(trim(text))) ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_keep_best" ->
+      """SELECT doc_id, n_chars, lang, norm_hash FROM (
+        |  SELECT doc_id, n_chars, lang, md5(lower(trim(text))) AS norm_hash,
+        |    ROW_NUMBER() OVER (PARTITION BY md5(lower(trim(text)))
+        |      ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM documents) t
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    "q_text_stats_by_lang" ->
+      """SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+        |  COUNT(DISTINCT source) AS n_sources,
+        |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_embed_quantize" ->
+      """WITH e AS (
+        |  SELECT vec_id,
+        |    GREATEST(abs(CAST(list_aggregate(embedding, 'max') AS DOUBLE)),
+        |             abs(CAST(list_aggregate(embedding, 'min') AS DOUBLE))) AS scale,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings)
+        |SELECT vec_id, scale,
+        |  CAST(round(v[1] / scale * 127, 0) AS INT) AS q8_first,
+        |  CAST(list_aggregate(list_transform(v, x -> abs(CAST(round(x / scale * 127, 0) AS BIGINT))), 'sum') AS BIGINT) AS q8_l1
+        |FROM e ORDER BY vec_id""".stripMargin,
 
     "q_dedup_ngram" ->
       """WITH tok AS (

@@ -31,8 +31,21 @@ class LayoutSpec extends SparkTestBase {
     // sanity: same result as the unbucketed join
     val direct = Tables.t(spark, sf, "orders")
       .join(Tables.t(spark, sf, "lineitem"),
-        col("o_orderkey") === col("l_orderkey"))
+        col("l_orderkey") === col("o_orderkey"))
       .count()
     assert(j.agg(sum("n")).collect()(0).getLong(0) == direct)
+  }
+
+  test("compact collapses a many-small-files dir preserving content") {
+    val dir = java.nio.file.Files.createTempDirectory("compact").toString + "/t"
+    val src = Tables.t(spark, sf, "lineitem")
+    src.repartition(40).write.parquet(dir)
+    val before = spark.read.parquet(dir)
+    assert(before.inputFiles.length >= 40)
+    val expected = before.count()
+    Layout.compact(spark, dir, targetMB = 128)
+    val after = spark.read.parquet(dir)
+    assert(after.inputFiles.length <= 2, s"still ${after.inputFiles.length} files")
+    assert(after.count() == expected)
   }
 }
