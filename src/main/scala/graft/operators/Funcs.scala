@@ -123,6 +123,20 @@ object Funcs extends QueryPack {
         .orderBy(col("k"))
     }),
 
+    // Full regex surface: extract-all + count + anchored match.
+    "q_regex_funcs" -> ((s, d) => {
+      val t = lower(col("text"))
+      Tables.t(s, d, "documents")
+        .select(col("doc_id"),
+          size(regexp_extract_all(t, lit("[a-z]{6,}"), lit(0)))
+            .cast("int").as("n_long_words"),
+          try_element_at(regexp_extract_all(t, lit("[a-z]{6,}"), lit(0)), lit(1))
+            .as("first_long"),
+          regexp_extract(t, "([a-z]+)$", 1).as("last_token"),
+          t.rlike("^the ").cast("int").as("starts_the"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Generator surface: positional array explode.
     "q_explode_pos" -> ((s, d) => {
       Tables.t(s, d, "embeddings")
@@ -261,6 +275,14 @@ object Funcs extends QueryPack {
         |  REVERSE(b.p_name) AS name_rev
         |FROM part a JOIN part b ON a.p_partkey = b.p_partkey - 1
         |ORDER BY k""".stripMargin,
+
+    "q_regex_funcs" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(lower(text), '[a-z]{6,}', 0)) AS INT) AS n_long_words,
+        |  regexp_extract_all(lower(text), '[a-z]{6,}', 0)[1] AS first_long,
+        |  regexp_extract(lower(text), '([a-z]+)$', 1) AS last_token,
+        |  CAST(regexp_matches(lower(text), '^the ') AS INT) AS starts_the
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_explode_pos" ->
       """SELECT vec_id,

@@ -77,6 +77,24 @@ object Windows extends QueryPack {
         .orderBy(col("o_custkey"), col("o_orderkey"))
     }),
 
+    // RANGE frame (value-based, vs the ROWS frames above): 30-day
+    // trailing spend per customer — rows with equal order-days share
+    // the same frame regardless of physical position.
+    "q_window_range_frame" -> ((s, d) => {
+      val days = datediff(col("o_orderdate").cast("date"),
+        lit(java.sql.Date.valueOf("1995-01-01")))
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("days"))
+        .rangeBetween(-30, Window.currentRow)
+      Tables.t(s, d, "orders")
+        .withColumn("days", days)
+        .withColumn("trail30_spend",
+          sum(dec2(col("o_totalprice"))).over(w).cast("double"))
+        .withColumn("trail30_n", count(lit(1)).over(w))
+        .select(col("o_custkey"), col("o_orderkey"), col("days"),
+          col("trail30_spend"), col("trail30_n"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
     // Range join: ordered event pairs within 1 hour per user.
     // Equi-join on (user_id, hour bucket) + residual filter: the left
     // side probes its own bucket and the next one.
@@ -156,6 +174,19 @@ object Windows extends QueryPack {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
         |    / COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mov3_avg
         |FROM orders
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q_window_range_frame" ->
+      """WITH o AS (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT) AS days
+        |  FROM orders)
+        |SELECT o_custkey, o_orderkey, days,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS trail30_spend,
+        |  COUNT(*) OVER w AS trail30_n
+        |FROM o
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY days
+        |  RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
 
     "q_join_range" ->
