@@ -95,6 +95,21 @@ object Windows extends QueryPack {
         .orderBy(col("o_custkey"), col("o_orderkey"))
     }),
 
+    // Native as-of join (custom LogicalPlan + Strategy + BinaryExecNode,
+    // plans/AsOfJoin.scala): same semantics as q_join_asof, single
+    // sort-merge pass instead of union + window.
+    "q_join_asof_native" -> ((s, d) => {
+      val ev = Tables.t(s, d, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+          col("ts").as("c_ts"))
+      graft.plans.AsOf.join(purchases, clicks, "user_id", "c_user", "ts", "c_ts")
+        .select(col("event_id"), col("user_id"), col("ts"), col("click_id"))
+        .orderBy(col("event_id"))
+    }),
+
     // Range join: ordered event pairs within 1 hour per user.
     // Equi-join on (user_id, hour bucket) + residual filter: the left
     // side probes its own bucket and the next one.
@@ -198,6 +213,13 @@ object Windows extends QueryPack {
         |ORDER BY e1.user_id""".stripMargin,
 
     "q_join_asof" ->
+      """SELECT p.event_id, p.user_id, p.ts, c.event_id AS click_id
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.event_id""".stripMargin,
+
+    "q_join_asof_native" ->
       """SELECT p.event_id, p.user_id, p.ts, c.event_id AS click_id
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c

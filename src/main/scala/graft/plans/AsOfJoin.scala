@@ -1,0 +1,134 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.catalyst.util.TypeUtils
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+
+/** Native as-of join: for each left row, the latest right row with the
+  * same key and time <= left time (left outer semantics).
+  *
+  * This is the one operator where the built-in rewrite (union + running
+  * `last(ignoreNulls)` window, operators/Windows.scala q_join_asof) pays
+  * a real cost: the union materializes both sides into one sorted state
+  * stream and runs window machinery. The native operator needs exactly
+  * what a sort-merge join needs — co-partition by key, sort by (key,
+  * time) — then a single forward merge pass per partition: O(|L|+|R|),
+  * no window state, no union. The full extension stack is exercised:
+  * LogicalPlan -> Strategy -> BinaryExecNode, planned via
+  * experimental.extraStrategies / SparkSessionExtensions.
+  *
+  * Semantics match DuckDB `ASOF LEFT JOIN ... ON l.key = r.key AND
+  * l.time >= r.time` (oracle for q_join_asof_native): ties at equal
+  * time match; among equal right times the last in (key, time, input)
+  * order wins — identical to the window rewrite's frame order.
+  */
+case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
+    leftKey: Expression, rightKey: Expression,
+    leftTime: Expression, rightTime: Expression) extends BinaryNode {
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+    case _ => Nil
+  }
+}
+
+case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
+    leftKey: Expression, rightKey: Expression,
+    leftTime: Expression, rightTime: Expression) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(Seq(leftKey)) ::
+      ClusteredDistribution(Seq(rightKey)) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)) ::
+      Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending)) :: Nil
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val leftOut = left.output
+    val rightOut = right.output
+    val keyOrd = TypeUtils.getInterpretedOrdering(leftKey.dataType)
+    val timeOrd = TypeUtils.getInterpretedOrdering(leftTime.dataType)
+    val lk = BindReferences.bindReference(leftKey, leftOut)
+    val lt = BindReferences.bindReference(leftTime, leftOut)
+    val rk = BindReferences.bindReference(rightKey, rightOut)
+    val rt = BindReferences.bindReference(rightTime, rightOut)
+    val outAttrs = output
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val proj = UnsafeProjection.create(outAttrs, leftOut ++ rightOut)
+      val nullRight = new GenericInternalRow(rightOut.length)
+      val joined = new JoinedRow
+      var rHead: InternalRow = if (rIter.hasNext) rIter.next() else null
+      var candidate: InternalRow = null // copied; latest right for candKey
+      var candKey: Any = null
+      lIter.map { lRow =>
+        val k = lk.eval(lRow)
+        val t = lt.eval(lRow)
+        // advance the right side to the last row with key==k, time<=t
+        var advancing = true
+        while (advancing && rHead != null) {
+          val rKeyV = rk.eval(rHead)
+          val c = keyOrd.compare(rKeyV, k)
+          if (c < 0) {
+            rHead = if (rIter.hasNext) rIter.next() else null
+          } else if (c == 0 && timeOrd.compare(rt.eval(rHead), t) <= 0) {
+            candidate = rHead.copy(); candKey = rKeyV
+            rHead = if (rIter.hasNext) rIter.next() else null
+          } else {
+            advancing = false
+          }
+        }
+        val matched =
+          if (candidate != null && keyOrd.compare(candKey, k) == 0) candidate
+          else nullRight
+        proj(joined(lRow, matched))
+      }
+    }
+  }
+}
+
+/** User-facing API. */
+object AsOf {
+  /** left-outer as-of join: latest right row with rightKey == leftKey
+    * and rightTime <= leftTime. Rename right-side columns beforehand if
+    * they collide with left names. */
+  def join(leftDf: DataFrame, rightDf: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String): DataFrame = {
+    val spark = leftDf.sparkSession
+      .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    val lp = leftDf.queryExecution.analyzed
+    val rp = rightDf.queryExecution.analyzed
+    def attr(p: LogicalPlan, n: String): Attribute =
+      p.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(s"column $n not found"))
+    org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+      AsOfJoinPlan(lp, rp, attr(lp, leftKey), attr(rp, rightKey),
+        attr(lp, leftTime), attr(rp, rightTime)))
+  }
+}

@@ -62,6 +62,15 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("native as-of join plans AsOfJoinExec and matches the window rewrite") {
+    val p = plan("q_join_asof_native")
+    assert(p.contains("AsOfJoin"), p)
+    val native = q("q_join_asof_native")
+    val rewrite = q("q_join_asof")
+    assert(native.count() == rewrite.count())
+    assert(native.exceptAll(rewrite).isEmpty && rewrite.exceptAll(native).isEmpty)
+  }
+
   test("join strategy hints are honored (merge / shuffle_hash / broadcast)") {
     import graft.engine.Tables
     import org.apache.spark.sql.functions.col
