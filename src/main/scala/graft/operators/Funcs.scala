@@ -123,6 +123,21 @@ object Funcs extends QueryPack {
         .orderBy(col("k"))
     }),
 
+    // Array manipulation: sort / slice / flatten / contains / position.
+    "q_array_funcs2" -> ((s, d) => {
+      val e = col("embedding")
+      Tables.t(s, d, "embeddings")
+        .filter(col("vec_id") < 50)
+        .select(col("vec_id"),
+          element_at(array_sort(e), 1).cast("double").as("sorted_min"),
+          element_at(array_sort(e), 64).cast("double").as("sorted_max"),
+          element_at(slice(e, 3, 4), 2).cast("double").as("slice_elem"),
+          size(flatten(array(slice(e, 1, 2), slice(e, 5, 3)))).cast("int")
+            .as("flat_len"),
+          array_position(array_sort(e), array_max(e)).cast("int").as("max_pos"))
+        .orderBy(col("vec_id"))
+    }),
+
     // Full regex surface: extract-all + count + anchored match.
     "q_regex_funcs" -> ((s, d) => {
       val t = lower(col("text"))
@@ -275,6 +290,15 @@ object Funcs extends QueryPack {
         |  REVERSE(b.p_name) AS name_rev
         |FROM part a JOIN part b ON a.p_partkey = b.p_partkey - 1
         |ORDER BY k""".stripMargin,
+
+    "q_array_funcs2" ->
+      """SELECT vec_id,
+        |  CAST(list_sort(embedding)[1] AS DOUBLE) AS sorted_min,
+        |  CAST(list_sort(embedding)[64] AS DOUBLE) AS sorted_max,
+        |  CAST(embedding[3:6][2] AS DOUBLE) AS slice_elem,
+        |  CAST(len(flatten([embedding[1:2], embedding[5:7]])) AS INT) AS flat_len,
+        |  CAST(list_position(list_sort(embedding), list_aggregate(embedding, 'max')) AS INT) AS max_pos
+        |FROM embeddings WHERE vec_id < 50 ORDER BY vec_id""".stripMargin,
 
     "q_regex_funcs" ->
       """SELECT doc_id,

@@ -241,6 +241,50 @@ object Relational extends QueryPack {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // Argmax/argmin aggregates — the reference's argmax-by-mtime
+    // (crocus base_scraper.py:96) as max_by over a unique measure
+    // (composite measure keeps ties impossible ⇒ deterministic).
+    "q_agg_argmax" -> ((s, d) => {
+      // round before the long cast: Spark cast(double as long) truncates
+      // while DuckDB rounds - round() agrees on both engines
+      val measure = round(col("o_totalprice") * 100, 0).cast("long") * 10000000000L +
+        col("o_orderkey")
+      Tables.t(s, d, "orders")
+        .withColumn("m", measure)
+        .groupBy(col("o_orderstatus"))
+        .agg(max_by(col("o_orderkey"), col("m")).as("top_order"),
+          min_by(col("o_orderkey"), col("m")).as("bottom_order"),
+          max(col("o_totalprice")).as("top_price"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    // Statistical aggregates from exact-decimal components: variance /
+    // stddev / correlation computed by explicit formulas over exact
+    // sums, so results are order-independent and bit-match the oracle
+    // (running-moment implementations are partition-order dependent —
+    // unusable for hash checks).
+    "q_agg_stats" -> ((s, d) => {
+      val q = dec2(col("l_quantity")); val p = dec2(col("l_extendedprice"))
+      Tables.t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(q).cast("double").as("sum_q"),
+          sum(q * q).cast("double").as("sum_qq"),
+          sum(p).cast("double").as("sum_p"),
+          sum(p * p).cast("double").as("sum_pp"),
+          sum(q * p).cast("double").as("sum_qp"))
+        .withColumn("var_q",
+          (col("sum_qq") - col("sum_q") * col("sum_q") / col("n")) / (col("n") - 1))
+        .withColumn("stddev_q", sqrt(col("var_q")))
+        .withColumn("corr_qp",
+          (col("n") * col("sum_qp") - col("sum_q") * col("sum_p")) /
+            (sqrt(col("n") * col("sum_qq") - col("sum_q") * col("sum_q")) *
+              sqrt(col("n") * col("sum_pp") - col("sum_p") * col("sum_p"))))
+        .select(col("l_returnflag"), col("n"), col("var_q"),
+          col("stddev_q"), col("corr_qp"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // Null semantics: outer-join nulls, null-safe equality, coalesce
     // defaults, explicit null ordering.
     "q_null_semantics" -> ((s, d) => {
@@ -419,6 +463,33 @@ object Relational extends QueryPack {
         |  MIN(o_totalprice) AS p_min,
         |  MAX(o_totalprice) AS p_max
         |FROM w GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q_agg_argmax" ->
+      """WITH o AS (
+        |  SELECT o_orderstatus, o_orderkey, o_totalprice,
+        |    CAST(round(o_totalprice * 100, 0) AS BIGINT) * 10000000000 + o_orderkey AS m
+        |  FROM orders)
+        |SELECT o_orderstatus,
+        |  arg_max(o_orderkey, m) AS top_order,
+        |  arg_min(o_orderkey, m) AS bottom_order,
+        |  MAX(o_totalprice) AS top_price
+        |FROM o GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q_agg_stats" ->
+      """WITH s AS (
+        |  SELECT l_returnflag, COUNT(*) AS n,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_q,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qq,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_p,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_pp,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_qp
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  (sum_qq - sum_q * sum_q / n) / (n - 1) AS var_q,
+        |  sqrt((sum_qq - sum_q * sum_q / n) / (n - 1)) AS stddev_q,
+        |  (n * sum_qp - sum_q * sum_p) /
+        |    (sqrt(n * sum_qq - sum_q * sum_q) * sqrt(n * sum_pp - sum_p * sum_p)) AS corr_qp
+        |FROM s ORDER BY l_returnflag""".stripMargin,
 
     "q_null_semantics" ->
       """WITH j AS (
