@@ -55,7 +55,58 @@ object Pipeline extends QueryPack {
         (1 until nSig).map(i => min(xxhash64(lit(i), col("base"))).as(s"h$i")): _*)
   }
 
+  /** Connected components over an undirected pair list (da, db) by
+    * iterative min-label propagation: every node repeatedly adopts the
+    * smallest label among itself and its neighbors until fixpoint.
+    * Deterministic (cluster id = min doc_id reachable); each iteration
+    * is one shuffle by node id — the standard large-graph approach when
+    * a graph library isn't warranted. Converges in O(diameter) rounds;
+    * near-dup clusters are shallow (dups of dups), so few iterations. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    // localCheckpoint (eager) truncates lineage each round — without it
+    // the plan grows linearly and per-iteration planning time dominates.
+    val edges = pairs.select(col("da").as("a"), col("db").as("b"))
+      .unionByName(pairs.select(col("db").as("a"), col("da").as("b")))
+      .localCheckpoint()
+    var labels = edges.select(col("a").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint()
+    def labelSum(df: DataFrame): Long = {
+      val r = df.agg(sum(col("label"))).collect()(0)
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
+    // labels only ever decrease elementwise, so an unchanged sum is an
+    // exact fixpoint test — one aggregate instead of a join per round.
+    var prevSum = labelSum(labels)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val viaNeighbors = edges
+        .join(labels, col("b") === col("node"))
+        .groupBy(col("a").as("node2"))
+        .agg(min(col("label")).as("nlabel"))
+      labels = labels.join(viaNeighbors, col("node") === col("node2"), "left")
+        .select(col("node"), least(col("label"),
+          coalesce(col("nlabel"), col("label"))).as("label"))
+        .localCheckpoint()
+      val s = labelSum(labels)
+      converged = s == prevSum
+      prevSum = s
+      i += 1
+    }
+    labels.withColumnRenamed("label", "cluster_id")
+  }
+
   override def queries: Map[String, Q] = Map(
+    // Near-dup clustering: minhash candidate pairs -> transitive
+    // closure -> cluster id per doc. Rows-only (ground-truthed against
+    // a driver-side union-find in DedupSimilaritySpec).
+    "q_dedup_cluster" -> ((s, d) => {
+      val pairs = queries("q_dedup_minhash")(s, d).select(col("da"), col("db"))
+      connectedComponents(pairs)
+        .select(col("node").as("doc_id"), col("cluster_id"))
+        .orderBy(col("doc_id"))
+    }),
     // Exact dedup: canonical doc per normalized-text hash (min doc_id
     // wins — deterministic, SURVEY.md §7 hard part 3).
     "q_dedup_exact" -> ((s, d) => {

@@ -57,6 +57,27 @@ object StreamRunner {
       .agg(count(lit(1)).as("n_events"))
       .select(col("user_id"), col("w.start").as("session_start"), col("n_events"))
 
+  /** Stream-stream interval join: each purchase joined to the clicks of
+    * the same user in the preceding hour. Both sides carry watermarks so
+    * the join state is bounded: a buffered click can be dropped once the
+    * purchase-side watermark passes click_ts + 1h — the at-scale
+    * requirement for unbounded stream joins (state would otherwise grow
+    * with the full history). */
+  def purchaseClickJoin(events: DataFrame): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    purchases.join(clicks,
+      col("user_id") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("c_ts") <= col("p_ts"))
+      .select(col("p_id"), col("user_id"), col("p_ts"), col("c_id"), col("c_ts"))
+  }
+
   /** Custom keyed state (SURVEY.md §1.4 "daily re-scrape stream"):
     * per-user running stats maintained across micro-batches with
     * flatMapGroupsWithState — the engine's arbitrary-state surface for
@@ -81,6 +102,19 @@ object StreamRunner {
           state.update(next)
           Iterator.single(UserUpdate(user, next.n, next.sum, batch.size.toLong))
       }
+  }
+
+  /** Append-mode variant (stream-stream joins only support append). */
+  def runAvailableNowAppend(spark: SparkSession, df: DataFrame,
+      name: String): DataFrame = {
+    val q = df.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
   }
 
   /** Run a streaming frame to completion (AvailableNow) into an

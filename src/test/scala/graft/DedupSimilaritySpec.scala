@@ -64,6 +64,31 @@ class DedupSimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("connectedComponents matches driver-side union-find on minhash pairs") {
+    import graft.operators.Pipeline
+    val pairs = q("q_dedup_minhash").select(col("da"), col("db")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val clusters = Pipeline.connectedComponents(
+        q("q_dedup_minhash").select(col("da"), col("db")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // ground truth: classic union-find over the collected pairs
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val truth = parent.keys.map(x => x -> find(x)).toMap
+    assert(clusters.keySet == truth.keySet)
+    clusters.foreach { case (node, cid) =>
+      assert(cid == truth(node), s"node $node: spark=$cid truth=${truth(node)}")
+    }
+    if (pairs.nonEmpty) assert(clusters.values.exists(c => clusters.count(_._2 == c) > 1))
+  }
+
   test("multimodal decode is deterministic and partition-invariant") {
     import spark.implicits._
     val payloads = Tables.t(spark, sf, "documents")

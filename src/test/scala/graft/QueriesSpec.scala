@@ -8,7 +8,7 @@ class QueriesSpec extends SparkTestBase {
 
   // queries that legitimately return 0 rows at sf0.001 (tiny data)
   private val mayBeEmpty = Set("q_join_anti", "q_except", "q_dedup_simhash",
-    "q_dedup_minhash")
+    "q_dedup_minhash", "q_dedup_cluster")
 
   test("entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
@@ -22,7 +22,8 @@ class QueriesSpec extends SparkTestBase {
   test("non-oracled queries are the expected sketch/stub set") {
     val unoracled = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(unoracled == Set("q_agg_approx_distinct", "q_dedup_minhash",
-      "q_dedup_simhash", "q_similarity_ann", "q_multimodal_decode"))
+      "q_dedup_simhash", "q_similarity_ann", "q_multimodal_decode",
+      "q_dedup_cluster"))
   }
 
   SparkEntry.queries.keys.toSeq.sorted.foreach { name =>

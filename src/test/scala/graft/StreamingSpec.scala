@@ -74,6 +74,27 @@ class StreamingSpec extends SparkTestBase {
     assert(out("2024-01-01 10:00:00.0") == ((2L, 2.0)), out.toString)
   }
 
+  test("stream-stream interval join == batch join (clicks within 1h before purchase)") {
+    val stream = StreamRunner.runAvailableNowAppend(spark,
+      StreamRunner.purchaseClickJoin(StreamRunner.eventsStream(spark, sf)),
+      "t_ssjoin")
+    val ev = graft.engine.Tables.t(spark, sf, "events")
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+    val batch = p.join(c,
+        col("user_id") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+          col("c_ts") <= col("p_ts"))
+      .select(col("p_id"), col("user_id"),
+        col("p_ts").cast("timestamp").as("p_ts"),
+        col("c_id"), col("c_ts").cast("timestamp").as("c_ts"))
+    assert(stream.count() == batch.count())
+    assert(stream.exceptAll(batch).isEmpty && batch.exceptAll(stream).isEmpty)
+  }
+
   test("flatMapGroupsWithState carries per-user state across micro-batches") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("fmgs").toString
