@@ -241,6 +241,17 @@ object Relational extends QueryPack {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // Unpivot/melt: wide metrics → long (metric, value) rows.
+    "q_unpivot" -> ((s, d) => {
+      Tables.t(s, d, "part")
+        .select(col("p_partkey"),
+          col("p_size").cast("double").as("size"),
+          col("p_retailprice").as("price"))
+        .unpivot(Array(col("p_partkey")),
+          Array(col("size"), col("price")), "metric", "value")
+        .orderBy(col("p_partkey"), col("metric"))
+    }),
+
     // Argmax/argmin aggregates — the reference's argmax-by-mtime
     // (crocus base_scraper.py:96) as max_by over a unique measure
     // (composite measure keeps ties impossible ⇒ deterministic).
@@ -463,6 +474,13 @@ object Relational extends QueryPack {
         |  MIN(o_totalprice) AS p_min,
         |  MAX(o_totalprice) AS p_max
         |FROM w GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q_unpivot" ->
+      """SELECT p_partkey, metric, value FROM (
+        |  SELECT p_partkey, CAST(p_size AS DOUBLE) AS size, p_retailprice AS price
+        |  FROM part)
+        |UNPIVOT (value FOR metric IN (size, price))
+        |ORDER BY p_partkey, metric""".stripMargin,
 
     "q_agg_argmax" ->
       """WITH o AS (

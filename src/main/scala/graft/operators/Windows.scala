@@ -39,6 +39,19 @@ object Windows extends QueryPack {
         .orderBy(col("c_nationkey"), col("rn"))
     }),
 
+    // Frame navigation: first/last/nth value over full-partition frames.
+    "q_window_firstlast" -> ((s, d) => {
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.t(s, d, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+        .withColumn("seg_min_cust", first(col("c_custkey")).over(w))
+        .withColumn("seg_max_cust", last(col("c_custkey")).over(w))
+        .withColumn("seg_third_cust", nth_value(col("c_custkey"), 3).over(w))
+        .orderBy(col("c_mktsegment"), col("c_acctbal"), col("c_custkey"))
+    }),
+
     // Distribution functions: ntile / percent_rank / cume_dist.
     "q_window_dist" -> ((s, d) => {
       val w = Window.partitionBy(col("c_mktsegment"))
@@ -164,6 +177,16 @@ object Windows extends QueryPack {
         |  CAST(DENSE_RANK() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS INT) AS drnk
         |FROM customer QUALIFY rn <= 5
         |ORDER BY c_nationkey, rn""".stripMargin,
+
+    "q_window_firstlast" ->
+      """SELECT c_custkey, c_mktsegment, c_acctbal,
+        |  FIRST_VALUE(c_custkey) OVER w AS seg_min_cust,
+        |  LAST_VALUE(c_custkey) OVER w AS seg_max_cust,
+        |  NTH_VALUE(c_custkey, 3) OVER w AS seg_third_cust
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY c_mktsegment, c_acctbal, c_custkey""".stripMargin,
 
     "q_window_dist" ->
       """SELECT c_custkey, c_mktsegment, c_acctbal,
