@@ -284,13 +284,15 @@ object Relational extends QueryPack {
           sum(p).cast("double").as("sum_p"),
           sum(p * p).cast("double").as("sum_pp"),
           sum(q * p).cast("double").as("sum_qp"))
+        // round derived stats well above double ulp: the multiply-
+        // subtract chains can differ by 1 ulp across engines (FMA)
         .withColumn("var_q",
-          (col("sum_qq") - col("sum_q") * col("sum_q") / col("n")) / (col("n") - 1))
-        .withColumn("stddev_q", sqrt(col("var_q")))
+          round((col("sum_qq") - col("sum_q") * col("sum_q") / col("n")) / (col("n") - 1), 6))
+        .withColumn("stddev_q", round(sqrt(col("var_q")), 6))
         .withColumn("corr_qp",
-          (col("n") * col("sum_qp") - col("sum_q") * col("sum_p")) /
+          round((col("n") * col("sum_qp") - col("sum_q") * col("sum_p")) /
             (sqrt(col("n") * col("sum_qq") - col("sum_q") * col("sum_q")) *
-              sqrt(col("n") * col("sum_pp") - col("sum_p") * col("sum_p"))))
+              sqrt(col("n") * col("sum_pp") - col("sum_p") * col("sum_p"))), 10))
         .select(col("l_returnflag"), col("n"), col("var_q"),
           col("stddev_q"), col("corr_qp"))
         .orderBy(col("l_returnflag"))
@@ -503,10 +505,10 @@ object Relational extends QueryPack {
         |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_qp
         |  FROM lineitem GROUP BY l_returnflag)
         |SELECT l_returnflag, n,
-        |  (sum_qq - sum_q * sum_q / n) / (n - 1) AS var_q,
-        |  sqrt((sum_qq - sum_q * sum_q / n) / (n - 1)) AS stddev_q,
-        |  (n * sum_qp - sum_q * sum_p) /
-        |    (sqrt(n * sum_qq - sum_q * sum_q) * sqrt(n * sum_pp - sum_p * sum_p)) AS corr_qp
+        |  round((sum_qq - sum_q * sum_q / n) / (n - 1), 6) AS var_q,
+        |  round(sqrt(round((sum_qq - sum_q * sum_q / n) / (n - 1), 6)), 6) AS stddev_q,
+        |  round((n * sum_qp - sum_q * sum_p) /
+        |    (sqrt(n * sum_qq - sum_q * sum_q) * sqrt(n * sum_pp - sum_p * sum_p)), 10) AS corr_qp
         |FROM s ORDER BY l_returnflag""".stripMargin,
 
     "q_null_semantics" ->
