@@ -125,6 +125,8 @@ object GraftFunctions {
       es => ParseLocaleMoney(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("parse_date_it",
       es => ParseDateIt(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("top_k_by",
+      es => TopKByLong.fromExprs(es).toAggregateExpression(), "scala_udf")
   }
 
   def dot_d(a: Column, b: Column): Column = call_function("dot_d", a, b)

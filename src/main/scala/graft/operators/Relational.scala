@@ -269,6 +269,23 @@ object Relational extends QueryPack {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // Custom TypedImperativeAggregate: top-k keys per group by a unique
+    // measure (bounded buffer; see functions/TopKBy.scala).
+    "q_agg_topk" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val measure = round(col("o_totalprice") * 100, 0).cast("long") * 10000000000L +
+        col("o_orderkey")
+      Tables.t(s, d, "orders")
+        .withColumn("m", measure)
+        .groupBy(col("o_orderstatus"))
+        .agg(call_function("top_k_by", col("o_orderkey"), col("m"), lit(3))
+          .as("top3_arr"))
+        .select(col("o_orderstatus"),
+          expr("array_join(transform(top3_arr, x -> CAST(x AS STRING)), ',')")
+            .as("top3"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // Statistical aggregates from exact-decimal components: variance /
     // stddev / correlation computed by explicit formulas over exact
     // sums, so results are order-independent and bit-match the oracle
@@ -493,6 +510,16 @@ object Relational extends QueryPack {
         |  arg_max(o_orderkey, m) AS top_order,
         |  arg_min(o_orderkey, m) AS bottom_order,
         |  MAX(o_totalprice) AS top_price
+        |FROM o GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q_agg_topk" ->
+      """WITH o AS (
+        |  SELECT o_orderstatus, o_orderkey,
+        |    CAST(round(o_totalprice * 100, 0) AS BIGINT) * 10000000000 + o_orderkey AS m
+        |  FROM orders)
+        |SELECT o_orderstatus,
+        |  array_to_string(list_transform((list(o_orderkey ORDER BY m DESC))[1:3],
+        |    x -> CAST(x AS VARCHAR)), ',') AS top3
         |FROM o GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "q_agg_stats" ->

@@ -71,6 +71,18 @@ class PlanSpec extends SparkTestBase {
     assert(native.exceptAll(rewrite).isEmpty && rewrite.exceptAll(native).isEmpty)
   }
 
+  test("LATERAL top-n decorrelates to WindowGroupLimit (no per-row subquery)") {
+    val p = plan("q_lateral_topn")
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("correlated scalar subquery decorrelates to a join") {
+    val p = plan("q_scalar_subquery")
+    assert(p.contains("Join") || p.contains("HashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("join strategy hints are honored (merge / shuffle_hash / broadcast)") {
     import graft.engine.Tables
     import org.apache.spark.sql.functions.col

@@ -69,6 +69,37 @@ class SourcesSpec extends SparkTestBase {
     assert(latest(0).getAs[String]("path").endsWith("IE1.xlsx"))
   }
 
+  test("acquisition->analysis end-to-end: fetch holdings, ingest, aggregate") {
+    // the reference's §3 flow: catalog of holdings urls → rate-limited
+    // fetch → csv ingest keyed by filename → per-fund analytics
+    val src = tmpDir("holdsrc")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$src/a.csv"),
+      "ticker,weight\nAAPL,7.1\nMSFT,6.5\n")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$src/b.csv"),
+      "ticker,weight\nNVDA,5.0\nAAPL,4.0\n")
+    val landed = tmpDir("holdland")
+    val catalog = Seq(
+      (s"file://$src/a.csv", "IE00AAA"), (s"file://$src/b.csv", "IE00BBB"))
+      .toDF("url", "isin")
+      .withColumn("filename",
+        HttpSource.holdingsFilename(col("url"), col("isin")))
+    assert(HttpSource.fetchAll(catalog, landed, parallelism = 2)
+      .filter(col("ok")).count() == 2)
+    val holdings = Holdings.readHoldings(spark, landed)
+    val topw = holdings.groupBy("isin")
+      .agg(sum(col("weight")).as("total_w"), count(lit(1)).as("n_pos"))
+      .orderBy("isin").collect()
+    assert(topw.map(r => (r.getString(0), r.getLong(2))).toSeq ==
+      Seq(("IE00AAA", 2L), ("IE00BBB", 2L)))
+    // cross-fund overlap: tickers held by both funds
+    val overlap = holdings.groupBy("ticker")
+      .agg(countDistinct("isin").as("n_funds"))
+      .filter(col("n_funds") > 1).collect()
+    assert(overlap.map(_.getString(0)).toSeq == Seq("AAPL"))
+  }
+
   test("SQL surface: openCatalog + spark.sql runs Q1 and custom functions") {
     GraftSession.openCatalog(spark, sf)
     val q1 = spark.sql(

@@ -48,6 +48,14 @@ def main():
                     bad.append(f"{c}: type spark={gv.type} oracle={ev.type}"); continue
             else:
                 note = ""
+            if pa.types.is_list(ev.type) or pa.types.is_large_list(ev.type):
+                el, gl = ev.to_pylist(), gv.to_pylist()
+                diffl = [a != b for a, b in zip(el, gl)]
+                ndiff = sum(diffl)
+                if ndiff:
+                    i = diffl.index(True)
+                    bad.append(f"{c}[row{i}]: spark={gl[i]} oracle={el[i]} ({ndiff} diffs)")
+                continue
             neq = pc.fill_null(pc.not_equal(ev, gv), False)
             nullmix = pc.xor(pc.is_null(ev), pc.is_null(gv))
             diff = pc.or_(neq, nullmix)
