@@ -261,11 +261,13 @@ object Pipeline extends QueryPack {
     }),
 
     // LSH-bucketed ANN: 4 hash tables × 8 deterministic random
-    // hyperplanes → sign buckets; candidates = union over tables of the
-    // query's bucket, then exact cosine re-rank. Rows-only check
-    // (recall vs q_similarity_topk asserted in the test suite). At
-    // scale: the bucket join shuffles by (table, bucket) — candidate
-    // volume ~ n·L/2^b, never all-pairs.
+    // hyperplanes → sign buckets; the query side multi-probes its
+    // bucket plus all hamming-distance-1 buckets (9 probes/table) —
+    // the standard recall fix when neighbors are not near-duplicates.
+    // Candidates = union over tables/probes, then exact cosine re-rank.
+    // Rows-only check (consistency vs brute force asserted in tests).
+    // At scale: the bucket join shuffles by (table, bucket) — candidate
+    // volume ~ n·L·(b+1)/2^b, never all-pairs.
     "q_similarity_ann" -> ((s, d) => {
       GraftFunctions.register(s)
       val rnd = new scala.util.Random(42)
@@ -283,9 +285,13 @@ object Pipeline extends QueryPack {
         .select(col("vec_id"), col("embedding"),
           posexplode(bucketCols(col("embedding"))).as(Seq("tbl", "bkt")),
           sqrt(GraftFunctions.dot_d(col("embedding"), col("embedding"))).as("nrm"))
+      // query probes: exact bucket + each single-bit flip
       val q = e.filter(col("vec_id") === 0)
         .select(col("embedding").as("q_emb"), col("tbl").as("q_tbl"),
-          col("bkt").as("q_bkt"), col("nrm").as("q_nrm"))
+          explode(array((Seq(col("bkt")) ++
+            (0 until nBits).map(b => col("bkt").bitwiseXOR(shiftleft(lit(1), b)))): _*))
+            .as("q_bkt"),
+          col("nrm").as("q_nrm"))
       val cos = GraftFunctions.dot_d(col("embedding"), col("q_emb")) /
         (col("nrm") * col("q_nrm"))
       e.join(broadcast(q),
