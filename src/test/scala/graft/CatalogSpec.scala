@@ -92,6 +92,26 @@ class CatalogSpec extends SparkTestBase {
     assert(r.getAs[Double]("ter") == 0.07 / 100)
   }
 
+  test("snapshot time-series: day-over-day price change per ISIN") {
+    // the reference's end goal: re-scrape daily, monitor changes (§1.1)
+    val tmp = java.nio.file.Files.createTempDirectory("ts").toString
+    val day1 = Catalog.normalizeIShares(isharesBronze)
+    val day2 = Catalog.normalizeIShares(
+      isharesBronze.withColumn("price", lit("USD 640,10"))
+        .withColumn("date", lit("1 mar 2025")))
+    Catalog.writeSnapshot(day1, tmp, "2025-02-28")
+    Catalog.writeSnapshot(day2, tmp, "2025-03-01")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("isin")).orderBy(col("snapshot_date"))
+    val changes = Catalog.readSnapshots(spark, tmp)
+      .withColumn("prev_price", lag(col("price"), 1).over(w))
+      .withColumn("chg", col("price") - col("prev_price"))
+      .filter(col("prev_price").isNotNull)
+      .collect()
+    assert(changes.length == 1)
+    assert(math.abs(changes(0).getAs[Double]("chg") - 7.68) < 1e-9)
+  }
+
   test("snapshot-partitioned store prunes by date+provider") {
     val tmp = java.nio.file.Files.createTempDirectory("snap").toString
     Catalog.writeSnapshot(Catalog.normalizeIShares(isharesBronze), tmp, "2025-02-28")
