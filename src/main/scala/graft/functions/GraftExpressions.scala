@@ -127,6 +127,8 @@ object GraftFunctions {
       es => ParseDateIt(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("top_k_by",
       es => TopKByLong.fromExprs(es).toAggregateExpression(), "scala_udf")
+    reg.createOrReplaceTempFunction("minhash_sig",
+      es => MinHashSig.fromExprs(es).toAggregateExpression(), "scala_udf")
   }
 
   def dot_d(a: Column, b: Column): Column = call_function("dot_d", a, b)
