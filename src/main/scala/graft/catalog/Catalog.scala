@@ -91,6 +91,34 @@ object Catalog {
       .orderBy(col("isin"))
   }
 
+  /** Fuzzy cross-provider matching: candidate product pairs whose
+    * normalized name token sets overlap (Jaccard ≥ minJaccard) even
+    * when ISINs differ — "same underlying index, different provider",
+    * the comparison the reference can't do with exact keys alone.
+    * Provider prefixes and generic fund words are stopworded so the
+    * index-name tokens (e.g. "s&p", "500") drive the match. Token join
+    * + per-pair aggregation — no all-pairs product. */
+  def fuzzyMatch(a: DataFrame, b: DataFrame,
+      minJaccard: Double = 0.5): DataFrame = {
+    val stop = Seq("ishares", "vanguard", "ucits", "etf", "fund", "core",
+      "(usd)", "(eur)", "accumulating", "distributing", "acc", "dist")
+    def toks(df: DataFrame, side: String): DataFrame =
+      df.select(col("isin").as(s"${side}_isin"),
+          explode(array_distinct(split(lower(col("name")), " "))).as("token"))
+        .filter(col("token") =!= "" && !col("token").isin(stop: _*))
+    val ta = toks(a, "a"); val tb = toks(b, "b")
+    val na = ta.groupBy(col("a_isin")).agg(count(lit(1)).as("na"))
+    val nb = tb.groupBy(col("b_isin")).agg(count(lit(1)).as("nb"))
+    val inter = ta.join(tb, "token")
+      .groupBy(col("a_isin"), col("b_isin")).agg(count(lit(1)).as("ni"))
+    inter.join(na, "a_isin").join(nb, "b_isin")
+      .withColumn("jaccard",
+        col("ni").cast("double") / (col("na") + col("nb") - col("ni")))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("a_isin"), col("b_isin"), col("jaccard"))
+      .orderBy(desc("jaccard"), col("a_isin"), col("b_isin"))
+  }
+
   /** Keyed-object products.json (crocus base_scraper.py:172-178) →
     * one row per ISIN. The file is a single JSON object whose keys are
     * ISINs; inference gives one struct column per key. */

@@ -92,6 +92,16 @@ class CatalogSpec extends SparkTestBase {
     assert(r.getAs[Double]("ter") == 0.07 / 100)
   }
 
+  test("fuzzy match pairs the same index across providers despite different ISINs") {
+    val a = Catalog.normalizeIShares(isharesBronze)   // iShares Core S&P 500
+    val b = Catalog.normalizeVanguard(vanguardBronze) // Vanguard FTSE All-World + S&P 500
+    val m = Catalog.fuzzyMatch(a, b, minJaccard = 0.5).collect()
+    assert(m.length == 1, m.mkString(", "))
+    assert(m(0).getAs[String]("a_isin") == "IE00B5BMR087")
+    assert(m(0).getAs[String]("b_isin") == "IE00BFMXXD54") // the S&P 500 one
+    assert(m(0).getAs[Double]("jaccard") >= 0.5)
+  }
+
   test("snapshot time-series: day-over-day price change per ISIN") {
     // the reference's end goal: re-scrape daily, monitor changes (§1.1)
     val tmp = java.nio.file.Files.createTempDirectory("ts").toString
