@@ -78,6 +78,15 @@ object StreamRunner {
       .select(col("p_id"), col("user_id"), col("p_ts"), col("c_id"), col("c_ts"))
   }
 
+  /** Streaming exact dedup: drop events whose key was already seen
+    * within the watermark horizon — the streaming side of the corpus-
+    * dedup story. State holds only keys newer than the watermark, so
+    * memory is bounded by (arrival rate × delay), not history. */
+  def dedupWithinWatermark(events: DataFrame, keyCols: Seq[String]): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Custom keyed state (SURVEY.md §1.4 "daily re-scrape stream"):
     * per-user running stats maintained across micro-batches with
     * flatMapGroupsWithState — the engine's arbitrary-state surface for

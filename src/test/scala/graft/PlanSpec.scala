@@ -83,6 +83,26 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("runtime bloom-filter pruning injects on selective non-broadcast joins") {
+    import graft.engine.Tables
+    import org.apache.spark.sql.functions.col
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val li = Tables.t(spark, sf, "lineitem")
+      val p = Tables.t(spark, sf, "part").filter(col("p_size") <= 3)
+      val plan = li.join(p, col("l_partkey") === col("p_partkey"))
+        .queryExecution.executedPlan.toString
+      assert(plan.toLowerCase.contains("bloom_filter_agg"), plan)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("join strategy hints are honored (merge / shuffle_hash / broadcast)") {
     import graft.engine.Tables
     import org.apache.spark.sql.functions.col

@@ -95,6 +95,37 @@ class StreamingSpec extends SparkTestBase {
     assert(stream.exceptAll(batch).isEmpty && batch.exceptAll(stream).isEmpty)
   }
 
+  test("streaming dedup drops within-watermark duplicates across batches") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("sdedup").toString
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    def land(name: String, rows: Seq[(Long, java.sql.Timestamp)]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("sdb").toString
+      rows.toDF("doc_key", "ts").coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        new java.io.File(s"$dir/$name").toPath)
+    }
+    // batch 1: key 1 twice (in-batch dup), key 2 once
+    land("b1.parquet", Seq(
+      (1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-01 10:10:00")),
+      (2L, ts("2024-01-01 10:20:00"))))
+    val stream = StreamRunner.dedupWithinWatermark(
+      spark.readStream.schema("doc_key long, ts timestamp").parquet(dir).toDF(),
+      Seq("doc_key"))
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("t_sdedup").start()
+    q.processAllAvailable()
+    // batch 2: key 1 re-sent within the watermark horizon + a fresh key
+    land("b2.parquet", Seq(
+      (1L, ts("2024-01-01 10:30:00")), (3L, ts("2024-01-01 10:40:00"))))
+    q.processAllAvailable()
+    q.stop()
+    val keys = spark.table("t_sdedup").collect().map(_.getLong(0)).sorted
+    assert(keys.toSeq == Seq(1L, 2L, 3L), keys.mkString(","))
+  }
+
   test("flatMapGroupsWithState carries per-user state across micro-batches") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("fmgs").toString
