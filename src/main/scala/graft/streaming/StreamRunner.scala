@@ -126,6 +126,38 @@ object StreamRunner {
     spark.table(name)
   }
 
+  /** Spark 4 transformWithState form of the per-user accumulator — the
+    * modern arbitrary-state API (named ValueState handles, TTL support,
+    * RocksDB-backed). Semantics identical to runningUserStats above;
+    * equivalence asserted in StreamingSpec. Requires the RocksDB state
+    * store provider. */
+  class RunningStatsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, UserEvent, UserUpdate] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+    import org.apache.spark.sql.Encoders
+    @transient private var state: ValueState[UserState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[UserState]("running",
+        Encoders.product[UserState], TTLConfig.NONE)
+    override def handleInputRows(user: Long, rows: Iterator[UserEvent],
+        timers: TimerValues): Iterator[UserUpdate] = {
+      val batch = rows.toSeq
+      val prev = if (state.exists()) state.get() else UserState(0L, 0.0)
+      val next = UserState(prev.n + batch.size, prev.sum + batch.map(_.value).sum)
+      state.update(next)
+      Iterator.single(UserUpdate(user, next.n, next.sum, batch.size.toLong))
+    }
+  }
+
+  def runningUserStatsTws(events: DataFrame): org.apache.spark.sql.Dataset[UserUpdate] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    events.select(col("user_id"), col("value")).as[UserEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new RunningStatsProcessor,
+        TimeMode.None(), OutputMode.Append())
+  }
+
   /** Run a streaming frame to completion (AvailableNow) into an
     * in-memory table and return its final contents. */
   def runAvailableNow(spark: SparkSession, df: DataFrame, name: String): DataFrame = {

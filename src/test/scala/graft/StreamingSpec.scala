@@ -153,6 +153,37 @@ class StreamingSpec extends SparkTestBase {
       (1L, 3L, 115.0, 1L)), rows.mkString(", "))
   }
 
+  test("transformWithState matches flatMapGroupsWithState across batches") {
+    import spark.implicits._
+    val saved = spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val dir = java.nio.file.Files.createTempDirectory("tws").toString
+      def land(name: String, rows: Seq[(Long, Double)]): Unit = {
+        val tmp = java.nio.file.Files.createTempDirectory("twsb").toString
+        rows.toDF("user_id", "value").coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        java.nio.file.Files.move(part.toPath,
+          new java.io.File(s"$dir/$name").toPath)
+      }
+      land("b1.parquet", Seq((1L, 10.0), (1L, 5.0), (2L, 1.0)))
+      val stream = StreamRunner.runningUserStatsTws(
+        spark.readStream.schema("user_id long, value double").parquet(dir).toDF())
+      val q = stream.toDF().writeStream.outputMode("append")
+        .format("memory").queryName("t_tws").start()
+      q.processAllAvailable()
+      land("b2.parquet", Seq((1L, 100.0)))
+      q.processAllAvailable()
+      q.stop()
+      val rows = spark.table("t_tws").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      assert(rows.toSet == Set((1L, 2L, 15.0, 2L), (2L, 1L, 1.0, 1L),
+        (1L, 3L, 115.0, 1L)), rows.mkString(", "))
+    } finally spark.conf.set("spark.sql.streaming.stateStore.providerClass", saved)
+  }
+
   test("foreachBatch parquet sink lands the stream incrementally") {
     val tmp = java.nio.file.Files.createTempDirectory("sink").toString
     StreamRunner.runForeachBatchParquet(spark,
