@@ -100,6 +100,34 @@ class SourcesSpec extends SparkTestBase {
     assert(overlap.map(_.getString(0)).toSeq == Seq("AAPL"))
   }
 
+  test("DSv2 products source reads keyed-object catalog json") {
+    import graft.catalog.Catalog
+    val silver = Catalog.normalizeIShares(Seq(
+      ("IE00B5BMR087", "iShares Core S&P 500 UCITS ETF", null: String,
+        "USD", "0,07", "USD 632,42", "28 feb 2025",
+        "https://e.com/fs", "https://e.com/kid", "https://e.com/p",
+        "https://e.com/h?fileType=csv"))
+      .toDF("isin", "name", "fund_type", "currency", "ter", "price", "date",
+        "factsheet", "kid", "product_page", "holdings_file"))
+      .select(col("isin"), col("name"), col("price_ccy"),
+        col("ter").cast("string").as("ter"))
+    val dir = tmpDir("dsv2")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/products.json"),
+      Catalog.productsJsonString(silver))
+    val df = spark.read.format("graft.sources.ProductsSource")
+      .load(s"$dir/products.json")
+    assert(df.columns.sorted.toSeq == Seq("isin", "name", "price_ccy", "ter"))
+    val r = df.collect()(0)
+    assert(r.getAs[String]("isin") == "IE00B5BMR087")
+    assert(r.getAs[String]("price_ccy") == "USD")
+    // integrates like any table: joinable + SQL-able
+    df.createOrReplaceTempView("products_dsv2")
+    assert(spark.sql(
+      "SELECT count(*) FROM products_dsv2 WHERE price_ccy = 'USD'")
+      .collect()(0).getLong(0) == 1)
+  }
+
   test("SQL surface: openCatalog + spark.sql runs Q1 and custom functions") {
     GraftSession.openCatalog(spark, sf)
     val q1 = spark.sql(
