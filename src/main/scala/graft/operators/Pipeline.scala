@@ -23,6 +23,13 @@ import graft.functions.GraftFunctions
   *  - similarity: cosine via the codegen'd dot_d expression; the
   *    brute-force top-k broadcasts the single query vector (no
   *    shuffle); the ANN variant prunes by random-hyperplane bucket.
+  *
+  * MinHash is a custom expression composition rather than MLlib's
+  * MinHashLSH (SURVEY.md §4.3 considered both): the SQL-native form
+  * needs no fitted model state, keeps seeds explicit in the plan
+  * (hash-derived, reproducible from code alone), and stays inside
+  * whole-stage codegen — an ML Pipeline stage would add a fit step and
+  * model persistence for what is a stateless hash.
   */
 object Pipeline extends QueryPack {
 

@@ -122,6 +122,30 @@ class CatalogSpec extends SparkTestBase {
     assert(math.abs(changes(0).getAs[Double]("chg") - 7.68) < 1e-9)
   }
 
+  test("daily re-scrape stream: snapshot tree ingested incrementally (§1.4)") {
+    import org.apache.spark.sql.streaming.Trigger
+    val tmp = java.nio.file.Files.createTempDirectory("snapstream").toString
+    Catalog.writeSnapshot(Catalog.normalizeIShares(isharesBronze), tmp, "2025-02-28")
+    Catalog.writeSnapshot(Catalog.normalizeVanguard(vanguardBronze), tmp, "2025-03-01")
+    val schema = Catalog.readSnapshots(spark, tmp).schema
+    val counts = spark.readStream
+      .schema(schema)
+      .option("basePath", tmp)
+      .parquet(s"$tmp/*/*")
+      .groupBy(col("snapshot_date").cast("string").as("snapshot_date"),
+        col("provider"))
+      .agg(count(lit(1)).as("n_products"))
+    val q = counts.writeStream.outputMode("complete")
+      .format("memory").queryName("t_snap")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("t_snap").collect()
+      .map(r => (r.getAs[String]("snapshot_date"), r.getAs[String]("provider")) ->
+        r.getAs[Long]("n_products")).toMap
+    assert(got == Map(("2025-02-28", "ishares") -> 1L,
+      ("2025-03-01", "vanguard") -> 2L), got.toString)
+  }
+
   test("snapshot-partitioned store prunes by date+provider") {
     val tmp = java.nio.file.Files.createTempDirectory("snap").toString
     Catalog.writeSnapshot(Catalog.normalizeIShares(isharesBronze), tmp, "2025-02-28")
