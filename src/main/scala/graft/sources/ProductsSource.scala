@@ -62,27 +62,67 @@ class ProductsTable(schema0: StructType, path: String)
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder {
-      override def build(): Scan = new ProductsScan(schema0, path)
-    }
+    new ProductsScanBuilder(schema0, path)
 }
 
-class ProductsScan(schema0: StructType, path: String) extends Scan with Batch {
+/** Column pruning + ISIN-equality filter pushdown: the record parse
+  * only materializes requested fields, and `isin = 'X'` predicates are
+  * applied at the source (the DSv2 analog of the reference's per-key
+  * point lookup, crocus ishares.py:97-137). */
+class ProductsScanBuilder(full: StructType, path: String)
+    extends ScanBuilder
+    with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
+  import org.apache.spark.sql.sources.{EqualTo, Filter, In}
+
+  private var required: StructType = full
+  private var isinFilter: Option[Set[String]] = None
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = StructType(full.filter(f =>
+      requiredSchema.fieldNames.contains(f.name)))
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (accepted, rest) = filters.partition {
+      case EqualTo("isin", _: String) => true
+      case In("isin", vs) => vs.forall(_.isInstanceOf[String])
+      case _ => false
+    }
+    pushed = accepted
+    isinFilter = if (accepted.isEmpty) None else Some(accepted.toSeq.flatMap {
+      case EqualTo(_, v: String) => Seq(v)
+      case In(_, vs) => vs.toSeq.map(_.asInstanceOf[String])
+      case _ => Seq.empty[String]
+    }.toSet)
+    rest // non-isin predicates stay in the Spark plan
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = new ProductsScan(required, path, isinFilter)
+}
+
+class ProductsScan(schema0: StructType, path: String,
+    isinFilter: Option[Set[String]]) extends Scan with Batch {
+  override def description(): String =
+    s"ProductsScan($path, pushedIsin=${isinFilter.getOrElse("*")})"
   override def readSchema(): StructType = schema0
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
     Array(ProductsPartition(path))
   override def createReaderFactory(): PartitionReaderFactory =
-    new ProductsReaderFactory(schema0)
+    new ProductsReaderFactory(schema0, isinFilter)
 }
 
 case class ProductsPartition(path: String) extends InputPartition
 
-class ProductsReaderFactory(schema0: StructType)
-    extends PartitionReaderFactory {
+class ProductsReaderFactory(schema0: StructType,
+    isinFilter: Option[Set[String]]) extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val path = p.asInstanceOf[ProductsPartition].path
     val it = ProductsSource.entries(path).iterator
+      .filter { case (isin, _) => isinFilter.forall(_.contains(isin)) }
     val cols = schema0.fieldNames
     new PartitionReader[InternalRow] {
       private var current: InternalRow = _

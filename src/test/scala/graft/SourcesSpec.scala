@@ -126,6 +126,16 @@ class SourcesSpec extends SparkTestBase {
     assert(spark.sql(
       "SELECT count(*) FROM products_dsv2 WHERE price_ccy = 'USD'")
       .collect()(0).getLong(0) == 1)
+    // column pruning + isin filter pushdown reach the DSv2 scan
+    val pruned = df.filter(col("isin") === "IE00B5BMR087").select("name")
+    assert(pruned.collect()(0).getString(0) == "iShares Core S&P 500 UCITS ETF")
+    val plan = pruned.queryExecution.executedPlan.toString
+    // filter fully consumed by the source: no Filter node survives, and
+    // column pruning leaves only `name` in the scan output
+    assert(!plan.contains("Filter "), plan)
+    assert(plan.contains("[name#") && !plan.contains("price_ccy"), plan)
+    // unmatched pushed filter → empty at the source
+    assert(df.filter(col("isin") === "ZZ_NOPE").count() == 0)
   }
 
   test("SQL surface: openCatalog + spark.sql runs Q1 and custom functions") {
