@@ -91,6 +91,26 @@ object Catalog {
       .orderBy(col("isin"))
   }
 
+  /** Emit side of the locale layer (inverse of parse_locale_money /
+    * parse_date_it): render typed values back into the providers' raw
+    * encodings. Pure built-in composition — format_number gives the
+    * US grouping, translate swaps the separators to the comma-decimal
+    * convention ('1.234,56'). Round-trips asserted in CatalogSpec. */
+  def formatLocaleMoney(amount: Column, ccy: Column): Column =
+    concat(translate(format_number(amount, 2), ",.", ".,"), lit(" "), ccy)
+
+  private val itMonths = Seq("gen", "feb", "mar", "apr", "mag", "giu",
+    "lug", "ago", "set", "ott", "nov", "dic")
+
+  /** '28 feb 2025' — explicit Italian month map, never JVM locale data. */
+  def formatDateIt(d: Column): Column = {
+    val monthName = itMonths.zipWithIndex.foldLeft(lit(""): Column) {
+      case (acc, (nm, i)) => when(month(d) === (i + 1), lit(nm)).otherwise(acc)
+    }
+    concat(dayofmonth(d).cast("string"), lit(" "), monthName, lit(" "),
+      year(d).cast("string"))
+  }
+
   /** Fuzzy cross-provider matching: candidate product pairs whose
     * normalized name token sets overlap (Jaccard ≥ minJaccard) even
     * when ISINs differ — "same underlying index, different provider",

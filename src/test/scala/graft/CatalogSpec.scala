@@ -92,6 +92,29 @@ class CatalogSpec extends SparkTestBase {
     assert(r.getAs[Double]("ter") == 0.07 / 100)
   }
 
+  test("locale emit round-trips through the parsers (money + Italian dates)") {
+    import graft.functions.GraftFunctions
+    GraftFunctions.register(spark)
+    val vals = spark.range(1, 500)
+      .select((col("id") * 37 + col("id") % 97 / 100.0).as("amount"),
+        date_add(lit(java.sql.Date.valueOf("1995-01-01")),
+          (col("id") * 13 % 4000).cast("int")).as("d"))
+      .withColumn("amount", round(col("amount"), 2))
+    val emitted = vals
+      .withColumn("raw_money",
+        Catalog.formatLocaleMoney(col("amount"), lit("EUR")))
+      .withColumn("raw_date", Catalog.formatDateIt(col("d")))
+    val back = emitted
+      .withColumn("parsed_money",
+        GraftFunctions.parse_locale_money(col("raw_money")).getField("amount"))
+      .withColumn("parsed_ccy",
+        GraftFunctions.parse_locale_money(col("raw_money")).getField("ccy"))
+      .withColumn("parsed_date", GraftFunctions.parse_date_it(col("raw_date")))
+    val bad = back.filter(col("parsed_money") =!= col("amount") ||
+      col("parsed_ccy") =!= "EUR" || col("parsed_date") =!= col("d"))
+    assert(bad.count() == 0, bad.limit(3).collect().mkString(", "))
+  }
+
   test("fuzzy match pairs the same index across providers despite different ISINs") {
     val a = Catalog.normalizeIShares(isharesBronze)   // iShares Core S&P 500
     val b = Catalog.normalizeVanguard(vanguardBronze) // Vanguard FTSE All-World + S&P 500
