@@ -108,6 +108,33 @@ object Windows extends QueryPack {
         .orderBy(col("o_custkey"), col("o_orderkey"))
     }),
 
+    // Time-series resampling: 30-minute grid per user with last-
+    // observation-carried-forward fill — the canonical financial
+    // time-series normalization (sparse ticks → regular grid).
+    "q_resample_ffill" -> ((s, d) => {
+      def tts(x: String) = lit(java.sql.Timestamp.valueOf(x))
+      val ev = Tables.t(s, d, "events")
+        .filter(col("user_id") < 5 && col("ts") < tts("2024-01-03 00:00:00"))
+      val b = ev
+        .withColumn("slot", timestamp_seconds(
+          (unix_seconds(col("ts").cast("timestamp")).divide(1800)).cast("long") * 1800)
+          .cast("timestamp_ntz"))
+        .groupBy(col("user_id"), col("slot"))
+        .agg(max_by(col("value"),
+          unix_micros(col("ts").cast("timestamp"))).as("v"))
+      val grid = ev.select(col("user_id")).distinct()
+        .crossJoin(s.range(1).select(explode(sequence(
+          tts("2024-01-01 00:00:00").cast("timestamp"),
+          tts("2024-01-02 23:30:00").cast("timestamp"),
+          expr("INTERVAL 30 MINUTES"))).as("slot0"))
+          .select(col("slot0").cast("timestamp_ntz").as("slot")))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("slot"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(b, Seq("user_id", "slot"), "left")
+        .withColumn("v_ffill", last(col("v"), ignoreNulls = true).over(w))
+        .orderBy(col("user_id"), col("slot"))
+    }),
+
     // Native as-of join (custom LogicalPlan + Strategy + BinaryExecNode,
     // plans/AsOfJoin.scala): same semantics as q_join_asof, single
     // sort-merge pass instead of union + window.
@@ -234,6 +261,24 @@ object Windows extends QueryPack {
         |  AND e2.ts >= e1.ts AND e2.ts <= e1.ts + INTERVAL 1 HOUR
         |GROUP BY e1.user_id
         |ORDER BY e1.user_id""".stripMargin,
+
+    "q_resample_ffill" ->
+      """WITH grid AS (
+        |  SELECT u.user_id, g.slot
+        |  FROM (SELECT DISTINCT user_id FROM events WHERE user_id < 5) u
+        |  CROSS JOIN (SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+        |      TIMESTAMP '2024-01-02 23:30:00', INTERVAL 30 MINUTE)) AS slot) g),
+        |b AS (
+        |  SELECT user_id,
+        |    TIMESTAMP '1970-01-01' + (CAST(floor(epoch(ts) / 1800) AS BIGINT) * 1800) * INTERVAL '1 second' AS slot,
+        |    arg_max(value, epoch_us(ts)) AS v
+        |  FROM events WHERE user_id < 5 AND ts < TIMESTAMP '2024-01-03'
+        |  GROUP BY 1, 2)
+        |SELECT g.user_id, g.slot, b.v,
+        |  last_value(b.v IGNORE NULLS) OVER (PARTITION BY g.user_id ORDER BY g.slot
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_ffill
+        |FROM grid g LEFT JOIN b ON g.user_id = b.user_id AND g.slot = b.slot
+        |ORDER BY g.user_id, g.slot""".stripMargin,
 
     "q_join_asof" ->
       """SELECT p.event_id, p.user_id, p.ts, c.event_id AS click_id
