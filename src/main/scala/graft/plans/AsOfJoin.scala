@@ -12,13 +12,16 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 /** Native as-of join: for each left row, the latest right row with the
   * same key and time <= left time (left outer semantics).
   *
-  * This is the one operator where the built-in rewrite (union + running
-  * `last(ignoreNulls)` window, operators/Windows.scala q_join_asof) pays
-  * a real cost: the union materializes both sides into one sorted state
-  * stream and runs window machinery. The native operator needs exactly
-  * what a sort-merge join needs — co-partition by key, sort by (key,
-  * time) — then a single forward merge pass per partition: O(|L|+|R|),
-  * no window state, no union. The full extension stack is exercised:
+  * Alternative to the built-in rewrite (union + running
+  * `last(ignoreNulls)` window, operators/Windows.scala q_join_asof).
+  * The native operator needs exactly what a sort-merge join needs —
+  * co-partition by key, sort by (key, time) — then a single forward
+  * merge pass per partition: O(|L|+|R|), with NO window state buffer
+  * (the rewrite buffers window frames per key). Measured at sf0.1 the
+  * two are equivalent (0.5-0.8 s warm; toy-scale constants dominate —
+  * the rewrite is fully codegen'd, this exec evaluates interpreted);
+  * the native form's advantage is bounded memory on huge keys and
+  * serving as the full extension-stack exemplar:
   * LogicalPlan -> Strategy -> BinaryExecNode, planned via
   * experimental.extraStrategies / SparkSessionExtensions.
   *
