@@ -24,4 +24,16 @@ object Sample {
   def consistentPair(a: DataFrame, aKey: String, b: DataFrame, bKey: String,
       pct: Int): (DataFrame, DataFrame) =
     (byKey(a, aKey, pct), byKey(b, bKey, pct))
+
+  /** Stratified deterministic sampling — the training-mix constructor:
+    * per-stratum keep rates (e.g. lang -> pct), applied by key hash so
+    * the mix is reproducible run-to-run and cluster-to-cluster.
+    * Strata absent from `rates` get `defaultPct`. */
+  def stratified(df: DataFrame, keyCol: String, stratumCol: String,
+      rates: Map[String, Int], defaultPct: Int = 0): DataFrame = {
+    val pctExpr = rates.foldLeft(lit(defaultPct)) { case (acc, (stratum, pct)) =>
+      when(col(stratumCol) === stratum, lit(pct)).otherwise(acc)
+    }
+    df.filter(pmod(xxhash64(col(keyCol)), lit(100)) < pctExpr)
+  }
 }

@@ -29,6 +29,28 @@ class SampleSpec extends SparkTestBase {
     assert(joined == expected && joined > 0)
   }
 
+  test("stratified sampling builds a reproducible per-language training mix") {
+    val docs = Tables.t(spark, sf, "documents")
+    val mix = Sample.stratified(docs, "doc_id", "lang",
+      Map("en" -> 80, "de" -> 40), defaultPct = 10)
+    val got = mix.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    def frac(l: String) = got.getOrElse(l, 0L).toDouble / totals(l)
+    assert(frac("en") > 0.6 && frac("en") <= 1.0, s"en ${frac("en")}")
+    assert(frac("de") > 0.2 && frac("de") < 0.6, s"de ${frac("de")}")
+    totals.keys.filterNot(Set("en", "de")).foreach { l =>
+      assert(frac(l) < 0.3, s"$l ${frac(l)}")
+    }
+    // reproducible: same rows on a different layout
+    val again = Sample.stratified(docs.repartition(9), "doc_id", "lang",
+      Map("en" -> 80, "de" -> 40), defaultPct = 10)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(again.sameElements(
+      mix.select("doc_id").collect().map(_.getLong(0)).sorted))
+  }
+
   test("cache() reuses across distinct queries (A28 memoization)") {
     val base = Tables.t(spark, sf, "customer")
       .filter(col("c_acctbal") > 0).cache()
