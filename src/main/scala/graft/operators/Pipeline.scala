@@ -167,6 +167,25 @@ object Pipeline extends QueryPack {
         .orderBy(col("vec_id"))
     }),
 
+    // Cross-modal join: text metadata ⋈ embeddings (doc_id = vec_id),
+    // per-language vector stats. Derived norms are rounded to 6dp and
+    // summed as exact decimals — order-independent float aggregation.
+    "q_doc_embed_join" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val nrm = round(sqrt(GraftFunctions.dot_d(col("embedding"), col("embedding"))), 6)
+      Tables.t(s, d, "documents")
+        .join(Tables.t(s, d, "embeddings"),
+          col("doc_id") === col("vec_id"))
+        .withColumn("nrm", nrm)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("nrm").cast("decimal(18,6)")).cast("double").as("sum_norm"),
+          (sum(col("nrm").cast("decimal(18,6)")).cast("double") / count(lit(1)))
+            .as("avg_norm"),
+          max(col("nrm")).as("max_norm"))
+        .orderBy(col("lang"))
+    }),
+
     // Word-set Jaccard over an audit slice (ground truth for LSH).
     "q_dedup_ngram" -> ((s, d) => {
       val tok = tokens(Tables.t(s, d, "documents"), Some(100)).cache()
@@ -406,6 +425,19 @@ object Pipeline extends QueryPack {
         |  CAST(round(v[1] / scale * 127, 0) AS INT) AS q8_first,
         |  CAST(list_aggregate(list_transform(v, x -> abs(CAST(round(x / scale * 127, 0) AS BIGINT))), 'sum') AS BIGINT) AS q8_l1
         |FROM e ORDER BY vec_id""".stripMargin,
+
+    "q_doc_embed_join" ->
+      """WITH j AS (
+        |  SELECT d.lang,
+        |    round(sqrt(list_inner_product(
+        |      list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+        |      list_transform(e.embedding, x -> CAST(x AS DOUBLE)))), 6) AS nrm
+        |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id)
+        |SELECT lang, COUNT(*) AS n,
+        |  CAST(SUM(CAST(nrm AS DECIMAL(18,6))) AS DOUBLE) AS sum_norm,
+        |  CAST(SUM(CAST(nrm AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_norm,
+        |  MAX(nrm) AS max_norm
+        |FROM j GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q_dedup_ngram" ->
       """WITH tok AS (
