@@ -113,8 +113,8 @@ object Windows extends QueryPack {
     // time-series normalization (sparse ticks → regular grid).
     "q_resample_ffill" -> ((s, d) => {
       def tts(x: String) = lit(java.sql.Timestamp.valueOf(x))
-      val ev = Tables.t(s, d, "events")
-        .filter(col("user_id") < 5 && col("ts") < tts("2024-01-03 00:00:00"))
+      val users = Tables.t(s, d, "events").filter(col("user_id") < 5)
+      val ev = users.filter(col("ts") < tts("2024-01-03 00:00:00"))
       val b = ev
         .withColumn("slot", timestamp_seconds(
           (unix_seconds(col("ts").cast("timestamp")).divide(1800)).cast("long") * 1800)
@@ -122,7 +122,7 @@ object Windows extends QueryPack {
         .groupBy(col("user_id"), col("slot"))
         .agg(max_by(col("value"),
           unix_micros(col("ts").cast("timestamp"))).as("v"))
-      val grid = ev.select(col("user_id")).distinct()
+      val grid = users.select(col("user_id")).distinct()
         .crossJoin(s.range(1).select(explode(sequence(
           tts("2024-01-01 00:00:00").cast("timestamp"),
           tts("2024-01-02 23:30:00").cast("timestamp"),
