@@ -41,6 +41,28 @@ class LocaleParseSpec extends AnyFunSuite {
   test("thousands separator '1.234,56'") {
     assert(LocaleParse.parseDecimal("1.234,56") == 1234.56)
   }
+  test("negative amounts parse with sign preserved") {
+    assert(LocaleParse.parseDecimal("-1.234,56") == -1234.56)
+    assert(LocaleParse.parseMoney("-12,50 EUR") == (-12.50, "EUR"))
+  }
+
+  test("money without currency affix → null ccy, amount kept") {
+    assert(LocaleParse.parseMoney("632,42") == (632.42, null))
+  }
+
+  test("invalid calendar dates → null (not an exception)") {
+    assert(LocaleParse.parseDateIt("30 feb 2025") == null)
+    assert(LocaleParse.parseDateIt("32/01/25") == null)
+    assert(LocaleParse.parseDateIt("29 feb 2024") == // leap year OK
+      java.time.LocalDate.of(2024, 2, 29).toEpochDay.toInt)
+    assert(LocaleParse.parseDateIt("29 feb 2025") == null) // non-leap
+  }
+
+  test("whitespace tolerance") {
+    assert(LocaleParse.parsePct("  0,22%  ") == 0.22 / 100)
+    assert(LocaleParse.parseMoney("  144,12   USD  ") == (144.12, "USD"))
+  }
+
   test("garbage → null, never throws") {
     assert(LocaleParse.parsePct("n/a") == null)
     assert(LocaleParse.parseMoney("--") == null)
