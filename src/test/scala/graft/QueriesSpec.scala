@@ -26,6 +26,38 @@ class QueriesSpec extends SparkTestBase {
       "q_dedup_cluster"))
   }
 
+  test("determinism contract: every oracle imposes a total ORDER BY") {
+    val missing = SparkEntry.oracleSql.filterNot(_._2.toUpperCase
+      .contains("ORDER BY")).keys
+    assert(missing.isEmpty, s"oracles without ORDER BY: $missing")
+  }
+
+  test("oracles reference only driver-known tables") {
+    val known = graft.engine.Tables.names.toSet
+    val tablePattern = "(?i)(?:FROM|JOIN)\\s+([a-z_][a-z0-9_]*)".r
+    SparkEntry.oracleSql.foreach { case (name, sql) =>
+      val cites = tablePattern.findAllMatchIn(sql).map(_.group(1).toLowerCase)
+        .toSet -- Set("r", "null") // CTE self-ref; "FROM NULL" in IS NOT DISTINCT FROM NULL
+      val ctes = "(?i)([a-z_][a-z0-9_]*)\\s+AS\\s*\\(".r
+        .findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
+      val unknown = cites -- known -- ctes
+      assert(unknown.isEmpty, s"$name references unknown tables: $unknown")
+    }
+  }
+
+  test("the session serves concurrent queries (thread safety)") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val names = Seq("q_agg_group", "q_join_inner", "q_text_analysis",
+      "q_window_rank")
+    val seqCounts = names.map(n => n -> q(n).count()).toMap
+    val parCounts = Await.result(
+      Future.sequence(names.map(n => Future(n -> q(n).count()))), 120.seconds)
+      .toMap
+    assert(parCounts == seqCounts, s"par=$parCounts seq=$seqCounts")
+  }
+
   SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
     test(s"$name runs on sf0.001") {
       val df = q(name)
