@@ -34,7 +34,7 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","n_queries":${results.size},"cpus":$cpus,"note":"sequential per-query wall time incl. planning+codegen; see PERF.md for the fixed-cost breakdown"}""")
     spark.stop()
   }
 }
