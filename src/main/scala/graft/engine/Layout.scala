@@ -31,21 +31,34 @@ object Layout {
     * ones. Small-files is the canonical 100 TB operational problem
     * (per-file open cost, driver listing pressure, tiny tasks); daily
     * snapshot ingestion (Catalog.writeSnapshot) produces exactly this
-    * shape over time. Rewrites into a temp dir then swaps, so readers
-    * never see a half-compacted directory. */
+    * shape over time. Rewrites into a sibling dir then renames within
+    * the parent directory (same filesystem, so both moves are atomic;
+    * no cross-device AtomicMoveNotSupportedException). There IS a brief
+    * window between the two renames where `dir` does not exist — a
+    * concurrent reader retries or lists the parent; on a real object
+    * store/HDFS deployment this swap would be a metastore location
+    * update instead. */
   def compact(spark: SparkSession, dir: String, targetMB: Int = 128): Long = {
     val df = spark.read.parquet(dir)
     val bytes = df.inputFiles.map(f =>
       new java.io.File(new java.net.URI(f)).length()).sum
     val parts = math.max(1, (bytes / (targetMB * 1024L * 1024L)).toInt)
-    val tmp = dir.stripSuffix("/") + ".compacting"
+    val base = dir.stripSuffix("/")
+    val tmp = base + ".compacting"
     df.repartition(parts).write.mode("overwrite").parquet(tmp)
-    val dest = new java.io.File(dir)
-    val old = java.nio.file.Files.createTempDirectory("compact-old")
-    java.nio.file.Files.move(dest.toPath, old.resolve("old"),
+    val dest = new java.io.File(base)
+    val old = new java.io.File(base + ".old")
+    deleteRecursively(old) // leftover from a crashed previous compact
+    java.nio.file.Files.move(dest.toPath, old.toPath,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     java.nio.file.Files.move(new java.io.File(tmp).toPath, dest.toPath,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    deleteRecursively(old)
     parts.toLong
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
+    if (f.exists()) f.delete(): Unit
   }
 }

@@ -27,9 +27,15 @@ case class TopKByLong(arg: Expression, ord: Expression, k: Int,
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
+  // ord desc, arg asc — via explicit Ordering, not arithmetic negation:
+  // -Long.MinValue == Long.MinValue, so sortBy(-ord) would rank the most
+  // negative measure as the largest.
+  private val rankOrd: Ordering[(Long, Long)] =
+    Ordering.by[(Long, Long), Long](_._1).reverse.orElseBy(_._2)
+
   private def prune(buf: ArrayBuffer[(Long, Long)]): ArrayBuffer[(Long, Long)] = {
     if (buf.length > 4 * k) {
-      val kept = buf.sortBy(t => (-t._1, t._2)).take(k)
+      val kept = buf.sorted(rankOrd).take(k)
       buf.clear(); buf ++= kept
     }
     buf
@@ -55,7 +61,7 @@ case class TopKByLong(arg: Expression, ord: Expression, k: Int,
 
   override def eval(buf: ArrayBuffer[(Long, Long)]): Any =
     new GenericArrayData(
-      buf.sortBy(t => (-t._1, t._2)).take(k).map(_._2).toArray)
+      buf.sorted(rankOrd).take(k).map(_._2).toArray)
 
   override def serialize(buf: ArrayBuffer[(Long, Long)]): Array[Byte] = {
     val bb = ByteBuffer.allocate(buf.length * 16)

@@ -145,7 +145,8 @@ object Windows extends QueryPack {
       val clicks = ev.filter(col("event_type") === "click")
         .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
           col("ts").as("c_ts"))
-      graft.plans.AsOf.join(purchases, clicks, "user_id", "c_user", "ts", "c_ts")
+      graft.plans.AsOf.join(purchases, clicks, "user_id", "c_user", "ts", "c_ts",
+          rightTieBreak = Some("click_id")) // ties: largest click_id, like the rewrite's frame order
         .select(col("event_id"), col("user_id"), col("ts"), col("click_id"))
         .orderBy(col("event_id"))
     }),

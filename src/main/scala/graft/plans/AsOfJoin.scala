@@ -27,12 +27,18 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   *
   * Semantics match DuckDB `ASOF LEFT JOIN ... ON l.key = r.key AND
   * l.time >= r.time` (oracle for q_join_asof_native): ties at equal
-  * time match; among equal right times the last in (key, time, input)
-  * order wins — identical to the window rewrite's frame order.
+  * time match; among equal right (key, time) rows the one with the
+  * LARGEST `rightTieBreak` wins — the required child ordering includes
+  * the tiebreak, so the winner is deterministic (matching the window
+  * rewrite's explicit frame order), never shuffle-order-dependent.
+  * NULL semantics are SQL's: a null left key or time matches nothing
+  * (the row is emitted null-extended); right rows with null key or
+  * time are skipped.
   */
 case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
     leftKey: Expression, rightKey: Expression,
-    leftTime: Expression, rightTime: Expression) extends BinaryNode {
+    leftTime: Expression, rightTime: Expression,
+    rightTieBreak: Expression) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
@@ -42,15 +48,16 @@ case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
 
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, tb) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tb) :: Nil
     case _ => Nil
   }
 }
 
 case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     leftKey: Expression, rightKey: Expression,
-    leftTime: Expression, rightTime: Expression) extends BinaryExecNode {
+    leftTime: Expression, rightTime: Expression,
+    rightTieBreak: Expression) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -59,9 +66,12 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     ClusteredDistribution(Seq(leftKey)) ::
       ClusteredDistribution(Seq(rightKey)) :: Nil
 
+  // The tiebreak in the right ordering makes "last row wins" well-
+  // defined among equal (key, time) right rows.
   override def requiredChildOrdering: Seq[Seq[SortOrder]] =
     Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)) ::
-      Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending)) :: Nil
+      Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending),
+        SortOrder(rightTieBreak, Ascending)) :: Nil
 
   override def outputPartitioning: Partitioning = left.outputPartitioning
 
@@ -80,7 +90,10 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     val rt = BindReferences.bindReference(rightTime, rightOut)
     val outAttrs = output
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
-      val proj = UnsafeProjection.create(outAttrs, leftOut ++ rightOut)
+      // bind against the nullability-widened output (not the raw child
+      // attrs): the null-extended row must project as nulls even when
+      // the right child declared its columns non-nullable
+      val proj = UnsafeProjection.create(outAttrs, outAttrs)
       val nullRight = new GenericInternalRow(rightOut.length)
       val joined = new JoinedRow
       var rHead: InternalRow = if (rIter.hasNext) rIter.next() else null
@@ -89,24 +102,42 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
       lIter.map { lRow =>
         val k = lk.eval(lRow)
         val t = lt.eval(lRow)
-        // advance the right side to the last row with key==k, time<=t
-        var advancing = true
-        while (advancing && rHead != null) {
-          val rKeyV = rk.eval(rHead)
-          val c = keyOrd.compare(rKeyV, k)
-          if (c < 0) {
-            rHead = if (rIter.hasNext) rIter.next() else null
-          } else if (c == 0 && timeOrd.compare(rt.eval(rHead), t) <= 0) {
-            candidate = rHead.copy(); candKey = rKeyV
-            rHead = if (rIter.hasNext) rIter.next() else null
-          } else {
-            advancing = false
+        if (k == null || t == null) {
+          // SQL semantics: NULL matches nothing — null-extended row,
+          // no right-side advance (null keys sort first on the left,
+          // so no non-null left row is starved).
+          proj(joined(lRow, nullRight))
+        } else {
+          // advance the right side to the last row with key==k, time<=t
+          var advancing = true
+          while (advancing && rHead != null) {
+            val rKeyV = rk.eval(rHead)
+            if (rKeyV == null) { // null right keys sort first; skip
+              rHead = if (rIter.hasNext) rIter.next() else null
+            } else {
+              val c = keyOrd.compare(rKeyV, k)
+              if (c < 0) {
+                rHead = if (rIter.hasNext) rIter.next() else null
+              } else if (c == 0) {
+                val rTimeV = rt.eval(rHead)
+                if (rTimeV == null) { // null times sort first in-key; skip
+                  rHead = if (rIter.hasNext) rIter.next() else null
+                } else if (timeOrd.compare(rTimeV, t) <= 0) {
+                  candidate = rHead.copy(); candKey = rKeyV
+                  rHead = if (rIter.hasNext) rIter.next() else null
+                } else {
+                  advancing = false
+                }
+              } else {
+                advancing = false
+              }
+            }
           }
+          val matched =
+            if (candidate != null && keyOrd.compare(candKey, k) == 0) candidate
+            else nullRight
+          proj(joined(lRow, matched))
         }
-        val matched =
-          if (candidate != null && keyOrd.compare(candKey, k) == 0) candidate
-          else nullRight
-        proj(joined(lRow, matched))
       }
     }
   }
@@ -115,11 +146,15 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
 /** User-facing API. */
 object AsOf {
   /** left-outer as-of join: latest right row with rightKey == leftKey
-    * and rightTime <= leftTime. Rename right-side columns beforehand if
-    * they collide with left names. */
+    * and rightTime <= leftTime. Among equal right (key, time) rows the
+    * one with the largest `rightTieBreak` wins (defaults to rightTime,
+    * i.e. ties unspecified — pass a unique column for determinism).
+    * Rename right-side columns beforehand if they collide with left
+    * names. */
   def join(leftDf: DataFrame, rightDf: DataFrame,
       leftKey: String, rightKey: String,
-      leftTime: String, rightTime: String): DataFrame = {
+      leftTime: String, rightTime: String,
+      rightTieBreak: Option[String] = None): DataFrame = {
     val spark = leftDf.sparkSession
       .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
@@ -130,8 +165,9 @@ object AsOf {
     def attr(p: LogicalPlan, n: String): Attribute =
       p.output.find(_.name == n).getOrElse(
         throw new IllegalArgumentException(s"column $n not found"))
+    val tb = attr(rp, rightTieBreak.getOrElse(rightTime))
     org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
       AsOfJoinPlan(lp, rp, attr(lp, leftKey), attr(rp, rightKey),
-        attr(lp, leftTime), attr(rp, rightTime)))
+        attr(lp, leftTime), attr(rp, rightTime), tb))
   }
 }

@@ -90,11 +90,14 @@ class ProductsScanBuilder(full: StructType, path: String)
       case _ => false
     }
     pushed = accepted
-    isinFilter = if (accepted.isEmpty) None else Some(accepted.toSeq.flatMap {
-      case EqualTo(_, v: String) => Seq(v)
-      case In(_, vs) => vs.toSeq.map(_.asInstanceOf[String])
-      case _ => Seq.empty[String]
-    }.toSet)
+    // A pushed Filter array is a conjunction (AND), so multiple accepted
+    // isin predicates must INTERSECT their value sets — unioning them
+    // would leak rows that violate `isin = 'A' AND isin IN ('B','C')`.
+    isinFilter = accepted.toSeq.map {
+      case EqualTo(_, v: String) => Set(v)
+      case In(_, vs) => vs.map(_.asInstanceOf[String]).toSet
+      case _ => Set.empty[String]
+    }.reduceOption(_ intersect _)
     rest // non-isin predicates stay in the Spark plan
   }
 
