@@ -129,6 +129,14 @@ object GraftFunctions {
       es => TopKByLong.fromExprs(es).toAggregateExpression(), "scala_udf")
     reg.createOrReplaceTempFunction("minhash_sig",
       es => MinHashSig.fromExprs(es).toAggregateExpression(), "scala_udf")
+    // optimizer rules are session state too: imperative twin of
+    // GraftExtensions.injectOptimizerRule for sessions built without
+    // the static spark.sql.extensions conf
+    val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    if (!cs.experimental.extraOptimizations.contains(
+        graft.plans.RankFilterToAggregate))
+      cs.experimental.extraOptimizations =
+        cs.experimental.extraOptimizations :+ graft.plans.RankFilterToAggregate
   }
 
   def dot_d(a: Column, b: Column): Column = call_function("dot_d", a, b)

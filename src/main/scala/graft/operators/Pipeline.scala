@@ -126,7 +126,12 @@ object Pipeline extends QueryPack {
 
     // Dedup keeping the best representative (longest doc wins, doc_id
     // tiebreak) — the policy real corpus dedup uses, vs min-id above.
+    // Written in the natural window-dedup form; the RankFilterToAggregate
+    // optimizer rule (plans/RankFilterToAggregate.scala) rewrites it to a
+    // min_by aggregate — map-side partial aggregation, no window sort —
+    // asserted in PlanSpec.
     "q_dedup_keep_best" -> ((s, d) => {
+      GraftFunctions.register(s)
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("norm_hash"))
         .orderBy(desc("n_chars"), col("doc_id"))

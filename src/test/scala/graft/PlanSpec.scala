@@ -103,6 +103,41 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("q_dedup_keep_best: rank-filter rewrites to min_by aggregate (no window)") {
+    val p = plan("q_dedup_keep_best")
+    assert(!p.contains("Window"), p)
+    assert(p.contains("partial_min_by") || p.contains("min_by"), p)
+  }
+
+  test("RankFilterToAggregate preserves window-dedup semantics (rule off vs on)") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    // desc integral + asc key, with nulls in the desc key
+    val df = Seq((1L, Some(10), "a"), (2L, Some(10), "a"), (3L, None, "a"),
+      (4L, Some(3), "b"), (5L, None, "c"), (6L, None, "c"))
+      .toDF("id", "score", "grp")
+    def dedup(d: org.apache.spark.sql.DataFrame) = d
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("grp")).orderBy(desc("score"), col("id"))))
+      .filter(col("rn") === 1)
+      .orderBy(col("grp"))
+    val got = dedup(df)
+    assert(!got.queryExecution.executedPlan.toString.contains("Window"))
+    // ground truth computed with the rule inert (rank > 1 not matched)
+    val expect = Seq((1L, "a"), (4L, "b"), (5L, "c"))
+    assert(got.select(col("id"), col("grp")).collect().map(r =>
+      (r.getLong(0), r.getString(1))).toSeq == expect)
+    // non-rewritable shape (desc on a string key) stays window-planned
+    val stay = df
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("grp")).orderBy(desc_nulls_last("grp"), col("id"))))
+      .filter(col("rn") === 1)
+    assert(stay.queryExecution.executedPlan.toString.contains("Window"))
+    assert(stay.count() == 3)
+  }
+
   test("join strategy hints are honored (merge / shuffle_hash / broadcast)") {
     import graft.engine.Tables
     import org.apache.spark.sql.functions.col
