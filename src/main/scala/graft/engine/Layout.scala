@@ -39,6 +39,16 @@ object Layout {
     * store/HDFS deployment this swap would be a metastore location
     * update instead. */
   def compact(spark: SparkSession, dir: String, targetMB: Int = 128): Long = {
+    // Crash recovery: a previous compact that died between its two
+    // ATOMIC_MOVEs leaves `dir` missing with the data stranded in
+    // `dir.old` — restore it before reading.
+    locally {
+      val dest = new java.io.File(dir.stripSuffix("/"))
+      val old = new java.io.File(dir.stripSuffix("/") + ".old")
+      if (!dest.exists() && old.exists())
+        java.nio.file.Files.move(old.toPath, dest.toPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
     val df = spark.read.parquet(dir)
     val bytes = df.inputFiles.map(f =>
       new java.io.File(new java.net.URI(f)).length()).sum
@@ -59,6 +69,8 @@ object Layout {
 
   private def deleteRecursively(f: java.io.File): Unit = {
     if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
-    if (f.exists()) f.delete(): Unit
+    // Files.delete throws on failure — a silently half-deleted `.old`
+    // would make the subsequent ATOMIC_MOVE onto it fail confusingly.
+    if (f.exists()) java.nio.file.Files.delete(f.toPath)
   }
 }

@@ -131,12 +131,20 @@ object GraftFunctions {
       es => MinHashSig.fromExprs(es).toAggregateExpression(), "scala_udf")
     // optimizer rules are session state too: imperative twin of
     // GraftExtensions.injectOptimizerRule for sessions built without
-    // the static spark.sql.extensions conf
-    val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-    if (!cs.experimental.extraOptimizations.contains(
-        graft.plans.RankFilterToAggregate))
-      cs.experimental.extraOptimizations =
-        cs.experimental.extraOptimizations :+ graft.plans.RankFilterToAggregate
+    // the static spark.sql.extensions conf. Synchronized: the
+    // check-then-append below is a read-modify-write on shared session
+    // state and register() is called per-query. Connect sessions have
+    // no `experimental` — skip (the static-conf path covers them).
+    spark match {
+      case cs: org.apache.spark.sql.classic.SparkSession => synchronized {
+        if (!cs.experimental.extraOptimizations.contains(
+            graft.plans.RankFilterToAggregate))
+          cs.experimental.extraOptimizations =
+            cs.experimental.extraOptimizations :+
+              graft.plans.RankFilterToAggregate
+      }
+      case _ => ()
+    }
   }
 
   def dot_d(a: Column, b: Column): Column = call_function("dot_d", a, b)

@@ -147,14 +147,21 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
 object AsOf {
   /** left-outer as-of join: latest right row with rightKey == leftKey
     * and rightTime <= leftTime. Among equal right (key, time) rows the
-    * one with the largest `rightTieBreak` wins (defaults to rightTime,
-    * i.e. ties unspecified — pass a unique column for determinism).
+    * one with the largest `rightTieBreak` wins. When the tiebreak is
+    * omitted it defaults to rightTime, which makes the winner among
+    * duplicate (key, time) right rows depend on shuffle order — a
+    * warning is logged; pass a unique column for determinism.
     * Rename right-side columns beforehand if they collide with left
     * names. */
   def join(leftDf: DataFrame, rightDf: DataFrame,
       leftKey: String, rightKey: String,
       leftTime: String, rightTime: String,
       rightTieBreak: Option[String] = None): DataFrame = {
+    if (rightTieBreak.isEmpty)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        "AsOf.join: no rightTieBreak given; if the right side has " +
+        "duplicate (key, time) rows the matched row is " +
+        "shuffle-order-dependent. Pass a unique tiebreak column.")
     val spark = leftDf.sparkSession
       .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))

@@ -19,8 +19,10 @@ import org.apache.spark.sql.types._
   * fully sort each partition by (p, k...) before discarding all but one
   * row per key. The aggregate form combines map-side (partial
   * aggregation), so at 100 TB only ~one row per distinct key crosses
-  * the wire — the shuffle shrinks by the duplication factor, and no
-  * per-partition multi-key sort happens at all. Spark's own
+  * the wire — the shuffle shrinks by the duplication factor. (The
+  * physical agg is SortAggregateExec — MinBy over a struct buffer is
+  * not hash-agg compatible — so each side still sorts, but only by the
+  * group key, over the partially-aggregated row set.) Spark's own
   * InferWindowGroupLimit (3.5+) only prunes rows *within* the window
   * sort; it still shuffles and sorts — this rule removes the window
   * operator entirely.
@@ -72,6 +74,9 @@ object RankFilterToAggregate extends Rule[LogicalPlan] {
           partitionSpec, orderSpec, child, _))
         if isTop1(cond, alias.toAttribute) &&
           orderSpec.nonEmpty &&
+          // nonEmpty: a global (no PARTITION BY) rewrite would turn the
+          // empty-input case from zero rows into one all-null agg row
+          partitionSpec.nonEmpty &&
           partitionSpec.forall(_.isInstanceOf[AttributeReference]) &&
           orderSpec.forall(_.child.deterministic) &&
           orderSpec.forall(so => sortKeyFields(so).isDefined) &&

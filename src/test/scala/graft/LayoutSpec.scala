@@ -48,4 +48,21 @@ class LayoutSpec extends SparkTestBase {
     assert(after.inputFiles.length <= 2, s"still ${after.inputFiles.length} files")
     assert(after.count() == expected)
   }
+
+  test("compact recovers a crash between the two swap renames") {
+    val dir = java.nio.file.Files.createTempDirectory("compactrec").toString + "/t"
+    val src = Tables.t(spark, sf, "nation")
+    src.repartition(4).write.parquet(dir)
+    val expected = spark.read.parquet(dir).count()
+    // simulate a compact that died after rename#1: data lives in .old,
+    // the target dir is gone
+    java.nio.file.Files.move(
+      new java.io.File(dir).toPath, new java.io.File(dir + ".old").toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    assert(!new java.io.File(dir).exists())
+    Layout.compact(spark, dir, targetMB = 128)
+    val after = spark.read.parquet(dir)
+    assert(after.count() == expected)
+    assert(!new java.io.File(dir + ".old").exists())
+  }
 }

@@ -136,6 +136,19 @@ class PlanSpec extends SparkTestBase {
       .filter(col("rn") === 1)
     assert(stay.queryExecution.executedPlan.toString.contains("Window"))
     assert(stay.count() == 3)
+    // empty PARTITION BY must NOT rewrite: a global aggregate over empty
+    // input yields one all-null row where the window form yields zero
+    val empty = df.filter(col("id") < 0)
+      .withColumn("rn", row_number().over(
+        Window.orderBy(desc("score"), col("id"))))
+      .filter(col("rn") === 1)
+    assert(empty.count() == 0)
+    val global = df
+      .withColumn("rn", row_number().over(
+        Window.orderBy(desc("score"), col("id"))))
+      .filter(col("rn") === 1)
+    assert(global.select(col("id")).collect().map(_.getLong(0)).toSeq
+      == Seq(1L))
   }
 
   test("join strategy hints are honored (merge / shuffle_hash / broadcast)") {
