@@ -44,6 +44,48 @@ object Pipeline extends QueryPack {
   private val nSig = 32   // minhash signature length
   private val nBands = 8  // 8 bands x 4 rows
 
+  /** 64-bit simhash per doc: per-bit vote sum over token hashes
+    * (+1 if bit set, -1 otherwise), sign of the sum is the bit. */
+  private def simhashOf(tok: DataFrame): DataFrame = {
+    val bitCols = (0 until 64).map { b =>
+      sum(when(shiftright(xxhash64(col("token")), b).bitwiseAND(1) === 1, 1)
+        .otherwise(-1)).as(s"b$b")
+    }
+    tok.groupBy(col("doc_id")).agg(bitCols.head, bitCols.tail: _*)
+      .select(col("doc_id"),
+        (0 until 64).map(b => when(col(s"b$b") > 0, shiftleft(lit(1L), b))
+          .otherwise(0L)).reduce((a, c) => a.bitwiseOR(c)).as("simhash"))
+  }
+
+  // Sign-LSH over deterministic random hyperplanes (shared by the ANN
+  // queries and the bucketed embedding near-dup): 4 tables × 8 planes.
+  private val annTables = 4
+  private val annBits = 8
+
+  private def annPlanes: IndexedSeq[Column] = {
+    val rnd = new scala.util.Random(42)
+    (0 until annTables * annBits).map { _ =>
+      typedLit((0 until 64).map(_ => rnd.nextGaussian().toFloat).toArray)
+    }
+  }
+
+  /** Per-table sign bucket of vector v: bit i = sign(v · plane_i). */
+  private def signBuckets(v: Column): Column = {
+    val planes = annPlanes
+    array((0 until annTables).map { t =>
+      (0 until annBits).map { i =>
+        when(GraftFunctions.dot_d(v, planes(t * annBits + i)) > 0,
+          shiftleft(lit(1), i)).otherwise(0)
+      }.reduce(_ + _)
+    }: _*)
+  }
+
+  /** vec_id, embedding, nrm, (tbl, bkt) per hash table. */
+  private def bucketedEmbeddings(e: DataFrame): DataFrame =
+    e.select(col("vec_id"), col("embedding"),
+      posexplode(signBuckets(col("embedding"))).as(Seq("tbl", "bkt")),
+      sqrt(GraftFunctions.dot_d(col("embedding"), col("embedding"))).as("nrm"))
+
   /** doc_id + h0..h{nSig-1} minhash signature columns.
     * Each 3-word shingle is string-hashed ONCE to a 64-bit base; the
     * nSig permutation hashes re-hash that fixed-width base (cheap) —
@@ -241,15 +283,7 @@ object Pipeline extends QueryPack {
     // SimHash fingerprint + near-pairs by hamming distance on an audit
     // slice. Deterministic (xxhash64 token hashes). Rows-only check.
     "q_dedup_simhash" -> ((s, d) => {
-      val tok = tokens(Tables.t(s, d, "documents"), None)
-      val bitCols = (0 until 64).map { b =>
-        sum(when(shiftright(xxhash64(col("token")), b).bitwiseAND(1) === 1, 1)
-          .otherwise(-1)).as(s"b$b")
-      }
-      val sim = tok.groupBy(col("doc_id")).agg(bitCols.head, bitCols.tail: _*)
-        .select(col("doc_id"),
-          (0 until 64).map(b => when(col(s"b$b") > 0, shiftleft(lit(1L), b))
-            .otherwise(0L)).reduce((a, c) => a.bitwiseOR(c)).as("simhash"))
+      val sim = simhashOf(tokens(Tables.t(s, d, "documents"), None))
       sim.as("x").join(sim.as("y"), col("x.doc_id") < col("y.doc_id"))
         .filter(col("x.doc_id") < 100 && col("y.doc_id") < 100)
         .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"),
@@ -258,12 +292,40 @@ object Pipeline extends QueryPack {
         .orderBy(col("da"), col("db"))
     }),
 
-    // Embedding near-dup: exact cosine over all pairs (codegen'd dot_d;
-    // one side broadcast — embeddings stay ≤ thousands of rows per SF;
-    // the LSH-bucketed q_similarity_ann below is the >>1M-row path).
+    // Banded simhash over the FULL corpus (no audit cap): the 64-bit
+    // fingerprint splits into 8 bands of 8 bits; docs join on exact
+    // band equality, then the hamming filter re-checks candidates. By
+    // pigeonhole any pair within hamming ≤ 7 agrees on at least one
+    // band, so recall vs `hamming <= 4` is exact (superset of the
+    // capped all-pairs query on its slice — asserted in tests). At
+    // scale this is one shuffle keyed by (band, value) — candidate
+    // volume ~ Σ bucket² over near-uniform 256-way buckets per band,
+    // never all-pairs.
+    "q_dedup_simhash_lsh" -> ((s, d) => {
+      val sim = simhashOf(tokens(Tables.t(s, d, "documents"), None))
+      val bands = sim.select(col("doc_id"), col("simhash"),
+        posexplode(array((0 until 8).map(j =>
+          shiftright(col("simhash"), j * 8).bitwiseAND(lit(255L))): _*))
+          .as(Seq("band", "bval")))
+      bands.as("x").join(bands.as("y"),
+          col("x.band") === col("y.band") && col("x.bval") === col("y.bval") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"),
+          bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= 4)
+        .orderBy(col("da"), col("db"))
+    }),
+
+    // Embedding near-dup, exact audit slice: all-pairs cosine capped to
+    // vec_id < 1000 (same cap in the oracle) — like q_dedup_ngram, the
+    // exact form is the ground truth for the bucketed query below, and
+    // the cap is what keeps the broadcast nested-loop bounded. The
+    // uncapped scale path is q_dedup_embedding_lsh.
     "q_dedup_embedding" -> ((s, d) => {
       GraftFunctions.register(s)
       val e = Tables.t(s, d, "embeddings")
+        .filter(col("vec_id") < 1000)
         .select(col("vec_id"), col("embedding"),
           sqrt(GraftFunctions.dot_d(col("embedding"), col("embedding"))).as("nrm"))
       val cos = GraftFunctions.dot_d(col("a.embedding"), col("b.embedding")) /
@@ -271,6 +333,33 @@ object Pipeline extends QueryPack {
       e.as("a").join(broadcast(e.as("b")), col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
           cos.as("cos_sim"))
+        .orderBy(desc("cos_sim"), col("va"), col("vb"))
+        .limit(50)
+    }),
+
+    // Embedding near-dup over the FULL table via sign-LSH buckets:
+    // candidates collide on (table, bucket) — an equi-join shuffle, no
+    // nested loop — then exact cosine re-ranks. Top pairs by cosine
+    // land in the same bucket in ≥1 of 4 tables with high probability;
+    // recall vs the exact slice is measured in DedupSimilaritySpec.
+    // Rows-only check (bucketing is engine-specific).
+    "q_dedup_embedding_lsh" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val e = Tables.t(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding"),
+          sqrt(GraftFunctions.dot_d(col("embedding"), col("embedding"))).as("nrm"))
+      val b = bucketedEmbeddings(Tables.t(s, d, "embeddings"))
+        .select(col("vec_id"), col("tbl"), col("bkt"))
+      val cand = b.as("x").join(b.as("y"),
+          col("x.tbl") === col("y.tbl") && col("x.bkt") === col("y.bkt") &&
+            col("x.vec_id") < col("y.vec_id"))
+        .select(col("x.vec_id").as("va"), col("y.vec_id").as("vb"))
+        .distinct()
+      val cos = GraftFunctions.dot_d(col("a.embedding"), col("b.embedding")) /
+        (col("a.nrm") * col("b.nrm"))
+      cand.join(e.as("a"), col("va") === col("a.vec_id"))
+        .join(e.as("b"), col("vb") === col("b.vec_id"))
+        .select(col("va"), col("vb"), cos.as("cos_sim"))
         .orderBy(desc("cos_sim"), col("va"), col("vb"))
         .limit(50)
     }),
@@ -301,26 +390,12 @@ object Pipeline extends QueryPack {
     // volume ~ n·L·(b+1)/2^b, never all-pairs.
     "q_similarity_ann" -> ((s, d) => {
       GraftFunctions.register(s)
-      val rnd = new scala.util.Random(42)
-      val nTables = 4; val nBits = 8
-      val planes: IndexedSeq[Column] = (0 until nTables * nBits).map { _ =>
-        typedLit((0 until 64).map(_ => rnd.nextGaussian().toFloat).toArray)
-      }
-      def bucketCols(v: Column): Column = array((0 until nTables).map { t =>
-        (0 until nBits).map { i =>
-          when(GraftFunctions.dot_d(v, planes(t * nBits + i)) > 0,
-            shiftleft(lit(1), i)).otherwise(0)
-        }.reduce(_ + _)
-      }: _*)
-      val e = Tables.t(s, d, "embeddings")
-        .select(col("vec_id"), col("embedding"),
-          posexplode(bucketCols(col("embedding"))).as(Seq("tbl", "bkt")),
-          sqrt(GraftFunctions.dot_d(col("embedding"), col("embedding"))).as("nrm"))
+      val e = bucketedEmbeddings(Tables.t(s, d, "embeddings"))
       // query probes: exact bucket + each single-bit flip
       val q = e.filter(col("vec_id") === 0)
         .select(col("embedding").as("q_emb"), col("tbl").as("q_tbl"),
           explode(array((Seq(col("bkt")) ++
-            (0 until nBits).map(b => col("bkt").bitwiseXOR(shiftleft(lit(1), b)))): _*))
+            (0 until annBits).map(b => col("bkt").bitwiseXOR(shiftleft(lit(1), b)))): _*))
             .as("q_bkt"),
           col("nrm").as("q_nrm"))
       val cos = GraftFunctions.dot_d(col("embedding"), col("q_emb")) /
@@ -332,6 +407,58 @@ object Pipeline extends QueryPack {
         .distinct()
         .orderBy(desc("cos_sim"), col("vec_id"))
         .limit(10)
+    }),
+
+    // Batch similarity scoring, exact: a query TABLE (vec_id < 10)
+    // against the corpus (vec_id >= 10), top-3 per query vector. The
+    // small query side broadcasts — the corpus never shuffles — and
+    // the rank filter plans as WindowGroupLimit (per-partition partial
+    // top-k before the final window sort). This is the exact form of
+    // the 100 TB retrieval shape; q_similarity_batch_ann below is the
+    // bucketed variant for when BOTH sides are large.
+    "q_similarity_batch" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val e = Tables.t(s, d, "embeddings")
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          sqrt(GraftFunctions.dot_d(col("embedding"), col("embedding"))).as("q_nrm"))
+      val cos = GraftFunctions.dot_d(col("embedding"), col("q_emb")) /
+        (sqrt(GraftFunctions.dot_d(col("embedding"), col("embedding"))) * col("q_nrm"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("q_id")).orderBy(desc("cos_sim"), col("vec_id"))
+      e.filter(col("vec_id") >= 10).crossJoin(broadcast(q))
+        .select(col("q_id"), col("vec_id"), cos.as("cos_sim"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .orderBy(col("q_id"), col("rnk"))
+    }),
+
+    // Batch similarity via LSH buckets on BOTH sides: query vectors
+    // multiprobe (bucket + single-bit flips), corpus joins on
+    // (table, bucket) — an equi-join shuffle either side can be huge
+    // under — then exact cosine re-ranks top-3 per query. Rows-only
+    // check; recall vs q_similarity_batch measured in tests.
+    "q_similarity_batch_ann" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val e = bucketedEmbeddings(Tables.t(s, d, "embeddings"))
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          col("tbl").as("q_tbl"),
+          explode(array((Seq(col("bkt")) ++
+            (0 until annBits).map(b => col("bkt").bitwiseXOR(shiftleft(lit(1), b)))): _*))
+            .as("q_bkt"),
+          col("nrm").as("q_nrm"))
+      val cos = GraftFunctions.dot_d(col("embedding"), col("q_emb")) /
+        (col("nrm") * col("q_nrm"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("q_id")).orderBy(desc("cos_sim"), col("vec_id"))
+      e.filter(col("vec_id") >= 10)
+        .join(q, col("tbl") === col("q_tbl") && col("bkt") === col("q_bkt"))
+        .select(col("q_id"), col("vec_id"), cos.as("cos_sim"))
+        .distinct()
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .orderBy(col("q_id"), col("rnk"))
     }),
 
     // Token frequency: tokenize → explode → stopword filter → count.
@@ -464,7 +591,7 @@ object Pipeline extends QueryPack {
     "q_dedup_embedding" ->
       """WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        |  FROM embeddings),
+        |  FROM embeddings WHERE vec_id < 1000),
         |n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e)
         |SELECT a.vec_id AS va, b.vec_id AS vb,
         |  list_inner_product(a.v, b.v) / (a.nrm * b.nrm) AS cos_sim
@@ -482,6 +609,22 @@ object Pipeline extends QueryPack {
         |FROM e CROSS JOIN q
         |WHERE vec_id <> 0
         |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
+
+    "q_similarity_batch" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, v AS qv, sqrt(list_inner_product(v, v)) AS q_nrm
+        |      FROM e WHERE vec_id < 10),
+        |s AS (SELECT q_id, vec_id,
+        |        list_inner_product(v, qv) / (sqrt(list_inner_product(v, v)) * q_nrm) AS cos_sim
+        |      FROM e CROSS JOIN q WHERE vec_id >= 10)
+        |SELECT q_id, vec_id, cos_sim, rnk FROM (
+        |  SELECT q_id, vec_id, cos_sim,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+        |      ORDER BY cos_sim DESC, vec_id) AS INT) AS rnk
+        |  FROM s) t
+        |WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin,
 
     "q_text_analysis" ->
       """SELECT token, COUNT(*) AS cnt FROM (

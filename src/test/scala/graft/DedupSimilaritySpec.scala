@@ -89,6 +89,98 @@ class DedupSimilaritySpec extends SparkTestBase {
     if (pairs.nonEmpty) assert(clusters.values.exists(c => clusters.count(_._2 == c) > 1))
   }
 
+  test("banded simhash equals the exact simhash pairs on the audit slice") {
+    val exact = q("q_dedup_simhash").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val banded = q("q_dedup_simhash_lsh").collect()
+    banded.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getInt(2) >= 0 && r.getInt(2) <= 4)
+    }
+    // 8 bands × 8 bits: any pair within hamming ≤ 7 shares a band, so
+    // for the hamming ≤ 4 predicate recall is exact — the uncapped
+    // query restricted to the audit slice must EQUAL the capped one.
+    val onSlice = banded.map(r => (r.getLong(0), r.getLong(1)))
+      .filter(p => p._1 < 100 && p._2 < 100).toSet
+    assert(onSlice == exact)
+    assert(banded.length >= exact.size) // uncapped covers the full corpus
+  }
+
+  test("bucketed embedding near-dup returns exact cosines from real collisions") {
+    GraftFunctions.register(spark)
+    val e = Tables.t(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        sqrt(GraftFunctions.dot_d(col("embedding"), col("embedding"))).as("nrm"))
+    val cos = GraftFunctions.dot_d(col("a.embedding"), col("b.embedding")) /
+      (col("a.nrm") * col("b.nrm"))
+    val allPairs = e.as("a").join(broadcast(e.as("b")), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"), cos.as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = q("q_dedup_embedding_lsh").collect()
+    assert(lsh.nonEmpty)
+    lsh.foreach { r =>
+      val k = (r.getLong(0), r.getLong(1))
+      assert(k._1 < k._2)
+      assert(allPairs(k) == r.getDouble(2), s"cosine mismatch for $k")
+    }
+    // candidates can't beat the true maximum
+    assert(lsh.map(_.getDouble(2)).max <= allPairs.values.max + 1e-15)
+  }
+
+  test("bucketed embedding near-dup finds a planted near-duplicate pair") {
+    // The sf tables are near-orthogonal noise (max cos ~0.5) — the
+    // regime sign-LSH is built for is high-cos near-dups, so plant one:
+    // two almost-identical vectors must collide in some bucket and rank
+    // first. This is the recall property that matters at 100 TB.
+    import spark.implicits._
+    val base = Tables.t(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect()
+    val v = Array.tabulate(64)(i => ((i * 37 % 19) - 9) / 10.0f)
+    val vDup = v.clone(); vDup(0) = vDup(0) + 1e-3f
+    val planted = (base.toSeq :+ (9001L, v) :+ (9002L, vDup)).toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft-planted").toString
+    planted.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val top = SparkEntry.queries("q_dedup_embedding_lsh")(spark, dir).collect()
+    assert(top.nonEmpty)
+    val found = top.filter(r => r.getLong(0) == 9001L && r.getLong(1) == 9002L)
+    assert(found.length == 1, "planted near-dup pair not surfaced by LSH buckets")
+    assert(found.head.getDouble(2) > 0.999)
+    assert(top.head.getLong(0) == 9001L && top.head.getLong(1) == 9002L,
+      "planted pair should rank first by cosine")
+  }
+
+  test("batch ANN results carry exact cosines and legal per-query ranks") {
+    val exact = q("q_similarity_batch").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val ann = q("q_similarity_batch_ann").collect()
+    assert(ann.nonEmpty)
+    // full exact scoring map for cross-check
+    GraftFunctions.register(spark)
+    val e = Tables.t(spark, sf, "embeddings")
+    val qv = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        sqrt(GraftFunctions.dot_d(col("embedding"), col("embedding"))).as("q_nrm"))
+    val all = e.filter(col("vec_id") >= 10).crossJoin(broadcast(qv))
+      .select(col("q_id"), col("vec_id"),
+        (GraftFunctions.dot_d(col("embedding"), col("q_emb")) /
+          (sqrt(GraftFunctions.dot_d(col("embedding"), col("embedding"))) * col("q_nrm")))
+          .as("cos"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val perQ = ann.groupBy(_.getLong(0))
+    perQ.foreach { case (qid, rows) =>
+      assert(rows.map(_.getInt(3)).sorted.sameElements(1 to rows.length),
+        s"ranks not contiguous for query $qid")
+      rows.foreach { r =>
+        assert(all((qid, r.getLong(1))) == r.getDouble(2),
+          s"cosine mismatch for (${qid}, ${r.getLong(1)})")
+      }
+      // per query, ANN's best candidate can't beat the exact best
+      val exactBest = exact.collect { case ((q, _), c) if q == qid => c }.max
+      assert(rows.map(_.getDouble(2)).max <= exactBest + 1e-15)
+    }
+  }
+
   test("multimodal decode is deterministic and partition-invariant") {
     import spark.implicits._
     val payloads = Tables.t(spark, sf, "documents")

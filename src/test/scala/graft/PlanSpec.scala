@@ -57,6 +57,27 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("dotproductd"), p)
   }
 
+  test("q_dedup_embedding's nested loop is capped at the scan (audit slice)") {
+    val p = plan("q_dedup_embedding")
+    assert(p.contains("LessThan(vec_id,1000)") || p.contains("vec_id#") && p.contains("< 1000"), p)
+  }
+
+  test("q_dedup_embedding_lsh joins candidates on (tbl,bkt) — no nested loop") {
+    val p = plan("q_dedup_embedding_lsh")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("q_dedup_simhash_lsh bands join by equality — no nested loop") {
+    val p = plan("q_dedup_simhash_lsh")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("q_similarity_batch: broadcast query side + WindowGroupLimit top-k") {
+    val p = plan("q_similarity_batch")
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("BroadcastExchange"), p)
+  }
+
   test("q_join_range is an equi-join on (user, bucket), not a nested loop") {
     val p = plan("q_join_range")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
