@@ -5,62 +5,203 @@ import org.apache.spark.sql.functions._
 
 import graft.engine.{QueryPack, Tables}
 
+/** Binary media container sniffing — pure-JVM magic-byte + header
+  * parsing, no external codecs. Formats: PNG (IHDR), JPEG (SOFn scan),
+  * GIF (logical screen descriptor), WAV (RIFF fmt chunk). Anything
+  * else is "unknown" with zeroed dimensions.
+  *
+  * This is real decoding of the container header (the part that needs
+  * no codec library); pixel/sample payload decoding stays a stub — see
+  * Multimodal.fakeFeatures.
+  */
+object MediaCodec {
+
+  final case class Meta(fmt: String, width: Int, height: Int,
+      sampleRate: Int, channels: Int)
+
+  private val Unknown = Meta("unknown", 0, 0, 0, 0)
+
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+  private def u16be(b: Array[Byte], i: Int): Int = (u8(b, i) << 8) | u8(b, i + 1)
+  private def u16le(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
+  private def u32be(b: Array[Byte], i: Int): Long =
+    (u8(b, i).toLong << 24) | (u8(b, i + 1) << 16) | (u8(b, i + 2) << 8) | u8(b, i + 3)
+  private def u32le(b: Array[Byte], i: Int): Long =
+    u8(b, i).toLong | (u8(b, i + 1).toLong << 8) | (u8(b, i + 2).toLong << 16) | (u8(b, i + 3).toLong << 24)
+
+  private def startsWith(b: Array[Byte], sig: Int*): Boolean =
+    b.length >= sig.length && sig.indices.forall(i => u8(b, i) == sig(i))
+
+  private def ascii(b: Array[Byte], i: Int, n: Int): String =
+    if (b.length >= i + n) new String(b, i, n, "US-ASCII") else ""
+
+  /** PNG: 8-byte signature, then the IHDR chunk (must be first):
+    * length(4) "IHDR" width(4 BE) height(4 BE). */
+  private def png(b: Array[Byte]): Meta =
+    if (b.length >= 24 && ascii(b, 12, 4) == "IHDR")
+      Meta("image/png", u32be(b, 16).toInt, u32be(b, 20).toInt, 0, 0)
+    else Unknown
+
+  /** JPEG: walk FF-prefixed segments from SOI to the first SOF0/1/2
+    * frame header: FF Cn len(2) precision(1) height(2 BE) width(2 BE). */
+  private def jpeg(b: Array[Byte]): Meta = {
+    var i = 2
+    while (i + 9 < b.length && u8(b, i) == 0xff) {
+      val marker = u8(b, i + 1)
+      if (marker == 0xc0 || marker == 0xc1 || marker == 0xc2)
+        return Meta("image/jpeg", u16be(b, i + 7), u16be(b, i + 5), 0, 0)
+      if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7)) i += 2
+      else i += 2 + u16be(b, i + 2)
+    }
+    Unknown
+  }
+
+  /** GIF87a/89a: width(2 LE) height(2 LE) at offset 6. */
+  private def gif(b: Array[Byte]): Meta =
+    if (b.length >= 10) Meta("image/gif", u16le(b, 6), u16le(b, 8), 0, 0)
+    else Unknown
+
+  /** WAV: RIFF....WAVE then chunk walk to "fmt ": channels(2 LE at +2)
+    * sampleRate(4 LE at +4) within the chunk body. */
+  private def wav(b: Array[Byte]): Meta = {
+    var i = 12
+    while (i + 8 <= b.length) {
+      val id = ascii(b, i, 4)
+      val sz = u32le(b, i + 4)
+      if (id == "fmt " && i + 16 <= b.length)
+        return Meta("audio/wav", 0, 0, u32le(b, i + 12).toInt, u16le(b, i + 10))
+      i += 8 + sz.toInt + (sz.toInt & 1) // chunks are word-aligned
+    }
+    Unknown
+  }
+
+  /** Sniff container format + header metadata from leading bytes. */
+  def sniff(b: Array[Byte]): Meta =
+    if (b == null || b.length < 10) Unknown
+    else if (startsWith(b, 0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)) png(b)
+    else if (startsWith(b, 0xff, 0xd8, 0xff)) jpeg(b)
+    else if (ascii(b, 0, 6) == "GIF87a" || ascii(b, 0, 6) == "GIF89a") gif(b)
+    else if (ascii(b, 0, 4) == "RIFF" && ascii(b, 8, 4) == "WAVE") wav(b)
+    else Unknown
+
+  // ---- header writers (test-fixture synthesis; the parsers above are
+  // the product surface, these make payloads the parsers must survive)
+
+  def pngHeader(w: Int, h: Int): Array[Byte] = {
+    val o = java.nio.ByteBuffer.allocate(33)
+    o.put(Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    o.putInt(13).put("IHDR".getBytes("US-ASCII")).putInt(w).putInt(h)
+    o.put(8.toByte).put(2.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+    o.putInt(0) // CRC not validated by the sniffer
+    o.array()
+  }
+
+  def jpegHeader(w: Int, h: Int): Array[Byte] = {
+    val o = java.nio.ByteBuffer.allocate(15)
+    o.put(Array(0xff, 0xd8).map(_.toByte))                      // SOI
+    o.put(Array(0xff, 0xc0).map(_.toByte)).putShort(11.toShort) // SOF0, len
+    o.put(8.toByte).putShort(h.toShort).putShort(w.toShort)
+    o.put(1.toByte)                                             // 1 component
+    o.put(1.toByte).put(0x11.toByte).put(0.toByte)              // comp spec
+    o.array()
+  }
+
+  def gifHeader(w: Int, h: Int): Array[Byte] = {
+    val o = java.nio.ByteBuffer.allocate(10).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    o.put("GIF89a".getBytes("US-ASCII")).putShort(w.toShort).putShort(h.toShort)
+    o.array()
+  }
+
+  def wavHeader(sampleRate: Int, channels: Int): Array[Byte] = {
+    val o = java.nio.ByteBuffer.allocate(28).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    o.put("RIFF".getBytes("US-ASCII")).putInt(20)
+    o.put("WAVE".getBytes("US-ASCII"))
+    o.put("fmt ".getBytes("US-ASCII")).putInt(8)
+    o.putShort(1.toShort).putShort(channels.toShort).putInt(sampleRate)
+    o.array()
+  }
+}
+
 /** Multimodal column plumbing (north star): opaque binary payloads +
   * typed metadata, decoded/feature-extracted per partition.
   *
-  * The decode step is a STUB — image/audio codecs are not available in
-  * this container — but everything Spark-side is real: binary column
-  * handling, case-class encoders, partition-parallel mapPartitions
-  * batch shape, and a deterministic fake "decoder" (seeded by a
-  * content hash) so results are reproducible and testable. Swapping
-  * `fakeDecode` for a JNI/ffmpeg/opencv call changes nothing in the
-  * plan shape.
+  * Header decode is REAL (MediaCodec: PNG/JPEG/GIF/WAV magic bytes +
+  * dimension/sample-rate parsing, pure JVM). Pixel/sample feature
+  * extraction remains a STUB — image/audio codec libraries are not in
+  * this container — as a deterministic content-hash feature vector;
+  * swapping `fakeFeatures` for a JNI/ffmpeg/opencv call changes
+  * nothing in the plan shape.
   *
   * Scale notes: decode is embarrassingly parallel per partition; the
   * binary column never shuffles (feature extraction happens before any
-  * wide op), and feature vectors (fixed 8 floats here) are the only
-  * thing that flows downstream.
+  * wide op), and only header metadata + fixed 8-float features flow
+  * downstream.
   */
 object Multimodal extends QueryPack {
 
   case class Payload(doc_id: Long, payload: Array[Byte])
   case class Features(doc_id: Long, n_bytes: Int, fmt: String,
-      width: Int, height: Int, features: Array[Float])
+      width: Int, height: Int, sample_rate: Int, channels: Int,
+      features: Array[Float])
 
-  /** STUB decoder: deterministic pseudo-features from a 64-bit FNV-1a
-    * content hash. Replace with a real codec at deployment; signature
-    * and batch shape stay identical. */
-  private[operators] def fakeDecode(p: Payload): Features = {
+  /** STUB feature extractor: deterministic pseudo-features from a
+    * 64-bit FNV-1a content hash. Replace with a real codec at
+    * deployment; signature and batch shape stay identical. */
+  private[operators] def fakeFeatures(payload: Array[Byte]): Array[Float] = {
     var h = 0xcbf29ce484222325L
     var i = 0
-    while (i < p.payload.length) {
-      h ^= (p.payload(i) & 0xffL); h *= 0x100000001b3L; i += 1
+    while (i < payload.length) {
+      h ^= (payload(i) & 0xffL); h *= 0x100000001b3L; i += 1
     }
-    def f(k: Int): Float = {
-      val v = h * (2654435761L + 2 * k) + k
+    val hf = h
+    Array.tabulate(8) { k =>
+      val v = hf * (2654435761L + 2 * k) + k
       ((v >>> 11).toDouble / (1L << 53).toDouble).toFloat
     }
-    Features(p.doc_id, p.payload.length, "fake/v1",
-      64 + (math.abs(h) % 512).toInt, 64 + (math.abs(h >> 9) % 512).toInt,
-      Array.tabulate(8)(f))
+  }
+
+  private[operators] def decode(p: Payload): Features = {
+    val m = MediaCodec.sniff(p.payload)
+    Features(p.doc_id, p.payload.length, m.fmt, m.width, m.height,
+      m.sampleRate, m.channels, fakeFeatures(p.payload))
   }
 
   def decodeFeatures(ds: Dataset[Payload]): Dataset[Features] = {
     import ds.sparkSession.implicits._
-    ds.mapPartitions(_.map(fakeDecode))
+    ds.mapPartitions(_.map(decode))
+  }
+
+  /** Deterministic media fixture per doc: real container headers
+    * (format by doc_id % 4, dimensions derived from doc_id) prepended
+    * to the document bytes. This is test-harness payload synthesis —
+    * the decode path above is what a user's real image/audio columns
+    * would hit. */
+  private[operators] def mediaPayload(docId: Long, text: Array[Byte]): Array[Byte] = {
+    val w = (docId % 512 + 1).toInt
+    val h = (docId % 384 + 1).toInt
+    val header = (docId % 4) match {
+      case 0 => MediaCodec.pngHeader(w, h)
+      case 1 => MediaCodec.jpegHeader(w, h)
+      case 2 => MediaCodec.gifHeader(w, h)
+      case _ => MediaCodec.wavHeader(8000 + (docId % 40000).toInt, 1 + (docId % 2).toInt)
+    }
+    header ++ text
   }
 
   override def queries: Map[String, Q] = Map(
-    // Binary payload → per-partition decode → feature stats. Rows-only
-    // check (decoder is engine-specific); determinism asserted in tests.
+    // Binary payload → per-partition header decode + feature stats.
+    // Rows-only check (binary synthesis is engine-specific); header
+    // fields are ground-truthed against the doc_id formula and real
+    // image literals in MultimodalSpec.
     "q_multimodal_decode" -> ((s, d) => {
       import s.implicits._
       val payloads = Tables.t(s, d, "documents")
         .select(col("doc_id"), col("text").cast("binary").as("payload"))
         .as[Payload]
+        .mapPartitions(_.map(p => Payload(p.doc_id, mediaPayload(p.doc_id, p.payload))))
       decodeFeatures(payloads).toDF()
         .select(col("doc_id"), col("n_bytes"), col("fmt"),
-          col("width"), col("height"),
+          col("width"), col("height"), col("sample_rate"), col("channels"),
           round(element_at(col("features"), 1).cast("double"), 6).as("f0"))
         .orderBy(col("doc_id"))
     })

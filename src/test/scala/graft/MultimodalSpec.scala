@@ -1,0 +1,77 @@
+package graft
+
+import graft.operators.{MediaCodec, Multimodal}
+
+/** Header-decode ground truth: real image literals + the synthesized
+  * fixture formula, against the pure-JVM MediaCodec sniffer. */
+class MultimodalSpec extends SparkTestBase {
+
+  // A real 1×1 PNG (the canonical 67-byte file, base64) — an actual
+  // image produced by an encoder, not a hand-built header.
+  private val realPng = java.util.Base64.getDecoder.decode(
+    "iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAYAAAAfFcSJAAAADUlEQVR42mP8z8BQDwAEhQGAhKmMIQAAAABJRU5ErkJggg==")
+
+  test("sniff parses a real PNG literal") {
+    val m = MediaCodec.sniff(realPng)
+    assert(m.fmt == "image/png" && m.width == 1 && m.height == 1, m)
+  }
+
+  test("sniff parses synthesized PNG/JPEG/GIF/WAV headers round-trip") {
+    assert(MediaCodec.sniff(MediaCodec.pngHeader(640, 480)) ==
+      MediaCodec.Meta("image/png", 640, 480, 0, 0))
+    assert(MediaCodec.sniff(MediaCodec.jpegHeader(123, 77) ++ Array[Byte](1, 2, 3)) ==
+      MediaCodec.Meta("image/jpeg", 123, 77, 0, 0))
+    assert(MediaCodec.sniff(MediaCodec.gifHeader(320, 200)) ==
+      MediaCodec.Meta("image/gif", 320, 200, 0, 0))
+    assert(MediaCodec.sniff(MediaCodec.wavHeader(44100, 2)) ==
+      MediaCodec.Meta("audio/wav", 0, 0, 44100, 2))
+  }
+
+  test("jpeg sniffer walks past intermediate segments to SOFn") {
+    // SOI + APP0 segment (16 bytes) + DQT-like segment, then SOF2
+    val app0 = Array[Byte](0xff.toByte, 0xe0.toByte, 0, 16) ++ Array.fill[Byte](14)(0)
+    val dqt = Array[Byte](0xff.toByte, 0xdb.toByte, 0, 4, 9, 9)
+    val sof2 = MediaCodec.jpegHeader(300, 150).drop(2) // strip SOI
+      .updated(1, 0xc2.toByte)
+    val bytes = Array[Byte](0xff.toByte, 0xd8.toByte) ++ app0 ++ dqt ++ sof2
+    val m = MediaCodec.sniff(bytes)
+    assert(m.fmt == "image/jpeg" && m.width == 300 && m.height == 150, m)
+  }
+
+  test("sniff rejects junk and truncated input") {
+    assert(MediaCodec.sniff(null).fmt == "unknown")
+    assert(MediaCodec.sniff("hello world!!!".getBytes).fmt == "unknown")
+    assert(MediaCodec.sniff(realPng.take(10)).fmt == "unknown")
+    // PNG signature but a non-IHDR first chunk
+    val bad = realPng.clone(); bad(13) = 'X'.toByte
+    assert(MediaCodec.sniff(bad).fmt == "unknown")
+  }
+
+  test("q_multimodal_decode headers match the doc_id fixture formula") {
+    val rows = q("q_multimodal_decode").collect()
+    assert(rows.length > 0)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val (fmt, w, h, sr, ch) =
+        (r.getString(2), r.getInt(3), r.getInt(4), r.getInt(5), r.getInt(6))
+      (id % 4) match {
+        case 0 => assert(fmt == "image/png" &&
+          w == (id % 512 + 1) && h == (id % 384 + 1), s"doc $id")
+        case 1 => assert(fmt == "image/jpeg" &&
+          w == (id % 512 + 1) && h == (id % 384 + 1), s"doc $id")
+        case 2 => assert(fmt == "image/gif" &&
+          w == (id % 512 + 1) && h == (id % 384 + 1), s"doc $id")
+        case _ => assert(fmt == "audio/wav" &&
+          sr == 8000 + (id % 40000) && ch == 1 + (id % 2), s"doc $id")
+      }
+    }
+  }
+
+  test("decode of a real PNG payload in the Spark path") {
+    import spark.implicits._
+    val ds = Seq(Multimodal.Payload(1L, realPng)).toDS()
+    val f = Multimodal.decodeFeatures(ds).collect().head
+    assert(f.fmt == "image/png" && f.width == 1 && f.height == 1 &&
+      f.n_bytes == realPng.length)
+  }
+}

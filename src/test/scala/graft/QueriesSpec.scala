@@ -22,7 +22,8 @@ class QueriesSpec extends SparkTestBase {
   test("non-oracled queries are the expected sketch/stub set") {
     val unoracled = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(unoracled == Set("q_agg_approx_distinct", "q_dedup_minhash",
-      "q_dedup_simhash", "q_similarity_ann", "q_multimodal_decode",
+      "q_dedup_simhash", "q_dedup_simhash_lsh", "q_dedup_embedding_lsh",
+      "q_similarity_ann", "q_similarity_batch_ann", "q_multimodal_decode",
       "q_dedup_cluster"))
   }
 
