@@ -100,6 +100,56 @@ class SourcesSpec extends SparkTestBase {
     assert(overlap.map(_.getString(0)).toSeq == Seq("AAPL"))
   }
 
+  test("Acquire: click-download analog lands opaque files and claims by mtime (A6)") {
+    import graft.sources.Acquire
+    val src = tmpDir("vansrc")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$src/equity-fund-download.csv"),
+      "ticker,weight\nAAPL,7.1\n")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$src/bond-fund-download.csv"),
+      "ticker,weight\nT10Y,3.2\nT30Y,2.9\n")
+    val staging = tmpDir("vanstage")
+    val landing = tmpDir("vanland")
+    val catalog = Seq(
+      ("IE00EQ1", s"file://$src/equity-fund-download.csv"),
+      ("IE00BD2", s"file://$src/bond-fund-download.csv"),
+      ("IE00XX3", s"file://$src/missing.csv"))
+      .toDF("isin", "url")
+    val res = Acquire.acquireAll(spark, catalog, staging, landing).collect()
+    assert(res.count(_.getAs[Boolean]("ok")) == 2)
+    val bad = res.filter(!_.getAs[Boolean]("ok"))
+    assert(bad.length == 1 && bad(0).getAs[String]("isin") == "IE00XX3" &&
+      bad(0).getAs[String]("error").nonEmpty)
+    // landed files are keyed {isin}.{ext}; staging is fully claimed
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$landing/IE00EQ1.csv")))
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$landing/IE00BD2.csv")))
+    assert(java.nio.file.Files.list(java.nio.file.Paths.get(staging)).count() == 0)
+    // and flow straight into the holdings ingest path
+    val holdings = Holdings.readHoldings(spark, landing)
+    assert(holdings.select("isin").distinct().collect().map(_.getString(0)).sorted
+      .sameElements(Array("IE00BD2", "IE00EQ1")))
+  }
+
+  test("Acquire.claimLatest takes the newest staging file (reference rename)") {
+    import graft.sources.Acquire
+    val staging = tmpDir("clstage")
+    val landing = tmpDir("clland")
+    val older = java.nio.file.Paths.get(s"$staging/download-a.xlsx")
+    val newer = java.nio.file.Paths.get(s"$staging/download-b.csv")
+    java.nio.file.Files.writeString(older, "old")
+    java.nio.file.Files.writeString(newer, "new")
+    older.toFile.setLastModified(1000000000000L)
+    newer.toFile.setLastModified(1700000000000L)
+    val claimed = Acquire.claimLatest(staging, "IE00ZZZ", landing)
+    assert(claimed.exists(_.toString.endsWith("IE00ZZZ.csv")))
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$landing/IE00ZZZ.csv")) == "new")
+    // the older file stays staged; empty staging yields None
+    assert(java.nio.file.Files.exists(older))
+    assert(Acquire.claimLatest(tmpDir("empty"), "IE00ZZZ", landing).isEmpty)
+  }
+
   test("DSv2 products source reads keyed-object catalog json") {
     import graft.catalog.Catalog
     val silver = Catalog.normalizeIShares(Seq(
