@@ -416,6 +416,62 @@ object Pipeline extends QueryPack {
         .limit(10)
     }),
 
+    // IVF-style ANN: k-means coarse quantizer (k=16 cells, 2 Lloyd
+    // rounds) fit in-plan, then the query probes its nprobe=4 nearest
+    // cells and candidates arrive through an equi-join on cell id —
+    // the partition-pruning ANN family, complementary to the sign-LSH
+    // tables above. Everything is deterministic: seeds are hash-ranked
+    // vectors, cell means aggregate as exact decimals (order-
+    // independent), distance ties break by cell id. At 100 TB the
+    // quantizer would fit on a hash-sample and the corpus would be
+    // written bucketed by cell id (Layout.bucketed) so probes prune
+    // files; the in-plan fit keeps the query self-contained here.
+    // Rows-only (clustering is engine-specific); exactness of the
+    // re-rank + determinism + planted-dup recall in ScalaTest.
+    "q_similarity_ivf" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val k = 16; val nprobe = 4; val rounds = 2
+      val e = Tables.t(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding"),
+          sqrt(GraftFunctions.dot_d(col("embedding"), col("embedding"))).as("nrm"))
+        .cache()
+      def sqDist = GraftFunctions.dot_d(col("embedding"), col("embedding")) -
+        lit(2.0) * GraftFunctions.dot_d(col("embedding"), col("cvec")) +
+        GraftFunctions.dot_d(col("cvec"), col("cvec"))
+      def assign(cents: DataFrame): DataFrame =
+        e.crossJoin(broadcast(cents))
+          .groupBy(col("vec_id").as("a_vid"))
+          .agg(min(struct(sqDist.as("dist"), col("cid"))).as("m"))
+          .select(col("a_vid").as("vec_id"), col("m.cid").as("cid"))
+      var cents = e.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(k)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      (1 to rounds).foreach { _ =>
+        cents = assign(cents)
+          .join(e, Seq("vec_id"))
+          .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "v")))
+          .groupBy(col("cid"), col("pos"))
+          .agg(avg(col("v").cast("decimal(28,10)")).cast("double").as("mv"))
+          .groupBy(col("cid"))
+          .agg(transform(array_sort(collect_list(struct(col("pos"), col("mv")))),
+            x => x.getField("mv").cast("float")).as("cvec"))
+      }
+      val cells = assign(cents)
+      val qCells = e.filter(col("vec_id") === 0).crossJoin(broadcast(cents))
+        .orderBy(sqDist, col("cid")).limit(nprobe)
+        .select(col("cid"))
+      val qv = e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+      val cos = GraftFunctions.dot_d(col("embedding"), col("q_emb")) /
+        (col("nrm") * col("q_nrm"))
+      e.join(cells, Seq("vec_id"))
+        .join(broadcast(qCells), Seq("cid"))
+        .filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(qv))
+        .select(col("vec_id"), cos.as("cos_sim"))
+        .orderBy(desc("cos_sim"), col("vec_id"))
+        .limit(10)
+    }),
+
     // Batch similarity scoring, exact: a query TABLE (vec_id < 10)
     // against the corpus (vec_id >= 10), top-3 per query vector. The
     // small query side broadcasts — the corpus never shuffles — and
@@ -466,6 +522,24 @@ object Pipeline extends QueryPack {
         .withColumn("rnk", row_number().over(w))
         .filter(col("rnk") <= 3)
         .orderBy(col("q_id"), col("rnk"))
+    }),
+
+    // BPE-ish pre-tokenization (GPT-2-style split, simplified to a
+    // lookahead-free pattern Java regex and RE2 agree on): runs of
+    // letters / digits / other, each with an optional leading space.
+    // The real token-count path for training-mix budgeting — the
+    // n_chars/4 estimate in q_text_quality is the cheap proxy.
+    "q_token_count" -> ((s, d) => {
+      val pat = lit(" ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+")
+      val toks = regexp_extract_all(col("text"), pat, lit(0))
+      Tables.t(s, d, "documents")
+        .select(col("doc_id"), col("n_chars"), toks.as("toks"))
+        .select(col("doc_id"), col("n_chars"),
+          size(col("toks")).cast("int").as("n_bpe_tokens"),
+          size(array_distinct(col("toks"))).cast("int").as("n_distinct_tokens"))
+        .withColumn("chars_per_token",
+          col("n_chars").cast("double") / col("n_bpe_tokens"))
+        .orderBy(col("doc_id"))
     }),
 
     // Token frequency: tokenize → explode → stopword filter → count.
@@ -632,6 +706,17 @@ object Pipeline extends QueryPack {
         |      ORDER BY cos_sim DESC, vec_id) AS INT) AS rnk
         |  FROM s) t
         |WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin,
+
+    "q_token_count" ->
+      """WITH t AS (
+        |  SELECT doc_id, n_chars,
+        |    regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+', 0) AS toks
+        |  FROM documents)
+        |SELECT doc_id, n_chars,
+        |  CAST(len(toks) AS INT) AS n_bpe_tokens,
+        |  CAST(len(list_distinct(toks)) AS INT) AS n_distinct_tokens,
+        |  CAST(n_chars AS DOUBLE) / len(toks) AS chars_per_token
+        |FROM t ORDER BY doc_id""".stripMargin,
 
     "q_text_analysis" ->
       """SELECT token, COUNT(*) AS cnt FROM (

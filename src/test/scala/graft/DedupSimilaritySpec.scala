@@ -181,6 +181,49 @@ class DedupSimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("IVF ANN: exact cosines, deterministic across runs, bounded by brute force") {
+    val ivf1 = q("q_similarity_ivf").collect()
+    val ivf2 = q("q_similarity_ivf").collect()
+    assert(ivf1.nonEmpty)
+    assert(ivf1.map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      ivf2.map(r => (r.getLong(0), r.getDouble(1))).toSeq,
+      "IVF result must be run-deterministic")
+    GraftFunctions.register(spark)
+    val e = Tables.t(spark, sf, "embeddings")
+    val qv = e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("q_emb"),
+        sqrt(GraftFunctions.dot_d(col("embedding"), col("embedding"))).as("q_nrm"))
+    val all = e.crossJoin(broadcast(qv)).filter(col("vec_id") =!= 0)
+      .select(col("vec_id"),
+        (GraftFunctions.dot_d(col("embedding"), col("q_emb")) /
+          (sqrt(GraftFunctions.dot_d(col("embedding"), col("embedding"))) * col("q_nrm")))
+          .as("cos"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    ivf1.foreach { r =>
+      assert(all(r.getLong(0)) == r.getDouble(1),
+        s"IVF cosine mismatch for vec ${r.getLong(0)}")
+    }
+    assert(ivf1.map(_.getDouble(1)).max <= all.values.max + 1e-15)
+  }
+
+  test("IVF ANN finds a planted near-duplicate of the query vector") {
+    // an almost-copy of vec 0 must land in vec 0's own cell (identical
+    // vectors share a nearest centroid) and rank first on re-rank
+    import spark.implicits._
+    val base = Tables.t(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect()
+    val v0 = base.find(_._1 == 0L).get._2
+    val vDup = v0.clone(); vDup(0) = vDup(0) + 1e-3f
+    val planted = (base.toSeq :+ (9001L, vDup)).toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    planted.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val top = SparkEntry.queries("q_similarity_ivf")(spark, dir).collect()
+    assert(top.nonEmpty)
+    assert(top.head.getLong(0) == 9001L && top.head.getDouble(1) > 0.999,
+      s"planted dup should rank first, got ${top.head}")
+  }
+
   test("multimodal decode is deterministic and partition-invariant") {
     import spark.implicits._
     val payloads = Tables.t(spark, sf, "documents")
