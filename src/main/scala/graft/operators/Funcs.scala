@@ -152,6 +152,22 @@ object Funcs extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Edit-distance fuzzy match (A15 confront fallback, crocus
+    // catalog name matching): all-pairs levenshtein on an audit slice
+    // (quadratic by nature — capped like q_dedup_ngram; the scale path
+    // for name matching is the token-Jaccard blocking in
+    // Catalog.fuzzyMatch, which joins on shared tokens).
+    "q_fuzzy_match" -> ((s, d) => {
+      val p = Tables.t(s, d, "part").filter(col("p_partkey") <= 200)
+        .select(col("p_partkey"), col("p_name"))
+      p.as("a").join(p.as("b"),
+          col("a.p_partkey") < col("b.p_partkey") &&
+            levenshtein(col("a.p_name"), col("b.p_name")) <= 3)
+        .select(col("a.p_partkey").as("ka"), col("b.p_partkey").as("kb"),
+          levenshtein(col("a.p_name"), col("b.p_name")).as("dist"))
+        .orderBy(col("ka"), col("kb"))
+    }),
+
     // Generator surface: positional array explode.
     "q_explode_pos" -> ((s, d) => {
       Tables.t(s, d, "embeddings")
@@ -290,6 +306,15 @@ object Funcs extends QueryPack {
         |  REVERSE(b.p_name) AS name_rev
         |FROM part a JOIN part b ON a.p_partkey = b.p_partkey - 1
         |ORDER BY k""".stripMargin,
+
+    "q_fuzzy_match" ->
+      """SELECT a.p_partkey AS ka, b.p_partkey AS kb,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+        |FROM part a JOIN part b
+        |  ON a.p_partkey < b.p_partkey
+        |  AND levenshtein(a.p_name, b.p_name) <= 3
+        |WHERE a.p_partkey <= 200 AND b.p_partkey <= 200
+        |ORDER BY ka, kb""".stripMargin,
 
     "q_array_funcs2" ->
       """SELECT vec_id,

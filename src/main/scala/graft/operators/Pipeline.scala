@@ -185,6 +185,34 @@ object Pipeline extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // The curation funnel end-to-end: exact dedup (keep-best) →
+    // quality gate → per-language doc/token budget. One plan, the
+    // whole training-data pipeline in miniature: the window dedup
+    // rewrites to min_by (RankFilterToAggregate), the quality gate is
+    // a codegen'd scan filter, and the final agg is map-side partial.
+    "q_curation_funnel" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("norm_hash"))
+        .orderBy(desc("n_chars"), col("doc_id"))
+      val toks = filter(split(lower(col("text")), " "), t => t =!= "")
+      val deduped = Tables.t(s, d, "documents")
+        .withColumn("norm_hash", md5(lower(trim(col("text")))))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("text"))
+      deduped
+        .withColumn("n_tokens", size(toks).cast("int"))
+        .withColumn("chars_per_token",
+          col("n_chars").cast("double") / col("n_tokens"))
+        .filter(col("n_tokens") >= 20 && col("chars_per_token").between(3, 8))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(ceil(col("n_chars").cast("double") / 4).cast("long")).as("token_budget"),
+          (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"))
+        .orderBy(col("lang"))
+    }),
+
     // Per-language corpus statistics (training-mix reporting).
     "q_text_stats_by_lang" -> ((s, d) => {
       Tables.t(s, d, "documents")
@@ -619,6 +647,26 @@ object Pipeline extends QueryPack {
         |      ORDER BY n_chars DESC, doc_id) AS rn
         |  FROM documents) t
         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    "q_curation_funnel" ->
+      """WITH dd AS (
+        |  SELECT doc_id, lang, n_chars, text FROM (
+        |    SELECT doc_id, lang, n_chars, text,
+        |      ROW_NUMBER() OVER (PARTITION BY md5(lower(trim(text)))
+        |        ORDER BY n_chars DESC, doc_id) AS rn
+        |    FROM documents) t
+        |  WHERE rn = 1),
+        |q AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    CAST(len(list_filter(str_split(lower(text), ' '), x -> x <> '')) AS INT) AS n_tokens
+        |  FROM dd)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(CAST(CEIL(CAST(n_chars AS DOUBLE) / 4) AS BIGINT)) AS BIGINT) AS token_budget,
+        |  CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
+        |FROM q
+        |WHERE n_tokens >= 20
+        |  AND CAST(n_chars AS DOUBLE) / n_tokens BETWEEN 3 AND 8
+        |GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q_text_stats_by_lang" ->
       """SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars,

@@ -40,7 +40,7 @@ import org.apache.spark.sql.types._
   * (functions.GraftFunctions.register). Generalizes the reference's
   * argmax-by-mtime (crocus base_scraper.py:96) at engine level.
   */
-object RankFilterToAggregate extends Rule[LogicalPlan] {
+object RankFilterToAggregate extends Rule[LogicalPlan] with PredicateHelper {
 
   private def isTop1(cond: Expression, rn: Attribute): Boolean = cond match {
     case EqualTo(a: Attribute, IntegerLiteral(1)) => a.semanticEquals(rn)
@@ -68,11 +68,21 @@ object RankFilterToAggregate extends Rule[LogicalPlan] {
     }
   }
 
+  /** The filter may be a conjunction (Catalyst collapses adjacent
+    * filters): exactly the rn=1 conjunct drives the rewrite; the rest
+    * stay in a Filter ABOVE the aggregate — `WHERE rn=1 AND q` means
+    * "apply q to each key's winner", which is what Filter-over-
+    * Aggregate computes. Residual conjuncts must not reference rn. */
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case Filter(cond,
         w @ Window(Seq(alias @ Alias(WindowExpression(RowNumber(), _), _)),
           partitionSpec, orderSpec, child, _))
-        if isTop1(cond, alias.toAttribute) &&
+        if {
+          val rn = alias.toAttribute
+          val conjuncts = splitConjunctivePredicates(cond)
+          conjuncts.exists(isTop1(_, rn)) &&
+          conjuncts.filterNot(isTop1(_, rn))
+            .forall(c => !c.references.contains(rn)) &&
           orderSpec.nonEmpty &&
           // nonEmpty: a global (no PARTITION BY) rewrite would turn the
           // empty-input case from zero rows into one all-null agg row
@@ -80,8 +90,10 @@ object RankFilterToAggregate extends Rule[LogicalPlan] {
           partitionSpec.forall(_.isInstanceOf[AttributeReference]) &&
           orderSpec.forall(_.child.deterministic) &&
           orderSpec.forall(so => sortKeyFields(so).isDefined) &&
-          child.output.nonEmpty =>
+          child.output.nonEmpty
+        } =>
       val rnAttr = alias.toAttribute
+      val rest = splitConjunctivePredicates(cond).filterNot(isTop1(_, rnAttr))
       val childOut = child.output
       val keyStruct = CreateStruct(orderSpec.flatMap(so => sortKeyFields(so).get))
       val valueStruct = CreateStruct(childOut)
@@ -94,6 +106,7 @@ object RankFilterToAggregate extends Rule[LogicalPlan] {
           else Alias(GetStructField(minBy, i, Some(a.name)), a.name)(
             exprId = a.exprId)
       } :+ Alias(Literal(1), rnAttr.name)(exprId = rnAttr.exprId)
-      Aggregate(partitionSpec, aggExprs, child)
+      val agg = Aggregate(partitionSpec, aggExprs, child)
+      if (rest.isEmpty) agg else Filter(rest.reduce(And), agg)
   }
 }

@@ -78,6 +78,13 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("BroadcastExchange"), p)
   }
 
+  test("q_curation_funnel: dedup rewrites to aggregate, one partial-agg funnel") {
+    val p = plan("q_curation_funnel")
+    assert(!p.contains("Window"), p) // RankFilterToAggregate fired
+    assert(p.contains("partial_min_by") || p.contains("partial_minby") ||
+      p.contains("min_by"), p)
+  }
+
   test("q_join_range is an equi-join on (user, bucket), not a nested loop") {
     val p = plan("q_join_range")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
@@ -128,6 +135,34 @@ class PlanSpec extends SparkTestBase {
     val p = plan("q_dedup_keep_best")
     assert(!p.contains("Window"), p)
     assert(p.contains("partial_min_by") || p.contains("min_by"), p)
+  }
+
+  test("RankFilterToAggregate handles conjunctive filters (rn=1 AND residual)") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val df = Seq((1L, 10, "a"), (2L, 10, "a"), (3L, 2, "b"), (4L, 7, "c"))
+      .toDF("id", "score", "grp")
+    // residual predicate applies to each key's WINNER, not pre-dedup
+    val got = df
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("grp")).orderBy(desc("score"), col("id"))))
+      .filter(col("rn") === 1 && col("score") >= 5)
+      .orderBy(col("grp"))
+    assert(!got.queryExecution.executedPlan.toString.contains("Window"),
+      got.queryExecution.executedPlan.toString)
+    assert(got.select(col("id"), col("grp")).collect().map(r =>
+      (r.getLong(0), r.getString(1))).toSeq == Seq((1L, "a"), (4L, "c")))
+    // residual referencing rn: ConstantPropagation folds rn→1 in the
+    // sibling conjunct before this rule runs, making the rewrite legal
+    // — only the semantics are pinned here (the rule's own rn-reference
+    // guard covers orderings where propagation hasn't happened)
+    val rnRef = df
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("grp")).orderBy(desc("score"), col("id"))))
+      .filter(col("rn") === 1 && col("rn") + col("score") > 0)
+    assert(rnRef.count() == 3)
   }
 
   test("RankFilterToAggregate preserves window-dedup semantics (rule off vs on)") {
