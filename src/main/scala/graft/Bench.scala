@@ -65,7 +65,7 @@ object Bench {
     // wall is reported — this box shares hardware with co-tenants and
     // single-pass walls swing ±40% with outside load.
     val streams = sys.env.getOrElse("SPARK_GRAFT_BENCH_STREAMS", "8").toInt
-    val concPasses = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONC_PASSES", "2").toInt
+    val concPasses = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONC_PASSES", "3").toInt
     val pool = java.util.concurrent.Executors.newFixedThreadPool(streams)
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutorService(pool)
