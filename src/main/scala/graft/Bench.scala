@@ -72,7 +72,15 @@ object Bench {
     val wall = (1 to concPasses).map { _ =>
       val w0 = System.nanoTime()
       val futs = selected.toSeq.map { case (n, f) =>
-        scala.concurrent.Future(runOne(n, f))
+        scala.concurrent.Future {
+          // per-thread pool: with scheduler.mode=FAIR, pools are fair-
+          // shared against each other (jobs within one stream stay
+          // FIFO, which is what a stream means). Without this every
+          // job lands in the single default pool, which is FIFO.
+          spark.sparkContext.setLocalProperty("spark.scheduler.pool",
+            Thread.currentThread().getName)
+          runOne(n, f)
+        }
       }
       scala.concurrent.Await.result(
         scala.concurrent.Future.sequence(futs),
@@ -80,11 +88,13 @@ object Bench {
       (System.nanoTime() - w0) / 1e9
     }.min
     pool.shutdown()
+    val failed = seq.collect { case (n, v) if v < 0 => n }.toSeq.sorted
 
     val qs = seq.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + round3(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"wall_${streams}streams_warm","value":${round3(wall)},"unit":"sec","seq_total":${round3(seqTotal)},"queries":$qs,"sf":"$sfDir","n_queries":${seq.size},"cpus":$cpus,"passes":$passes,"note":"noop-sink writes; value=min-of-$concPasses concurrent wall over warm session (shared box, outside load swings walls +-40pct); queries=warm sequential secs"}""")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"wall_${streams}streams_warm","value":${round3(wall)},"unit":"sec","seq_total":${round3(seqTotal)},"n_failed":${failed.size},"failed":$failedJson,"queries":$qs,"sf":"$sfDir","n_queries":${seq.size},"cpus":$cpus,"passes":$passes,"note":"noop-sink writes; value=min-of-$concPasses concurrent wall over warm session (shared box, outside load swings walls +-40pct); queries=warm sequential secs; failed queries time as -1"}""")
     spark.stop()
   }
 }

@@ -8,6 +8,8 @@ object Verify {
     val sfDir = args(0)
     val outDir = args(1)
     val only = args.drop(2).toSet // optional query-name filter (local iteration)
+    val unknown = only -- SparkEntry.queries.keySet
+    require(unknown.isEmpty, s"unknown query names: ${unknown.mkString(", ")}")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -62,15 +62,20 @@ object MediaCodec {
     else Unknown
 
   /** WAV: RIFF....WAVE then chunk walk to "fmt ": channels(2 LE at +2)
-    * sampleRate(4 LE at +4) within the chunk body. */
+    * sampleRate(4 LE at +4) within the chunk body. Chunk sizes are
+    * attacker-controlled bytes: kept as Long and bounds-checked so a
+    * corrupt size can never step backwards (infinite loop) or overflow
+    * to a negative index (crash) — sniff() must return "unknown" for
+    * junk, not hang the task. */
   private def wav(b: Array[Byte]): Meta = {
-    var i = 12
+    var i = 12L
     while (i + 8 <= b.length) {
-      val id = ascii(b, i, 4)
-      val sz = u32le(b, i + 4)
+      val ii = i.toInt
+      val id = ascii(b, ii, 4)
+      val sz = u32le(b, ii + 4)
       if (id == "fmt " && i + 16 <= b.length)
-        return Meta("audio/wav", 0, 0, u32le(b, i + 12).toInt, u16le(b, i + 10))
-      i += 8 + sz.toInt + (sz.toInt & 1) // chunks are word-aligned
+        return Meta("audio/wav", 0, 0, u32le(b, ii + 12).toInt, u16le(b, ii + 10))
+      i += 8 + sz + (sz & 1) // word-aligned; sz unsigned via Long
     }
     Unknown
   }

@@ -24,6 +24,14 @@ import graft.functions.GraftFunctions
   *    brute-force top-k broadcasts the single query vector (no
   *    shuffle); the ANN variant prunes by random-hyperplane bucket.
   *
+  * Cache scope: the .cache() calls on small derived tables (minhash /
+  * simhash signatures, IVF embeddings) are session-scoped by the
+  * query-builder contract — builders return un-materialized DataFrames,
+  * so there is no post-action hook to unpersist from. At 100 TB the
+  * pipeline runner owns materialization and should unpersist (or
+  * checkpoint) after each stage; the CacheManager dedups re-built
+  * plans, so repeated builds don't stack copies.
+  *
   * MinHash is a custom expression composition rather than MLlib's
   * MinHashLSH (SURVEY.md §4.3 considered both): the SQL-native form
   * needs no fitted model state, keeps seeds explicit in the plan
@@ -565,8 +573,11 @@ object Pipeline extends QueryPack {
         .select(col("doc_id"), col("n_chars"),
           size(col("toks")).cast("int").as("n_bpe_tokens"),
           size(array_distinct(col("toks"))).cast("int").as("n_distinct_tokens"))
+        // zero-token docs (empty/whitespace text): NULL ratio, not a
+        // Spark-ANSI DIVIDE_BY_ZERO crash (NULLIF mirrored in oracle)
         .withColumn("chars_per_token",
-          col("n_chars").cast("double") / col("n_bpe_tokens"))
+          col("n_chars").cast("double") /
+            when(col("n_bpe_tokens") === 0, lit(null)).otherwise(col("n_bpe_tokens")))
         .orderBy(col("doc_id"))
     }),
 
@@ -763,7 +774,7 @@ object Pipeline extends QueryPack {
         |SELECT doc_id, n_chars,
         |  CAST(len(toks) AS INT) AS n_bpe_tokens,
         |  CAST(len(list_distinct(toks)) AS INT) AS n_distinct_tokens,
-        |  CAST(n_chars AS DOUBLE) / len(toks) AS chars_per_token
+        |  CAST(n_chars AS DOUBLE) / NULLIF(len(toks), 0) AS chars_per_token
         |FROM t ORDER BY doc_id""".stripMargin,
 
     "q_text_analysis" ->

@@ -1,6 +1,5 @@
 package graft.sources
 
-import java.io.BufferedInputStream
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -32,8 +31,10 @@ object Acquire {
     * reference's glob+max has no tiebreak at all. None if staging is
     * empty (the reference logs and returns False). */
   def claimLatest(stagingDir: String, key: String, landingDir: String): Option[Path] = {
-    val staged = Files.list(Paths.get(stagingDir)).toArray.map(_.asInstanceOf[Path])
-      .filter(Files.isRegularFile(_))
+    val listing = Files.list(Paths.get(stagingDir))
+    val staged =
+      try listing.toArray.map(_.asInstanceOf[Path]).filter(Files.isRegularFile(_))
+      finally listing.close()
     if (staged.isEmpty) None
     else {
       val latest = staged.maxBy(p =>
@@ -51,7 +52,10 @@ object Acquire {
   }
 
   /** Stream one url into staging under an opaque browser-style name
-    * (`download-<n>.<ext>` — the reference never controls this name). */
+    * (`download-<n>.<ext>` — the reference never controls this name).
+    * Delegates to HttpSource.fetchOne, which deletes the partial file
+    * on failure — a half-download left in staging would be claimed as
+    * the NEXT product's data by the mtime argmax. */
   private def fetchOpaque(url: String, stagingDir: String, seq: Int): Path = {
     val ext = url.lastIndexOf('.') match {
       case -1 => "csv"
@@ -59,12 +63,7 @@ object Acquire {
         if (e.nonEmpty && e.length <= 4) e else "csv"
     }
     val dest = Paths.get(stagingDir, s"download-$seq.$ext")
-    val conn = new java.net.URL(url).openConnection()
-    conn.setConnectTimeout(20000) // reference's 20s wait, base_scraper.py:68
-    conn.setReadTimeout(20000)
-    val in = new BufferedInputStream(conn.getInputStream)
-    try Files.copy(in, dest, StandardCopyOption.REPLACE_EXISTING)
-    finally in.close()
+    HttpSource.fetchOne(url, dest.toString)
     dest
   }
 

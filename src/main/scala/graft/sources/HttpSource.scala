@@ -24,6 +24,30 @@ object HttpSource {
   case class FetchResult(url: String, dest: String, bytes: Long,
       ok: Boolean, error: String)
 
+  /** Stream one url to dest. On ANY failure the partial file is
+    * deleted before rethrowing — a half-written download must never
+    * be observable (Acquire's claim-by-mtime would adopt it). */
+  private[sources] def fetchOne(url: String, dest: String): Long = {
+    try {
+      val conn = new java.net.URL(url).openConnection()
+      conn.setConnectTimeout(20000) // reference's 20s wait, base_scraper.py:68
+      conn.setReadTimeout(20000)
+      val in = new BufferedInputStream(conn.getInputStream)
+      val out = new FileOutputStream(dest)
+      try {
+        val buf = new Array[Byte](64 * 1024)
+        var n = in.read(buf)
+        var total = 0L
+        while (n >= 0) { out.write(buf, 0, n); total += n; n = in.read(buf) }
+        total
+      } finally { in.close(); out.close() }
+    } catch {
+      case e: Exception =>
+        Files.deleteIfExists(Paths.get(dest))
+        throw e
+    }
+  }
+
   /** Fetch each (url, filename) row into destDir. Supports any
     * java.net.URL scheme (http/https/file). */
   def fetchAll(urls: DataFrame, destDir: String, parallelism: Int = 4,
@@ -38,20 +62,8 @@ object HttpSource {
       it.map { case (url, filename) =>
         if (delayMs > 0) Thread.sleep(delayMs)
         val dest = s"$destDir/$filename"
-        try {
-          val conn = new java.net.URL(url).openConnection()
-          conn.setConnectTimeout(20000) // reference's 20s wait, base_scraper.py:68
-          conn.setReadTimeout(20000)
-          val in = new BufferedInputStream(conn.getInputStream)
-          val out = new FileOutputStream(dest)
-          try {
-            val buf = new Array[Byte](64 * 1024)
-            var n = in.read(buf)
-            var total = 0L
-            while (n >= 0) { out.write(buf, 0, n); total += n; n = in.read(buf) }
-            FetchResult(url, dest, total, ok = true, null)
-          } finally { in.close(); out.close() }
-        } catch {
+        try FetchResult(url, dest, fetchOne(url, dest), ok = true, null)
+        catch {
           case e: Exception => FetchResult(url, dest, 0L, ok = false,
             s"${e.getClass.getSimpleName}: ${e.getMessage}")
         }

@@ -224,6 +224,23 @@ class DedupSimilaritySpec extends SparkTestBase {
       s"planted dup should rank first, got ${top.head}")
   }
 
+  test("q_token_count: zero-token docs yield NULL ratio, not an ANSI crash") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "hello world, 42!", "en", 16L, "s"),
+      (2L, "   ", "en", 3L, "s"),
+      (3L, "", "en", 0L, "s"))
+      .toDF("doc_id", "text", "lang", "n_chars", "source")
+    val dir = java.nio.file.Files.createTempDirectory("graft-tok").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("q_token_count")(spark, dir).collect()
+    assert(rows.length == 3)
+    val byId = rows.map(r => r.getLong(0) -> r).toMap
+    assert(byId(1L).getInt(2) == 5) // hello | _world | , | _42 | !
+    assert(byId(2L).getInt(2) == 0 && byId(2L).isNullAt(4))
+    assert(byId(3L).getInt(2) == 0 && byId(3L).isNullAt(4))
+  }
+
   test("multimodal decode is deterministic and partition-invariant") {
     import spark.implicits._
     val payloads = Tables.t(spark, sf, "documents")

@@ -38,6 +38,21 @@ class MultimodalSpec extends SparkTestBase {
     assert(m.fmt == "image/jpeg" && m.width == 300 && m.height == 150, m)
   }
 
+  test("corrupt RIFF chunk sizes terminate as unknown (no loop, no crash)") {
+    def riff(chunkId: String, size: Long): Array[Byte] = {
+      val o = java.nio.ByteBuffer.allocate(20).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      o.put("RIFF".getBytes("US-ASCII")).putInt(12)
+      o.put("WAVE".getBytes("US-ASCII"))
+      o.put(chunkId.getBytes("US-ASCII")).putInt(size.toInt)
+      o.array()
+    }
+    // 0xFFFFFFF8: as a signed int the old walker stepped 8+(-8)=0 — hang
+    assert(MediaCodec.sniff(riff("JUNK", 0xFFFFFFF8L)).fmt == "unknown")
+    // 0x80000000: negative step — index crash
+    assert(MediaCodec.sniff(riff("JUNK", 0x80000000L)).fmt == "unknown")
+    assert(MediaCodec.sniff(riff("JUNK", 0L) ++ Array.fill[Byte](4)(0)).fmt == "unknown")
+  }
+
   test("sniff rejects junk and truncated input") {
     assert(MediaCodec.sniff(null).fmt == "unknown")
     assert(MediaCodec.sniff("hello world!!!".getBytes).fmt == "unknown")

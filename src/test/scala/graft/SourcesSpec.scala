@@ -111,13 +111,18 @@ class SourcesSpec extends SparkTestBase {
       "ticker,weight\nT10Y,3.2\nT30Y,2.9\n")
     val staging = tmpDir("vanstage")
     val landing = tmpDir("vanland")
+    // failing product FIRST: its fetch must leave no partial file in
+    // staging for the next product's mtime-argmax claim to adopt
     val catalog = Seq(
+      ("IE00XX3", s"file://$src/missing.csv"),
       ("IE00EQ1", s"file://$src/equity-fund-download.csv"),
-      ("IE00BD2", s"file://$src/bond-fund-download.csv"),
-      ("IE00XX3", s"file://$src/missing.csv"))
+      ("IE00BD2", s"file://$src/bond-fund-download.csv"))
       .toDF("isin", "url")
     val res = Acquire.acquireAll(spark, catalog, staging, landing).collect()
     assert(res.count(_.getAs[Boolean]("ok")) == 2)
+    // the first success claimed its own bytes, not a stale partial
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$landing/IE00EQ1.csv")).contains("AAPL"))
     val bad = res.filter(!_.getAs[Boolean]("ok"))
     assert(bad.length == 1 && bad(0).getAs[String]("isin") == "IE00XX3" &&
       bad(0).getAs[String]("error").nonEmpty)
