@@ -62,6 +62,30 @@ class MultimodalSpec extends SparkTestBase {
     assert(MediaCodec.sniff(bad).fmt == "unknown")
   }
 
+  test("sniff never hangs or throws on arbitrary bytes (fuzz)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // plain random bytes + adversarial variants: valid magic prefixes
+    // followed by random garbage (the header parsers' worst case)
+    val magics = Seq(
+      Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte),
+      Array(0xff, 0xd8, 0xff).map(_.toByte),
+      "GIF89a".getBytes("US-ASCII"),
+      "RIFF0000WAVE".getBytes("US-ASCII").patch(4, Array[Byte](0, 1, 0, 0), 4),
+      Array.empty[Byte])
+    val gen = for {
+      magic <- Gen.oneOf(magics)
+      n <- Gen.chooseNum(0, 200)
+      tail <- Gen.listOfN(n, Gen.chooseNum(Byte.MinValue, Byte.MaxValue))
+    } yield magic ++ tail.toArray
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(500),
+      Prop.forAll(gen) { bytes =>
+        val m = MediaCodec.sniff(bytes) // must return, not hang/throw
+        m.fmt != null && m.width >= Int.MinValue
+      })
+    assert(res.passed, res.status.toString)
+  }
+
   test("q_multimodal_decode headers match the doc_id fixture formula") {
     val rows = q("q_multimodal_decode").collect()
     assert(rows.length > 0)
