@@ -221,6 +221,25 @@ object Pipeline extends QueryPack {
         .orderBy(col("lang"))
     }),
 
+    // Deterministic stratified sampling as a query — the training-mix
+    // constructor: md5-derived bucket (0-99) per doc key, per-language
+    // keep rates. Hash sampling is stable across runs, partitionings
+    // and cluster sizes, unlike df.sample (engine/Sample.scala is the
+    // faster xxhash64 utility form; md5 here because both engines
+    // compute it identically, making the sample oracle-checkable).
+    "q_sample_stratified" -> ((s, d) => {
+      val bucket = pmod(
+        conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+          .cast("long"), lit(100))
+      val rate = when(col("lang") === "en", 50)
+        .when(col("lang") === "de", 25).otherwise(10)
+      Tables.t(s, d, "documents")
+        .withColumn("bucket", bucket)
+        .filter(col("bucket") < rate)
+        .select(col("doc_id"), col("lang"), col("bucket"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Per-language corpus statistics (training-mix reporting).
     "q_text_stats_by_lang" -> ((s, d) => {
       Tables.t(s, d, "documents")
@@ -678,6 +697,16 @@ object Pipeline extends QueryPack {
         |WHERE n_tokens >= 20
         |  AND CAST(n_chars AS DOUBLE) / n_tokens BETWEEN 3 AND 8
         |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_sample_stratified" ->
+      """WITH b AS (
+        |  SELECT doc_id, lang,
+        |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 100 AS bucket
+        |  FROM documents)
+        |SELECT doc_id, lang, bucket FROM b
+        |WHERE bucket < (CASE WHEN lang = 'en' THEN 50
+        |                     WHEN lang = 'de' THEN 25 ELSE 10 END)
+        |ORDER BY doc_id""".stripMargin,
 
     "q_text_stats_by_lang" ->
       """SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
