@@ -36,6 +36,23 @@ class LayoutSpec extends SparkTestBase {
     assert(j.agg(sum("n")).collect()(0).getLong(0) == direct)
   }
 
+  test("ANN cell layout: corpus bucketed by cell id aggregates shuffle-free") {
+    // the IVF "at rest" shape (q_similarity_ivf's scale note): corpus
+    // written bucketed by cell id — per-cell stats, re-clustering
+    // checks, and cell-local candidate scans all run with no Exchange
+    val cells = Tables.t(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        pmod(xxhash64(col("vec_id")), lit(16)).as("cid"))
+    Layout.writeBucketed(cells, "emb_cells", "cid", 8)
+    val agg = Layout.readTable(spark, "emb_cells")
+      .groupBy("cid").agg(count(lit(1)).as("n"))
+    agg.collect()
+    val p = agg.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), "bucketed aggregation must not shuffle:\n" + p)
+    assert(agg.agg(sum("n")).collect()(0).getLong(0) ==
+      Tables.t(spark, sf, "embeddings").count())
+  }
+
   test("compact collapses a many-small-files dir preserving content") {
     val dir = java.nio.file.Files.createTempDirectory("compact").toString + "/t"
     val src = Tables.t(spark, sf, "lineitem")
