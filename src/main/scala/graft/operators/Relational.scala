@@ -225,6 +225,21 @@ object Relational extends QueryPack {
 
     // Discrete percentiles (p50/p90) via window position — exact element
     // selection, no interpolation arithmetic to diverge between engines.
+    // Sketch family member next to HLL/minhash/simhash: KLL-style
+    // approximate percentiles — single-pass mergeable summaries, the
+    // only percentile that works at 100 TB (the exact form below
+    // needs a per-group full sort). Rows-only; tolerance vs the exact
+    // discrete percentile asserted in RegressionSpec.
+    "q_agg_approx_percentile" -> ((s, d) => {
+      Tables.t(s, d, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          percentile_approx(col("o_totalprice"), lit(0.5), lit(10000)).as("ap50"),
+          percentile_approx(col("o_totalprice"), lit(0.9), lit(10000)).as("ap90"),
+          count(lit(1)).as("n"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     "q_agg_percentile" -> ((s, d) => {
       val w = Window.partitionBy(col("o_orderstatus"))
         .orderBy(col("o_totalprice"), col("o_orderkey"))

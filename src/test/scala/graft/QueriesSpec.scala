@@ -21,10 +21,10 @@ class QueriesSpec extends SparkTestBase {
 
   test("non-oracled queries are the expected sketch/stub set") {
     val unoracled = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(unoracled == Set("q_agg_approx_distinct", "q_dedup_minhash",
-      "q_dedup_simhash", "q_dedup_simhash_lsh", "q_dedup_embedding_lsh",
-      "q_similarity_ann", "q_similarity_batch_ann", "q_similarity_ivf",
-      "q_multimodal_decode", "q_dedup_cluster"))
+    assert(unoracled == Set("q_agg_approx_distinct", "q_agg_approx_percentile",
+      "q_dedup_minhash", "q_dedup_simhash", "q_dedup_simhash_lsh",
+      "q_dedup_embedding_lsh", "q_similarity_ann", "q_similarity_batch_ann",
+      "q_similarity_ivf", "q_multimodal_decode", "q_dedup_cluster"))
   }
 
   test("determinism contract: every oracle imposes a total ORDER BY") {

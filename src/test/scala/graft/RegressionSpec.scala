@@ -72,6 +72,22 @@ class RegressionSpec extends SparkTestBase {
     assert(got(2) == Row(3L, null), got.mkString(","))
   }
 
+  test("approx percentile tracks the exact discrete percentile per group") {
+    import org.apache.spark.sql.functions._
+    val approx = q("q_agg_approx_percentile").collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val exact = q("q_agg_percentile").collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(approx.keySet == exact.keySet && approx.nonEmpty)
+    approx.foreach { case (grp, (ap50, ap90)) =>
+      val (p50, p90) = exact(grp)
+      // accuracy 10000 → rank error ≤ n/10000; prices are dense, so a
+      // loose 5% relative tolerance is far above the guarantee
+      assert(math.abs(ap50 - p50) <= 0.05 * p50, s"$grp p50: $ap50 vs $p50")
+      assert(math.abs(ap90 - p90) <= 0.05 * p90, s"$grp p90: $ap90 vs $p90")
+    }
+  }
+
   test("top_k_by ranks Long.MinValue ordinals smallest (no negation overflow)") {
     graft.functions.GraftFunctions.register(spark)
     val got = Seq((1L, Long.MinValue), (2L, 5L), (3L, 0L), (4L, Long.MaxValue))
