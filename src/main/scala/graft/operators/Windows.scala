@@ -194,6 +194,30 @@ object Windows extends QueryPack {
         .select(col("p_id").as("event_id"), col("user_id"), col("ts"),
           col("asof_click").as("click_id"))
         .orderBy(col("event_id"))
+    }),
+
+    // Forward as-of: each click matched to the NEXT purchase at ts >=
+    // click ts (attribution direction) — the mirrored union+window
+    // rewrite with a following frame. side ordering (click=0 before
+    // purchase=1 at equal ts) makes an equal-ts purchase visible to
+    // the click's frame, matching DuckDB ASOF `<=` inclusivity.
+    "q_join_asof_fwd" -> ((s, d) => {
+      val ev = Tables.t(s, d, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id").as("click_id"),
+          lit(null).cast("long").as("p_id"), lit(0).as("side"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), lit(null).cast("long").as("click_id"),
+          col("event_id").as("p_id"), lit(1).as("side"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("side"), coalesce(col("click_id"), col("p_id")))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      clicks.unionByName(purchases)
+        .withColumn("next_p", first(col("p_id"), ignoreNulls = true).over(w))
+        .filter(col("side") === 0)
+        .select(col("click_id").as("event_id"), col("user_id"), col("ts"),
+          col("next_p").as("p_id"))
+        .orderBy(col("event_id"))
     })
   )
 
@@ -293,6 +317,13 @@ object Windows extends QueryPack {
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |  ON p.user_id = c.user_id AND p.ts >= c.ts
-        |ORDER BY p.event_id""".stripMargin
+        |ORDER BY p.event_id""".stripMargin,
+
+    "q_join_asof_fwd" ->
+      """SELECT c.event_id, c.user_id, c.ts, p.event_id AS p_id
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id AND c.ts <= p.ts
+        |ORDER BY c.event_id""".stripMargin
   )
 }
