@@ -151,6 +151,22 @@ object Windows extends QueryPack {
         .orderBy(col("event_id"))
     }),
 
+    // Native forward as-of: AsOf.joinForward (backward exec over
+    // negated time — zero new exec code). Same result as the
+    // q_join_asof_fwd window rewrite, single merge pass.
+    "q_join_asof_fwd_native" -> ((s, d) => {
+      val ev = Tables.t(s, d, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+          col("ts").as("p_ts"))
+      graft.plans.AsOf.joinForward(clicks, purchases, "user_id", "p_user",
+          "ts", "p_ts", rightTieBreak = Some("p_id"))
+        .select(col("event_id"), col("user_id"), col("ts"), col("p_id"))
+        .orderBy(col("event_id"))
+    }),
+
     // Range join: ordered event pairs within 1 hour per user.
     // Equi-join on (user_id, hour bucket) + residual filter: the left
     // side probes its own bucket and the next one.
@@ -320,6 +336,13 @@ object Windows extends QueryPack {
         |ORDER BY p.event_id""".stripMargin,
 
     "q_join_asof_fwd" ->
+      """SELECT c.event_id, c.user_id, c.ts, p.event_id AS p_id
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id AND c.ts <= p.ts
+        |ORDER BY c.event_id""".stripMargin,
+
+    "q_join_asof_fwd_native" ->
       """SELECT c.event_id, c.user_id, c.ts, p.event_id AS p_id
         |FROM (SELECT * FROM events WHERE event_type = 'click') c
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p

@@ -177,4 +177,36 @@ object AsOf {
       AsOfJoinPlan(lp, rp, attr(lp, leftKey), attr(rp, rightKey),
         attr(lp, leftTime), attr(rp, rightTime), tb))
   }
+
+  /** Forward as-of: NEAREST right row with rightTime >= leftTime —
+    * implemented as the backward join over order-reversed (negated)
+    * time, reusing AsOfJoinExec unchanged: -r.t <= -l.t ⟺ r.t >= l.t,
+    * and "latest" in negated space is the smallest (nearest following)
+    * real time. The tiebreak negates too, so among equal (key, time)
+    * right rows the SMALLEST tiebreak wins — same row the union+window
+    * rewrite's ascending frame order picks. Timestamps negate via
+    * micros (session is UTC; lossless); numeric times negate directly. */
+  def joinForward(leftDf: DataFrame, rightDf: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String,
+      rightTieBreak: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{TimestampType, TimestampNTZType}
+    if (rightTieBreak.isEmpty)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        "AsOf.joinForward: no rightTieBreak given; duplicate (key, time) " +
+        "right rows match shuffle-order-dependently. Pass a unique column.")
+    def neg(df: DataFrame, c: String): org.apache.spark.sql.Column =
+      df.schema(c).dataType match {
+        case TimestampType | TimestampNTZType =>
+          -unix_micros(col(c).cast("timestamp"))
+        case _ => -col(c)
+      }
+    val l2 = leftDf.withColumn("_fwd_lt", neg(leftDf, leftTime))
+    val r2 = rightDf.withColumn("_fwd_rt", neg(rightDf, rightTime))
+      .withColumn("_fwd_tb",
+        rightTieBreak.map(t => -col(t)).getOrElse(neg(rightDf, rightTime)))
+    join(l2, r2, leftKey, rightKey, "_fwd_lt", "_fwd_rt", Some("_fwd_tb"))
+      .drop("_fwd_lt", "_fwd_rt", "_fwd_tb")
+  }
 }

@@ -99,6 +99,15 @@ class PlanSpec extends SparkTestBase {
     assert(native.exceptAll(rewrite).isEmpty && rewrite.exceptAll(native).isEmpty)
   }
 
+  test("forward as-of: native (negated-time exec) matches the window rewrite") {
+    val p = plan("q_join_asof_fwd_native")
+    assert(p.contains("AsOfJoin"), p)
+    val native = q("q_join_asof_fwd_native")
+    val rewrite = q("q_join_asof_fwd")
+    assert(native.count() == rewrite.count())
+    assert(native.exceptAll(rewrite).isEmpty && rewrite.exceptAll(native).isEmpty)
+  }
+
   test("LATERAL top-n decorrelates to WindowGroupLimit (no per-row subquery)") {
     val p = plan("q_lateral_topn")
     assert(p.contains("WindowGroupLimit"), p)
