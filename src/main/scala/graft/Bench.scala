@@ -42,6 +42,8 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.read.parquet(s"$sfDir/nation.parquet").count()
+    val unknown = args.toSet -- SparkEntry.queries.keySet
+    require(unknown.isEmpty, s"unknown query names: ${unknown.mkString(", ")}")
     val selected =
       if (args.nonEmpty) SparkEntry.queries.view.filterKeys(args.toSet).toMap
       else SparkEntry.queries
@@ -69,6 +71,7 @@ object Bench {
     val pool = java.util.concurrent.Executors.newFixedThreadPool(streams)
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    val concFailed = scala.collection.mutable.Set[String]()
     val wall = (1 to concPasses).map { _ =>
       val w0 = System.nanoTime()
       val futs = selected.toSeq.map { case (n, f) =>
@@ -79,16 +82,22 @@ object Bench {
           // job lands in the single default pool, which is FIFO.
           spark.sparkContext.setLocalProperty("spark.scheduler.pool",
             Thread.currentThread().getName)
-          runOne(n, f)
+          n -> runOne(n, f)
         }
       }
-      scala.concurrent.Await.result(
+      val results = scala.concurrent.Await.result(
         scala.concurrent.Future.sequence(futs),
         scala.concurrent.duration.Duration.Inf)
+      // concurrency-only failures (OOM under load, etc.) must surface:
+      // a silently-skipped query would deflate the wall it exists to measure
+      concFailed.synchronized {
+        concFailed ++= results.collect { case (n, v) if v < 0 => n }
+      }
       (System.nanoTime() - w0) / 1e9
     }.min
     pool.shutdown()
-    val failed = seq.collect { case (n, v) if v < 0 => n }.toSeq.sorted
+    val failed =
+      (seq.collect { case (n, v) if v < 0 => n }.toSet ++ concFailed).toSeq.sorted
 
     val qs = seq.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + round3(v) }

@@ -214,9 +214,15 @@ object Windows extends QueryPack {
 
     // Forward as-of: each click matched to the NEXT purchase at ts >=
     // click ts (attribution direction) — the mirrored union+window
-    // rewrite with a following frame. side ordering (click=0 before
-    // purchase=1 at equal ts) makes an equal-ts purchase visible to
-    // the click's frame, matching DuckDB ASOF `<=` inclusivity.
+    // rewrite, traversed in DESCENDING order with a running
+    // (unboundedPreceding, currentRow) frame: Spark evaluates that
+    // frame incrementally (O(k) per partition) where the naive
+    // (currentRow, unboundedFollowing) frame re-scans the tail per row
+    // (O(k²) — UnboundedFollowingWindowFunctionFrame). In desc
+    // traversal an equal-ts purchase (side=1) precedes the click, so
+    // it is visible in the click's frame — DuckDB ASOF `<=`
+    // inclusivity — and last(ignoreNulls) picks the purchase with the
+    // smallest ascending (ts, id), i.e. nearest-following, min id.
     "q_join_asof_fwd" -> ((s, d) => {
       val ev = Tables.t(s, d, "events")
       val clicks = ev.filter(col("event_type") === "click")
@@ -226,10 +232,11 @@ object Windows extends QueryPack {
         .select(col("user_id"), col("ts"), lit(null).cast("long").as("click_id"),
           col("event_id").as("p_id"), lit(1).as("side"))
       val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts"), col("side"), coalesce(col("click_id"), col("p_id")))
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        .orderBy(desc("ts"), desc("side"),
+          desc_nulls_last("p_id"), desc_nulls_last("click_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       clicks.unionByName(purchases)
-        .withColumn("next_p", first(col("p_id"), ignoreNulls = true).over(w))
+        .withColumn("next_p", last(col("p_id"), ignoreNulls = true).over(w))
         .filter(col("side") === 0)
         .select(col("click_id").as("event_id"), col("user_id"), col("ts"),
           col("next_p").as("p_id"))
@@ -335,18 +342,29 @@ object Windows extends QueryPack {
         |  ON p.user_id = c.user_id AND p.ts >= c.ts
         |ORDER BY p.event_id""".stripMargin,
 
+    // deterministic forward-asof oracle: DuckDB's ASOF picks an
+    // ARBITRARY row among right-side ties at the matched ts; the
+    // engine deterministically picks the smallest event id. Spell the
+    // tiebreak out (nearest ts, then min id) so parity can never flake
+    // on tie-bearing data.
     "q_join_asof_fwd" ->
-      """SELECT c.event_id, c.user_id, c.ts, p.event_id AS p_id
-        |FROM (SELECT * FROM events WHERE event_type = 'click') c
-        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
-        |  ON c.user_id = p.user_id AND c.ts <= p.ts
-        |ORDER BY c.event_id""".stripMargin,
+      """WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        |p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+        |SELECT c.event_id, c.user_id, c.ts,
+        |  (SELECT min(p.event_id) FROM p
+        |    WHERE p.user_id = c.user_id AND p.ts =
+        |      (SELECT min(p2.ts) FROM p p2
+        |        WHERE p2.user_id = c.user_id AND p2.ts >= c.ts)) AS p_id
+        |FROM c ORDER BY c.event_id""".stripMargin,
 
     "q_join_asof_fwd_native" ->
-      """SELECT c.event_id, c.user_id, c.ts, p.event_id AS p_id
-        |FROM (SELECT * FROM events WHERE event_type = 'click') c
-        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
-        |  ON c.user_id = p.user_id AND c.ts <= p.ts
-        |ORDER BY c.event_id""".stripMargin
+      """WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        |p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+        |SELECT c.event_id, c.user_id, c.ts,
+        |  (SELECT min(p.event_id) FROM p
+        |    WHERE p.user_id = c.user_id AND p.ts =
+        |      (SELECT min(p2.ts) FROM p p2
+        |        WHERE p2.user_id = c.user_id AND p2.ts >= c.ts)) AS p_id
+        |FROM c ORDER BY c.event_id""".stripMargin
   )
 }

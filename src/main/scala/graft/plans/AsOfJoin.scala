@@ -179,33 +179,42 @@ object AsOf {
   }
 
   /** Forward as-of: NEAREST right row with rightTime >= leftTime —
-    * implemented as the backward join over order-reversed (negated)
-    * time, reusing AsOfJoinExec unchanged: -r.t <= -l.t ⟺ r.t >= l.t,
-    * and "latest" in negated space is the smallest (nearest following)
-    * real time. The tiebreak negates too, so among equal (key, time)
+    * implemented as the backward join over order-REVERSED time,
+    * reusing AsOfJoinExec unchanged: rev(r.t) <= rev(l.t) ⟺ r.t >= l.t,
+    * and "latest" in reversed space is the smallest (nearest following)
+    * real time. The tiebreak reverses too, so among equal (key, time)
     * right rows the SMALLEST tiebreak wins — same row the union+window
-    * rewrite's ascending frame order picks. Timestamps negate via
-    * micros (session is UTC; lossless); numeric times negate directly. */
+    * rewrite's ascending frame order picks.
+    *
+    * Order reversal is bitwise-NOT for integral types (~x = -x-1: total
+    * reversal with no Long.MinValue overflow — unary minus would throw
+    * under ANSI), micros→NOT for timestamps (session is UTC; lossless),
+    * arithmetic negation for fractional types. Other types (strings)
+    * are rejected: they order but don't reverse. */
   def joinForward(leftDf: DataFrame, rightDf: DataFrame,
       leftKey: String, rightKey: String,
       leftTime: String, rightTime: String,
       rightTieBreak: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.functions._
-    import org.apache.spark.sql.types.{TimestampType, TimestampNTZType}
+    import org.apache.spark.sql.types._
     if (rightTieBreak.isEmpty)
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         "AsOf.joinForward: no rightTieBreak given; duplicate (key, time) " +
         "right rows match shuffle-order-dependently. Pass a unique column.")
-    def neg(df: DataFrame, c: String): org.apache.spark.sql.Column =
+    def rev(df: DataFrame, c: String): org.apache.spark.sql.Column =
       df.schema(c).dataType match {
         case TimestampType | TimestampNTZType =>
-          -unix_micros(col(c).cast("timestamp"))
-        case _ => -col(c)
+          bitwise_not(unix_micros(col(c).cast("timestamp")))
+        case ByteType | ShortType | IntegerType | LongType =>
+          bitwise_not(col(c).cast("long"))
+        case DateType => bitwise_not(unix_date(col(c)).cast("long"))
+        case FloatType | DoubleType => -col(c)
+        case dt => throw new IllegalArgumentException(
+          s"joinForward: column $c of type $dt cannot be order-reversed")
       }
-    val l2 = leftDf.withColumn("_fwd_lt", neg(leftDf, leftTime))
-    val r2 = rightDf.withColumn("_fwd_rt", neg(rightDf, rightTime))
-      .withColumn("_fwd_tb",
-        rightTieBreak.map(t => -col(t)).getOrElse(neg(rightDf, rightTime)))
+    val l2 = leftDf.withColumn("_fwd_lt", rev(leftDf, leftTime))
+    val r2 = rightDf.withColumn("_fwd_rt", rev(rightDf, rightTime))
+      .withColumn("_fwd_tb", rev(rightDf, rightTieBreak.getOrElse(rightTime)))
     join(l2, r2, leftKey, rightKey, "_fwd_lt", "_fwd_rt", Some("_fwd_tb"))
       .drop("_fwd_lt", "_fwd_rt", "_fwd_tb")
   }

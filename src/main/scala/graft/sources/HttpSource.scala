@@ -24,26 +24,35 @@ object HttpSource {
   case class FetchResult(url: String, dest: String, bytes: Long,
       ok: Boolean, error: String)
 
-  /** Stream one url to dest. On ANY failure the partial file is
-    * deleted before rethrowing — a half-written download must never
-    * be observable (Acquire's claim-by-mtime would adopt it). */
+  /** Stream one url to dest, atomically: bytes land under a temp name
+    * and only a COMPLETE download renames onto dest. A failure can
+    * therefore never leave a partial file (Acquire's claim-by-mtime
+    * would adopt it) nor destroy a pre-existing good dest from an
+    * earlier run — the temp file alone is cleaned up. */
   private[sources] def fetchOne(url: String, dest: String): Long = {
+    val tmp = Paths.get(dest + ".part")
     try {
       val conn = new java.net.URL(url).openConnection()
       conn.setConnectTimeout(20000) // reference's 20s wait, base_scraper.py:68
       conn.setReadTimeout(20000)
       val in = new BufferedInputStream(conn.getInputStream)
-      val out = new FileOutputStream(dest)
-      try {
-        val buf = new Array[Byte](64 * 1024)
-        var n = in.read(buf)
-        var total = 0L
-        while (n >= 0) { out.write(buf, 0, n); total += n; n = in.read(buf) }
-        total
-      } finally { in.close(); out.close() }
+      val total =
+        try {
+          val out = new FileOutputStream(tmp.toFile)
+          try {
+            val buf = new Array[Byte](64 * 1024)
+            var n = in.read(buf)
+            var t = 0L
+            while (n >= 0) { out.write(buf, 0, n); t += n; n = in.read(buf) }
+            t
+          } finally out.close()
+        } finally in.close()
+      Files.move(tmp, Paths.get(dest),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      total
     } catch {
       case e: Exception =>
-        Files.deleteIfExists(Paths.get(dest))
+        Files.deleteIfExists(tmp)
         throw e
     }
   }
