@@ -3,14 +3,18 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Shared local session for all suites (one per suite via lazy val). */
+/** Shared local session for all suites (one per suite via lazy val).
+  * SPARK_GRAFT_TEST_CPUS (default 4) sets cores AND shuffle
+  * partitions — running the suite at a different value is the
+  * partition-invariance sweep for every determinism claim. */
 trait SparkTestBase extends AnyFunSuite {
+  private val cpus = sys.env.getOrElse("SPARK_GRAFT_TEST_CPUS", "4")
   lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
+    .master(s"local[$cpus]")
     .config("spark.sql.extensions", "graft.engine.GraftExtensions")
     .config("spark.sql.warehouse.dir",
       java.nio.file.Files.createTempDirectory("graft-wh").toString)
-    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.shuffle.partitions", cpus)
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     .config("spark.ui.enabled", "false")
