@@ -102,8 +102,22 @@ object Bench {
     val qs = seq.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + round3(v) }
       .mkString("{", ",", "}")
-    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"wall_${streams}streams_warm","value":${round3(wall)},"unit":"sec","seq_total":${round3(seqTotal)},"n_failed":${failed.size},"failed":$failedJson,"queries":$qs,"sf":"$sfDir","n_queries":${seq.size},"cpus":$cpus,"passes":$passes,"note":"noop-sink writes; value=min-of-$concPasses concurrent wall over warm session (shared box, outside load swings walls +-40pct); queries=warm sequential secs; failed queries time as -1"}""")
+    val failedJson = failed.take(10).map("\"" + _ + "\"").mkString("[", ",", "]")
+    // The driver keeps only the LAST ~2000 chars of this process's
+    // output (observed as "tail" in BENCH_r01-r03; all three rounds had
+    // parsed=null because the full per-query map pushed the line past
+    // the capture window). So: full detail FIRST (keyed so no parser
+    // mistakes it for the headline), compact machine-readable line
+    // LAST, kept well under the window even after sbt's trailing
+    // "[success] Total time" line.
+    // Stop Spark BEFORE printing so no executor/stop-time log line can
+    // land after the machine-readable lines in the bounded capture.
+    spark.sparkContext.setLogLevel("ERROR")
     spark.stop()
+    println(s"""{"bench_per_query":$qs,"sf":"$sfDir","passes":$passes}""")
+    val slowest = seq.toSeq.filter(_._2 >= 0).sortBy(-_._2).take(12)
+      .map { case (k, v) => "\"" + k + "\":" + round3(v) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"wall_${streams}streams_warm","value":${round3(wall)},"unit":"sec","queries":$slowest,"sf":"$sfDir","seq_total":${round3(seqTotal)},"n_queries":${seq.size},"n_failed":${failed.size},"failed":$failedJson,"cpus":$cpus,"passes":$passes,"note":"noop-sink; value=min-of-$concPasses ${streams}-stream concurrent wall, warm session; queries=12 slowest warm sequential secs, full map on the bench_per_query line"}""")
   }
 }
