@@ -1,0 +1,263 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.engine.{QueryPack, Tables}
+
+/** Round-4 corpus-curation operators — the remaining steps a large-scale
+  * training-data pipeline runs between raw crawl and tokenizer:
+  * benchmark decontamination, repetition-based quality filtering
+  * (Gopher-style rules), PII redaction, deterministic global shuffle,
+  * sequence packing to a context budget, and an inverted-index build.
+  *
+  * Scale notes (100 TB posture, per operator):
+  *  - decontaminate: benchmark n-gram sets are small by nature (eval
+  *    suites are ~1e5 docs vs a ~1e10-doc corpus) — the gram set is
+  *    broadcast, so the corpus side is a map-only scan + hash probe,
+  *    no shuffle of corpus grams;
+  *  - quality_gopher: per-doc aggregations over exploded n-grams —
+  *    partial aggregation applies (doc_id is the group key, docs are
+  *    bounded), no global state;
+  *  - pii_redact: pure per-row projection (regex), embarrassingly
+  *    parallel, stays inside whole-stage codegen;
+  *  - global_shuffle: shard = hash(doc_id) then order within shard —
+  *    one shuffle by shard key, each shard sorts independently. This is
+  *    the scalable form of "shuffle the training set": a single global
+  *    row_number would serialize on one partition, sharded positions
+  *    (shard, pos) are a total order ((s,p) < (s',p') lexicographic)
+  *    with per-shard parallelism;
+  *  - pack_sequences: packing is per-source (per input shard), so the
+  *    running cumsum window partitions by source — parallel across
+  *    shards, which is how real pipelines pack (within-file locality
+  *    preserves domain mixing guarantees set upstream by the shuffle);
+  *  - inverted_index: classic map-side-combinable groupBy(token);
+  *    posting lists are capped samples, so no unbounded per-key state.
+  */
+object Curation extends QueryPack {
+
+  private def docs(s: SparkSession, d: String): DataFrame =
+    Tables.t(s, d, "documents")
+
+  /** doc_id + word array (whitespace tokens, the corpus has no
+    * punctuation — TESTDATA synthetic text). */
+  private def words(s: SparkSession, d: String): DataFrame =
+    docs(s, d).select(col("doc_id"), split(col("text"), " ").as("w"))
+
+  /** Exploded word n-grams: doc_id, g (space-joined n consecutive words). */
+  private def grams(s: SparkSession, d: String, n: Int): DataFrame =
+    words(s, d)
+      .filter(size(col("w")) >= n)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(w)-${n - 1}), i -> concat_ws(' ', slice(w, i, $n)))"))
+        .as("g"))
+
+  val queries: Map[String, Q] = Map(
+
+    // Benchmark decontamination: flag corpus docs sharing any word
+    // 3-gram with the "benchmark" slice (doc_id % 97 == 0 stands in for
+    // an eval suite). Real pipelines use 8-13-gram overlap; 3 here
+    // because the synthetic vocabulary is tiny (longer grams never
+    // collide in this data).
+    "q_decontaminate" -> ((s, d) => {
+      val g = grams(s, d, 3)
+      val bench = g.filter(col("doc_id") % 97 === 0).select(col("g")).distinct()
+      g.filter(col("doc_id") % 97 =!= 0)
+        .join(broadcast(bench), Seq("g"))
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("g")).as("n_hit_grams"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Gopher-style repetition quality: fraction of distinct words,
+    // most-frequent-word fraction, most-frequent-bigram fraction, and
+    // the keep/drop verdict. Ratios are exact int/int doubles rounded
+    // to 6dp (parity contract); the verdict compares the unrounded
+    // values — identical operands on both engines.
+    "q_quality_gopher" -> ((s, d) => {
+      val base = words(s, d).select(col("doc_id"), col("w"),
+        size(col("w")).as("n_words"),
+        size(array_distinct(col("w"))).as("n_distinct"))
+      val uni = base
+        .select(col("doc_id"), explode(col("w")).as("tok"))
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id")).agg(max(col("c")).as("top_word_n"))
+      val bi = grams(s, d, 2)
+        .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id")).agg(max(col("c")).as("top_bigram_n"),
+          sum(col("c")).cast("long").as("n_bigrams"))
+      base.select(col("doc_id"), col("n_words"), col("n_distinct"))
+        .join(uni, Seq("doc_id")).join(bi, Seq("doc_id"))
+        .select(col("doc_id"), col("n_words"),
+          round(col("n_distinct") / col("n_words"), 6).as("distinct_ratio"),
+          round(col("top_word_n") / col("n_words"), 6).as("top_word_frac"),
+          round(col("top_bigram_n") / col("n_bigrams"), 6).as("top_bigram_frac"),
+          when(col("n_distinct") / col("n_words") >= 0.4 &&
+            col("top_word_n") / col("n_words") <= 0.1 &&
+            col("top_bigram_n") / col("n_bigrams") <= 0.08, 1).otherwise(0)
+            .as("keep"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // PII redaction: the corpus itself is synthetic word soup, so the
+    // query first derives a contact-laden string from real columns
+    // (same derivation in the oracle), then redacts email / phone /
+    // IPv4 and counts each. Counts are computed on the raw string.
+    "q_pii_redact" -> ((s, d) => {
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val phone = "\\b\\d{3}-\\d{4}\\b"
+      val ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+      docs(s, d)
+        .select(col("doc_id"), concat(
+          col("source"), lit(".user@"), col("lang"), lit(".example.com tel 555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+          lit(" ip 10."), (col("doc_id") % 256).cast("string"),
+          lit(".0."), ((col("doc_id") * 7) % 256).cast("string"),
+          lit(" "), substring(col("text"), 1, 40)).as("raw"))
+        .select(col("doc_id"),
+          regexp_replace(regexp_replace(regexp_replace(col("raw"),
+            email, "[EMAIL]"), ip, "[IP]"), phone, "[PHONE]").as("redacted"),
+          regexp_count(col("raw"), lit(email)).as("n_email"),
+          regexp_count(col("raw"), lit(phone)).as("n_phone"),
+          regexp_count(col("raw"), lit(ip)).as("n_ip"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Deterministic global shuffle of the training set: shard by a hash
+    // of the doc id (seeded), position within shard by the full hash.
+    // (shard, pos) is a reproducible total order; shards sort in
+    // parallel (no single global sort partition).
+    "q_global_shuffle" -> ((s, d) => {
+      val h = md5(concat(lit("s42:"), col("doc_id").cast("string")))
+      docs(s, d)
+        .select(col("doc_id"), h.as("h"),
+          (conv(substring(h, 1, 4), 16, 10).cast("long") % 32).as("shard"))
+        .withColumn("pos",
+          row_number().over(Window.partitionBy(col("shard"))
+            .orderBy(col("h"), col("doc_id"))))
+        .select(col("doc_id"), col("shard"), col("pos"))
+        .orderBy(col("shard"), col("pos"))
+    }),
+
+    // Sequence packing: concatenate docs in deterministic order and cut
+    // into fixed token-budget bins — per source shard (parallel), doc
+    // goes to the bin where it starts (concatenate-then-chunk).
+    "q_pack_sequences" -> ((s, d) => {
+      val budget = 256
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docs(s, d)
+        .select(col("source"), col("doc_id"),
+          size(split(col("text"), " ")).as("n_tok"))
+        .withColumn("cum", sum(col("n_tok")).over(w).cast("long"))
+        .withColumn("bin", expr(s"(cum - n_tok) div $budget"))
+        .groupBy(col("source"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).cast("long").as("seq_tokens"),
+          min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+        .orderBy(col("source"), col("bin"))
+    }),
+
+    // Inverted index over the corpus: document frequency, corpus
+    // frequency, and a capped posting-list sample per token; top 50
+    // tokens by df (total order: df desc, cf desc, token).
+    "q_inverted_index" -> ((s, d) => {
+      docs(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+        .groupBy(col("tok"))
+        .agg(countDistinct(col("doc_id")).as("df"), count(lit(1)).as("cf"),
+          sort_array(collect_set(col("doc_id"))).as("ids"))
+        .select(col("tok"), col("df"), col("cf"), expr(
+          "array_join(transform(slice(ids, 1, 5), x -> cast(x as string)), ',')")
+          .as("posting_sample"))
+        .orderBy(desc("df"), desc("cf"), col("tok"))
+        .limit(50)
+    }),
+  )
+
+  val oracle: Map[String, String] = Map(
+
+    "q_decontaminate" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |g AS (SELECT doc_id, array_to_string(w[i:i+2], ' ') AS g
+        |      FROM w, LATERAL (SELECT unnest(generate_series(1, len(w)-2)) AS i) t
+        |      WHERE len(w) >= 3),
+        |bench AS (SELECT DISTINCT g FROM g WHERE doc_id % 97 = 0)
+        |SELECT g.doc_id, count(DISTINCT g.g) AS n_hit_grams
+        |FROM g JOIN bench USING (g) WHERE g.doc_id % 97 <> 0
+        |GROUP BY g.doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_quality_gopher" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |base AS (SELECT doc_id, CAST(len(w) AS INT) AS n_words,
+        |                CAST(len(list_distinct(w)) AS INT) AS n_distinct FROM w),
+        |uni AS (SELECT doc_id, max(c) AS top_word_n FROM (
+        |  SELECT doc_id, tok, count(*) AS c FROM (
+        |    SELECT doc_id, unnest(w) AS tok FROM w) u GROUP BY 1, 2) uc GROUP BY 1),
+        |bi AS (SELECT doc_id, max(c) AS top_bigram_n, CAST(sum(c) AS BIGINT) AS n_bigrams FROM (
+        |  SELECT doc_id, g, count(*) AS c FROM (
+        |    SELECT doc_id, array_to_string(w[i:i+1], ' ') AS g
+        |    FROM w, LATERAL (SELECT unnest(generate_series(1, len(w)-1)) AS i) t
+        |    WHERE len(w) >= 2) bg GROUP BY 1, 2) bc GROUP BY 1)
+        |SELECT base.doc_id, n_words,
+        |  round(n_distinct / n_words, 6) AS distinct_ratio,
+        |  round(top_word_n / n_words, 6) AS top_word_frac,
+        |  round(top_bigram_n / n_bigrams, 6) AS top_bigram_frac,
+        |  CASE WHEN n_distinct / n_words >= 0.4 AND top_word_n / n_words <= 0.1
+        |            AND top_bigram_n / n_bigrams <= 0.08 THEN 1 ELSE 0 END AS keep
+        |FROM base JOIN uni USING (doc_id) JOIN bi USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_pii_redact" ->
+      """WITH raw AS (SELECT doc_id,
+        |  source || '.user@' || lang || '.example.com tel 555-' ||
+        |  lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+        |  ' ip 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.' ||
+        |  CAST((doc_id * 7) % 256 AS VARCHAR) || ' ' || substr(text, 1, 40) AS raw
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(raw,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'),
+        |    '\b\d{3}-\d{4}\b', '[PHONE]', 'g') AS redacted,
+        |  CAST(len(regexp_extract_all(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_email,
+        |  CAST(len(regexp_extract_all(raw, '\b\d{3}-\d{4}\b')) AS INT) AS n_phone,
+        |  CAST(len(regexp_extract_all(raw, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INT) AS n_ip
+        |FROM raw ORDER BY doc_id""".stripMargin,
+
+    "q_global_shuffle" ->
+      """WITH h AS (SELECT doc_id, md5('s42:' || CAST(doc_id AS VARCHAR)) AS h
+        |           FROM documents)
+        |SELECT doc_id,
+        |  CAST(('0x' || substr(h, 1, 4)) AS BIGINT) % 32 AS shard,
+        |  CAST(ROW_NUMBER() OVER (
+        |    PARTITION BY CAST(('0x' || substr(h, 1, 4)) AS BIGINT) % 32
+        |    ORDER BY h, doc_id) AS INT) AS pos
+        |FROM h ORDER BY shard, pos""".stripMargin,
+
+    "q_pack_sequences" ->
+      """WITH d AS (SELECT source, doc_id,
+        |  CAST(len(string_split(text, ' ')) AS INT) AS n_tok FROM documents),
+        |c AS (SELECT source, doc_id, n_tok,
+        |  CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM d)
+        |SELECT source, (cum - n_tok) // 256 AS bin, count(*) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS seq_tokens,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM c GROUP BY source, (cum - n_tok) // 256
+        |ORDER BY source, bin""".stripMargin,
+
+    "q_inverted_index" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |             FROM documents),
+        |t AS (SELECT tok, count(DISTINCT doc_id) AS df, count(*) AS cf
+        |      FROM tok WHERE tok <> '' GROUP BY tok),
+        |p AS (SELECT tok, array_to_string(
+        |        (list(DISTINCT doc_id ORDER BY doc_id))[1:5], ',') AS posting_sample
+        |      FROM tok WHERE tok <> '' GROUP BY tok)
+        |SELECT t.tok, df, cf, posting_sample FROM t JOIN p USING (tok)
+        |ORDER BY df DESC, cf DESC, tok LIMIT 50""".stripMargin,
+  )
+}

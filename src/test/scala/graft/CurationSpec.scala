@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantic ground truths for the round-4 curation pack (value-level
+  * parity is the DuckDB oracle gate; these assert the properties the
+  * oracle can't see: permutation-ness, token conservation, redaction
+  * completeness, plan shape). */
+class CurationSpec extends SparkTestBase {
+
+  test("q_global_shuffle is a permutation with contiguous per-shard positions") {
+    val rows = q("q_global_shuffle").collect()
+    val total = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(rows.map(_.getLong(0)).distinct.length.toLong == total)
+    rows.groupBy(_.getLong(1)).foreach { case (shard, rs) =>
+      val pos = rs.map(_.getInt(2)).sorted
+      assert(pos.sameElements(1 to rs.length), s"shard $shard positions not 1..n")
+    }
+  }
+
+  test("q_pack_sequences conserves tokens and keeps bins doc-contiguous") {
+    val bins = q("q_pack_sequences").collect()
+    val perSourceTokens = graft.engine.Tables.t(spark, sf, "documents")
+      .groupBy(col("source"))
+      .agg(sum(size(split(col("text"), " "))).as("tot"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    bins.groupBy(_.getString(0)).foreach { case (src, rs) =>
+      assert(rs.map(_.getLong(3)).sum == perSourceTokens(src),
+        s"$src: packed tokens != corpus tokens")
+      // docs are packed in doc_id order: bin ranges must not overlap
+      val ordered = rs.sortBy(_.getLong(1))
+      ordered.sliding(2).foreach {
+        case Array(a, b) => assert(a.getLong(5) < b.getLong(4),
+          s"$src: bin ${a.getLong(1)} overlaps ${b.getLong(1)}")
+        case _ =>
+      }
+    }
+  }
+
+  test("q_pii_redact removes every email/phone/IP it counted") {
+    val rows = q("q_pii_redact").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val red = r.getString(1)
+      assert(!red.contains("@"), s"email survived: $red")
+      assert(!"\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b".r
+        .findFirstIn(red).isDefined, s"ip survived: $red")
+      assert(!"\\b\\d{3}-\\d{4}\\b".r.findFirstIn(red).isDefined,
+        s"phone survived: $red")
+      // the synthesized contact string plants exactly one of each
+      assert(r.getInt(2) == 1 && r.getInt(3) == 1 && r.getInt(4) == 1,
+        s"counts off: $r")
+      assert(red.contains("[EMAIL]") && red.contains("[PHONE]") &&
+        red.contains("[IP]"))
+    }
+  }
+
+  test("q_decontaminate never flags benchmark docs and hits are positive") {
+    val rows = q("q_decontaminate").collect()
+    rows.foreach { r =>
+      assert(r.getLong(0) % 97 != 0, s"benchmark doc flagged: ${r.getLong(0)}")
+      assert(r.getLong(1) >= 1)
+    }
+  }
+
+  test("q_decontaminate broadcasts the benchmark gram set (no corpus-gram shuffle join)") {
+    val p = q("q_decontaminate").queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q_quality_gopher ratios are sane and verdict matches the rule") {
+    val rows = q("q_quality_gopher").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (dr, twf, tbf) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(dr > 0 && dr <= 1.0 && twf > 0 && twf <= 1.0 && tbf > 0 && tbf <= 1.0)
+      val expect = if (dr >= 0.4 && twf <= 0.1 && tbf <= 0.08) 1 else 0
+      // rounded display values vs unrounded rule can only disagree
+      // within 5e-7 of a threshold — synthetic ratios aren't that close
+      assert(r.getInt(5) == expect, s"verdict mismatch: $r")
+    }
+  }
+
+  test("q_inverted_index postings are capped, sorted, and df<=cf") {
+    val rows = q("q_inverted_index").collect()
+    assert(rows.nonEmpty && rows.length <= 50)
+    rows.foreach { r =>
+      assert(r.getLong(1) <= r.getLong(2), s"df>cf: $r")
+      val ids = r.getString(3).split(",").map(_.toLong)
+      assert(ids.length <= 5 && ids.sameElements(ids.sorted))
+    }
+  }
+}
