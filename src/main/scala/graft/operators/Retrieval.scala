@@ -1,0 +1,271 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.engine.{QueryPack, Tables}
+
+/** Round-4 retrieval & corpus-statistics operators: TF-IDF, BM25
+  * scoring, co-occurrence PMI, a bigram language model, sliding-window
+  * chunking (RAG ingestion shape), and time-series drift detection
+  * over the event stream.
+  *
+  * Float-parity design (the DuckDB oracle hash-compares doubles):
+  *  - transcendental scores (ln) are rounded to 6dp on both sides;
+  *  - BM25 sums per-term double scores through an exact
+  *    DECIMAL(28,10) of the 9dp-rounded term value, so the aggregate
+  *    is addition-order-independent (Spark shuffles, DuckDB doesn't);
+  *  - ratios divide identical integer operands — one IEEE op, exact;
+  *  - oracle SQL casts fractional literals to DOUBLE explicitly
+  *    (DuckDB types bare `0.5` as DECIMAL, which would silently switch
+  *    the whole expression to decimal arithmetic).
+  *
+  * Scale notes (100 TB posture):
+  *  - tfidf/bigram_lm/inverted stats: map-side-combinable groupBys on
+  *    bounded keys (vocabulary, (doc,term)); corpus scalars (N, avgdl)
+  *    are single-row broadcasts, never a driver collect;
+  *  - bm25: term postings are filtered to the query's terms BEFORE the
+  *    join (postings ~ |query| × df, not the corpus), dl/stats sides
+  *    broadcast;
+  *  - cooccur_pmi: the per-doc self-join is bounded by document length
+  *    (docs are bounded by upstream curation), and the pair aggregation
+  *    keys on vocab² with partial aggregation — no corpus-sized state;
+  *  - chunk_sliding: pure per-row generate+explode, embarrassingly
+  *    parallel, output ~ corpus_tokens/stride rows;
+  *  - event_drift: keyed daily aggregation then a per-key ordered
+  *    window — partitions by event_type, no global sort.
+  */
+object Retrieval extends QueryPack {
+
+  private val k1 = 1.2
+  private val b = 0.75
+  private val bm25Terms = Seq("table", "spark", "merge")
+
+  private def docs(s: SparkSession, d: String): DataFrame =
+    Tables.t(s, d, "documents")
+
+  private def tokens(s: SparkSession, d: String): DataFrame =
+    docs(s, d).select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+
+  val queries: Map[String, Q] = Map(
+
+    // TF-IDF: tf(doc,term) × ln(N/df(term)), top 100 scored pairs.
+    "q_tfidf" -> ((s, d) => {
+      val tf = tokens(s, d).groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).as("tf"))
+      val df_ = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      val n = docs(s, d).agg(count(lit(1)).as("n_docs"))
+      tf.join(df_, Seq("tok")).crossJoin(broadcast(n))
+        .select(col("doc_id"), col("tok"), col("tf"), col("df"),
+          round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6)
+            .as("tfidf"))
+        .orderBy(desc("tfidf"), col("doc_id"), col("tok"))
+        .limit(100)
+    }),
+
+    // BM25 retrieval for a fixed query term set; per-term scores are
+    // summed through an exact decimal so the fold order can't show.
+    "q_bm25" -> ((s, d) => {
+      val dl = docs(s, d).select(col("doc_id"),
+        size(split(col("text"), " ")).as("dl"))
+      val stats = dl.agg(count(lit(1)).as("n_docs"),
+        avg(col("dl")).as("avgdl"))
+      val tf = tokens(s, d).filter(col("tok").isin(bm25Terms: _*))
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      val dfc = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      val idf = log(lit(1.0) +
+        (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+      val term = idf * (col("tf") * (lit(k1) + lit(1.0))) /
+        (col("tf") + lit(k1) *
+          (lit(1.0) - lit(b) + lit(b) * col("dl").cast("double") / col("avgdl")))
+      tf.join(broadcast(dfc), Seq("tok")).join(dl, Seq("doc_id"))
+        .crossJoin(broadcast(stats))
+        .select(col("doc_id"), round(term, 9).cast("decimal(28,10)").as("ts_"))
+        .groupBy(col("doc_id"))
+        .agg(round(sum(col("ts_")).cast("double"), 6).as("bm25"),
+          count(lit(1)).cast("int").as("n_terms"))
+        .orderBy(desc("bm25"), col("doc_id"))
+        .limit(20)
+    }),
+
+    // Pointwise mutual information of word pairs co-occurring in a
+    // document: pmi = ln(c_ab·N / (c_a·c_b)) over doc-level presence.
+    "q_cooccur_pmi" -> ((s, d) => {
+      val dtok = docs(s, d).select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("tok"))
+        .filter(col("tok") =!= "")
+      val pairs = dtok.as("a")
+        .join(dtok.as("b"), col("a.doc_id") === col("b.doc_id") &&
+          col("a.tok") < col("b.tok"))
+        .groupBy(col("a.tok").as("wa"), col("b.tok").as("wb"))
+        .agg(count(lit(1)).as("c_ab"))
+        .filter(col("c_ab") >= 5)
+      val cnt = dtok.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      val n = docs(s, d).agg(count(lit(1)).as("n_docs"))
+      pairs
+        .join(cnt.select(col("tok").as("wa"), col("c").as("c_a")), Seq("wa"))
+        .join(cnt.select(col("tok").as("wb"), col("c").as("c_b")), Seq("wb"))
+        .crossJoin(broadcast(n))
+        .select(col("wa"), col("wb"), col("c_ab"),
+          round(log((col("c_ab") * col("n_docs")).cast("double") /
+            (col("c_a") * col("c_b"))), 6).as("pmi"))
+        .orderBy(desc("pmi"), col("wa"), col("wb"))
+        .limit(50)
+    }),
+
+    // Bigram language model: P(w2|w1) = c(w1 w2) / c(w1 ·), top
+    // transitions by evidence.
+    "q_bigram_lm" -> ((s, d) => {
+      val bi = docs(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(0, size(w)-2), i -> struct(w[i] AS w1, w[i+1] AS w2))"))
+          .as("p"))
+        .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      val ctx = bi.groupBy(col("w1")).agg(sum(col("c12")).cast("long").as("c1"))
+      bi.join(ctx, Seq("w1"))
+        .select(col("w1"), col("w2"), col("c12"), col("c1"),
+          round(col("c12") / col("c1"), 6).as("p"))
+        .orderBy(desc("c12"), col("w1"), col("w2"))
+        .limit(50)
+    }),
+
+    // Sliding-window chunking (RAG ingestion): 32-token chunks, stride
+    // 24; a doc yields 1 + max(0, ceil((n-32)/24)) chunks (integer
+    // arithmetic — no FP in the chunk count).
+    "q_chunk_sliding" -> ((s, d) => {
+      docs(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .select(col("doc_id"), col("w"),
+          (lit(1) + greatest(lit(0),
+            expr("(size(w) - 32 + 23) div 24"))).as("nchunks"))
+        .select(col("doc_id"),
+          posexplode(expr(
+            "transform(sequence(0, nchunks - 1), i -> slice(w, i*24 + 1, 32))"))
+            .as(Seq("chunk_idx", "chunk")))
+        .select(col("doc_id"), col("chunk_idx"),
+          (col("chunk_idx") * 24 + 1).as("chunk_start"),
+          size(col("chunk")).as("n_chunk_tokens"),
+          md5(concat_ws(" ", col("chunk"))).as("chunk_hash"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+
+    // Event-stream drift: daily volume per event type, day-over-day
+    // change, 7-day moving average, spike flag.
+    "q_event_drift" -> ((s, d) => {
+      val daily = Tables.t(s, d, "events")
+        .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"), Tables.dsum2(col("value")).as("day_value"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      val ma = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        .rowsBetween(-6, Window.currentRow)
+      daily
+        .withColumn("prev_n", lag(col("n"), 1).over(w))
+        .withColumn("ma7", avg(col("n")).over(ma))
+        .select(col("day"), col("event_type"), col("n"), col("day_value"),
+          round((col("n") - col("prev_n")).cast("double") * 100 /
+            when(col("prev_n") === 0, lit(null)).otherwise(col("prev_n")), 6)
+            .as("pct_change"),
+          round(col("ma7"), 6).as("ma7"),
+          when(col("n").cast("double") > col("ma7") * 1.5, 1).otherwise(0)
+            .as("spike"))
+        .orderBy(col("event_type"), col("day"))
+    }),
+  )
+
+  val oracle: Map[String, String] = Map(
+
+    "q_tfidf" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |             FROM documents),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok WHERE tok <> ''
+        |       GROUP BY 1, 2),
+        |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1)
+        |SELECT doc_id, tf.tok, tf, df,
+        |  round(tf * ln(CAST((SELECT count(*) FROM documents) AS DOUBLE) / df), 6)
+        |    AS tfidf
+        |FROM tf JOIN df USING (tok)
+        |ORDER BY tfidf DESC, doc_id, tok LIMIT 100""".stripMargin,
+
+    "q_bm25" ->
+      """WITH dl AS (SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS INT) AS dl FROM documents),
+        |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+        |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |        FROM documents),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok
+        |       WHERE tok IN ('table', 'spark', 'merge') GROUP BY 1, 2),
+        |dfc AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+        |term AS (SELECT tf.doc_id,
+        |  CAST(round(
+        |    ln(CAST(1.0 AS DOUBLE) + (n_docs - df + CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE)))
+        |    * (tf * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE))) /
+        |    (tf + CAST(1.2 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+        |      + CAST(0.75 AS DOUBLE) * CAST(dl AS DOUBLE) / avgdl)), 9) AS DECIMAL(28,10)) AS ts_
+        |  FROM tf JOIN dfc USING (tok) JOIN dl ON tf.doc_id = dl.doc_id, stats)
+        |SELECT doc_id, round(CAST(sum(ts_) AS DOUBLE), 6) AS bm25,
+        |  CAST(count(*) AS INT) AS n_terms
+        |FROM term GROUP BY doc_id
+        |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
+
+    "q_cooccur_pmi" ->
+      """WITH dtok AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+        |              FROM documents),
+        |pairs AS (SELECT a.tok AS wa, b.tok AS wb, count(*) AS c_ab
+        |          FROM dtok a JOIN dtok b
+        |            ON a.doc_id = b.doc_id AND a.tok < b.tok
+        |          WHERE a.tok <> '' AND b.tok <> ''
+        |          GROUP BY 1, 2 HAVING count(*) >= 5),
+        |cnt AS (SELECT tok, count(*) AS c FROM dtok WHERE tok <> '' GROUP BY 1)
+        |SELECT wa, wb, c_ab,
+        |  round(ln(CAST(c_ab * (SELECT count(*) FROM documents) AS DOUBLE) /
+        |    (ca.c * cb.c)), 6) AS pmi
+        |FROM pairs JOIN cnt ca ON pairs.wa = ca.tok
+        |           JOIN cnt cb ON pairs.wb = cb.tok
+        |ORDER BY pmi DESC, wa, wb LIMIT 50""".stripMargin,
+
+    "q_bigram_lm" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |bi AS (SELECT w[i] AS w1, w[i+1] AS w2, count(*) AS c12
+        |       FROM w, LATERAL (SELECT unnest(generate_series(1, len(w)-1)) AS i) t
+        |       WHERE len(w) >= 2 GROUP BY 1, 2),
+        |ctx AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM bi GROUP BY 1)
+        |SELECT bi.w1 AS w1, w2, c12, c1, round(c12 / c1, 6) AS p
+        |FROM bi JOIN ctx ON bi.w1 = ctx.w1
+        |ORDER BY c12 DESC, bi.w1, w2 LIMIT 50""".stripMargin,
+
+    "q_chunk_sliding" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |n AS (SELECT doc_id, w,
+        |  1 + greatest(0, (len(w) - 32 + 23) // 24) AS nchunks FROM w),
+        |c AS (SELECT doc_id, CAST(i AS INT) AS chunk_idx, w[i*24+1:i*24+32] AS chunk
+        |      FROM n, LATERAL (SELECT unnest(generate_series(0, nchunks - 1)) AS i) t)
+        |SELECT doc_id, chunk_idx,
+        |  CAST(chunk_idx * 24 + 1 AS INT) AS chunk_start,
+        |  CAST(len(chunk) AS INT) AS n_chunk_tokens,
+        |  md5(array_to_string(chunk, ' ')) AS chunk_hash
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "q_event_drift" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS day_value
+        |  FROM events GROUP BY 1, 2),
+        |x AS (SELECT day, event_type, n, day_value,
+        |  lag(n, 1) OVER (PARTITION BY event_type ORDER BY day) AS prev_n,
+        |  avg(n) OVER (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS ma7
+        |  FROM daily)
+        |SELECT day, event_type, n, day_value,
+        |  round((n - prev_n) * CAST(100 AS DOUBLE) / NULLIF(prev_n, 0), 6)
+        |    AS pct_change,
+        |  round(ma7, 6) AS ma7,
+        |  CASE WHEN CAST(n AS DOUBLE) > ma7 * CAST(1.5 AS DOUBLE) THEN 1 ELSE 0 END
+        |    AS spike
+        |FROM x ORDER BY event_type, day""".stripMargin,
+  )
+}

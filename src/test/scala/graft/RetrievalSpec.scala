@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Ground-truth properties for the retrieval/statistics pack (value
+  * parity is the DuckDB oracle gate). */
+class RetrievalSpec extends SparkTestBase {
+
+  test("q_tfidf: df bounded by corpus size, scores non-negative") {
+    val n = spark.read.parquet(s"$sf/documents.parquet").count()
+    val rows = q("q_tfidf").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(3) <= n)
+      assert(r.getDouble(4) >= 0.0, s"negative tfidf: $r")
+    }
+  }
+
+  test("q_bm25: descending scores, term count bounded by query size") {
+    val rows = q("q_bm25").collect()
+    assert(rows.nonEmpty)
+    val scores = rows.map(_.getDouble(1))
+    assert(scores.sameElements(scores.sorted.reverse))
+    rows.foreach(r => assert(r.getInt(2) >= 1 && r.getInt(2) <= 3))
+  }
+
+  test("q_cooccur_pmi: canonical pair order and support threshold") {
+    q("q_cooccur_pmi").collect().foreach { r =>
+      assert(r.getString(0) < r.getString(1), s"pair not canonical: $r")
+      assert(r.getLong(2) >= 5)
+    }
+  }
+
+  test("q_bigram_lm: probabilities in (0,1], evidence consistent") {
+    val rows = q("q_bigram_lm").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(3), s"c12 > c1: $r")
+      val p = r.getDouble(4)
+      assert(p > 0 && p <= 1.0)
+    }
+  }
+
+  test("q_chunk_sliding covers every document exactly") {
+    val nWords = graft.engine.Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val byDoc = q("q_chunk_sliding").collect().groupBy(_.getLong(0))
+    assert(byDoc.keySet == nWords.keySet)
+    byDoc.foreach { case (doc, chunks) =>
+      val ordered = chunks.sortBy(_.getInt(1))
+      assert(ordered.head.getInt(2) == 1, "first chunk must start at 1")
+      val last = ordered.last
+      assert(last.getInt(2) + last.getInt(3) - 1 == nWords(doc),
+        s"doc $doc tail not covered")
+      ordered.foreach(c => assert(c.getInt(3) >= 1 && c.getInt(3) <= 32))
+      // stride 24 < size 32: consecutive chunks overlap, no gaps
+      ordered.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getInt(2) - a.getInt(2) == 24)
+          assert(b.getInt(2) <= a.getInt(2) + a.getInt(3), s"gap in doc $doc")
+        case _ =>
+      }
+    }
+  }
+
+  test("q_event_drift: spike flag is binary, ma7 positive, first day has null pct") {
+    val rows = q("q_event_drift").collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(1)).foreach { case (_, rs) =>
+      assert(rs.count(_.isNullAt(4)) == 1, "exactly one first-day null pct per type")
+    }
+    rows.foreach { r =>
+      assert(r.getInt(6) == 0 || r.getInt(6) == 1)
+      assert(r.getDouble(5) > 0)
+    }
+  }
+}
