@@ -75,6 +75,14 @@ object Curation extends QueryPack {
     // the keep/drop verdict. Ratios are exact int/int doubles rounded
     // to 6dp (parity contract); the verdict compares the unrounded
     // values — identical operands on both engines.
+    //
+    // Stated relationally (explode → groupBy(doc,ngram) → groupBy(doc)
+    // → join): the shuffles key on doc_id so partial aggregation
+    // applies and per-row work stays codegen'd. A zero-shuffle
+    // alternative — per-doc `transform`/`filter`/`array_max` array
+    // computations — was measured 2.6× SLOWER at sf0.1: higher-order
+    // functions are interpreted per element, and O(n_words×n_distinct)
+    // interpreted lambda calls lose to two codegen'd hash aggregations.
     "q_quality_gopher" -> ((s, d) => {
       val base = words(s, d).select(col("doc_id"), col("w"),
         size(col("w")).as("n_words"),
