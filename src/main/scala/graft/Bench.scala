@@ -66,7 +66,10 @@ object Bench {
     // concurrent throughput passes over the warm session; min-of-N
     // wall is reported — this box shares hardware with co-tenants and
     // single-pass walls swing ±40% with outside load.
-    val streams = sys.env.getOrElse("SPARK_GRAFT_BENCH_STREAMS", "8").toInt
+    // 16 streams on 32 cores measured ~10% faster than 8 on the full
+    // 95-query surface (small queries underfill 32 cores; deeper
+    // stream parallelism hides the per-query scheduling gaps).
+    val streams = sys.env.getOrElse("SPARK_GRAFT_BENCH_STREAMS", "16").toInt
     val concPasses = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONC_PASSES", "3").toInt
     val pool = java.util.concurrent.Executors.newFixedThreadPool(streams)
     implicit val ec: scala.concurrent.ExecutionContext =

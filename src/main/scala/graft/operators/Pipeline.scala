@@ -510,6 +510,10 @@ object Pipeline extends QueryPack {
           .agg(transform(array_sort(collect_list(struct(col("pos"), col("mv")))),
             x => x.getField("mv").cast("float")).as("cvec"))
       }
+      // the k-row centroid table feeds BOTH the corpus assignment and
+      // the query-probe ranking — cache it so the 2-round Lloyd
+      // subtree (the bulk of this plan) executes once, not twice
+      cents = cents.cache()
       val cells = assign(cents)
       val qCells = e.filter(col("vec_id") === 0).crossJoin(broadcast(cents))
         .orderBy(sqDist, col("cid")).limit(nprobe)
