@@ -16,7 +16,8 @@ import graft.operators._
   */
 object SparkEntry {
   private val packs = Seq(Relational, Windows, Funcs, Pipeline,
-    StreamingQueries, Typed, Multimodal, SqlSurface, Curation, Retrieval)
+    StreamingQueries, Typed, Multimodal, SqlSurface, Curation, Retrieval,
+    Temporal)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Revenue by nation (scan→filter→join→agg→sort→limit — the

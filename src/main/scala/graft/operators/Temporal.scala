@@ -1,0 +1,129 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.engine.{QueryPack, Tables}
+
+/** Round-4 temporal/behavioral analytics over the event stream: ordered
+  * funnel conversion, cohort retention, and SCD2 validity-interval
+  * construction (the engine analog of the reference's daily catalog
+  * snapshots — crocus base_scraper.py:72-83 lays a date-partitioned
+  * snapshot tree; an SCD2 build is how a warehouse turns those
+  * snapshots/events into queryable validity ranges).
+  *
+  * Scale notes:
+  *  - funnel: three keyed aggregations, each shuffling only the
+  *    users surviving the previous step (monotone shrinking);
+  *  - retention: groupBy (cohort_day, offset) — partial aggregation,
+  *    key space = days², tiny;
+  *  - scd2: lag/lead windows partitioned BY USER — parallel across
+  *    users, no global sort; ties broken by event_id so the intervals
+  *    are deterministic under shuffle.
+  */
+object Temporal extends QueryPack {
+
+  private def events(s: SparkSession, d: String): DataFrame =
+    Tables.t(s, d, "events")
+
+  val queries: Map[String, Q] = Map(
+
+    // Ordered funnel view -> click -> purchase: each step counts users
+    // whose first step-event strictly follows their first prior-step
+    // event.
+    "q_event_funnel" -> ((s, d) => {
+      val e = events(s, d)
+      val v = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("v_ts"))
+      val c = e.filter(col("event_type") === "click")
+        .join(v, Seq("user_id")).filter(col("ts") > col("v_ts"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("c_ts"))
+      val p = e.filter(col("event_type") === "purchase")
+        .join(c, Seq("user_id")).filter(col("ts") > col("c_ts"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("p_ts"))
+      val row = (step: Int, name: String, df: DataFrame) =>
+        df.agg(count(lit(1)).as("n_users"))
+          .select(lit(step).as("step"), lit(name).as("event_type"),
+            col("n_users"))
+      row(1, "view", v).unionByName(row(2, "click", c))
+        .unionByName(row(3, "purchase", p))
+        .orderBy(col("step"))
+    }),
+
+    // Cohort retention: users bucketed by first-active day, activity
+    // counted per day offset.
+    "q_cohort_retention" -> ((s, d) => {
+      val e = events(s, d).select(col("user_id"), to_date(col("ts")).as("day"))
+      val cohort = e.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+      e.join(cohort, Seq("user_id"))
+        .groupBy(col("cohort_day"),
+          datediff(col("day"), col("cohort_day")).as("day_offset"))
+        .agg(countDistinct(col("user_id")).as("n_active"))
+        .orderBy(col("cohort_day"), col("day_offset"))
+    }),
+
+    // SCD2 interval build: collapse each user's event-type run-lengths
+    // into validity ranges [valid_from, valid_to), open-ended current
+    // row flagged. Deterministic under ts ties via event_id.
+    "q_scd2_intervals" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val changes = events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNull ||
+          col("prev_type") =!= col("event_type"))
+      val wc = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      changes
+        .withColumn("valid_to", lead(col("ts"), 1).over(wc))
+        .select(col("user_id"), col("event_type"),
+          col("ts").as("valid_from"), col("valid_to"),
+          when(col("valid_to").isNull, 1).otherwise(0).as("is_current"))
+        .orderBy(col("user_id"), col("valid_from"), col("event_type"))
+    }),
+  )
+
+  val oracle: Map[String, String] = Map(
+
+    "q_event_funnel" ->
+      """WITH v AS (SELECT user_id, min(ts) AS v_ts FROM events
+        |           WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(e.ts) AS c_ts FROM events e
+        |      JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND e.ts > v.v_ts GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.ts) AS p_ts FROM events e
+        |      JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts > c.c_ts GROUP BY 1)
+        |SELECT 1 AS step, 'view' AS event_type, count(*) AS n_users FROM v
+        |UNION ALL
+        |SELECT 2, 'click', count(*) FROM c
+        |UNION ALL
+        |SELECT 3, 'purchase', count(*) FROM p
+        |ORDER BY step""".stripMargin,
+
+    "q_cohort_retention" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+        |cohort AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY 1)
+        |SELECT cohort_day, CAST(e.day - cohort_day AS INT) AS day_offset,
+        |  count(DISTINCT e.user_id) AS n_active
+        |FROM e JOIN cohort ON e.user_id = cohort.user_id
+        |GROUP BY cohort_day, e.day - cohort_day
+        |ORDER BY cohort_day, day_offset""".stripMargin,
+
+    "q_scd2_intervals" ->
+      """WITH x AS (SELECT user_id, ts, event_id, event_type,
+        |  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |    AS prev_type
+        |  FROM events),
+        |changes AS (SELECT user_id, ts, event_id, event_type FROM x
+        |            WHERE prev_type IS NULL OR prev_type <> event_type)
+        |SELECT user_id, event_type, ts AS valid_from,
+        |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |    AS valid_to,
+        |  CASE WHEN lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |    IS NULL THEN 1 ELSE 0 END AS is_current
+        |FROM changes ORDER BY user_id, valid_from, event_type""".stripMargin,
+  )
+}
