@@ -29,6 +29,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (es: Seq[Expression]) => ParseLocaleMoney(es.head)))
     e.injectFunction((FunctionIdentifier("parse_date_it"), info("parse_date_it"),
       (es: Seq[Expression]) => ParseDateIt(es.head)))
+    // Spark's runtime-filter bloom machinery, surfaced as SQL functions
+    // (upstream keeps them internal-only): bloom_agg(xxhash64(x), est_n,
+    // n_bits) builds the sketch, bloom_might_contain(bloom, xxhash64(x))
+    // probes it. Bits OR together, so the sketch is insertion-order- and
+    // partitioning-invariant — deterministic output by construction.
+    e.injectFunction((FunctionIdentifier("bloom_agg"), info("bloom_agg"),
+      (es: Seq[Expression]) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate
+          .BloomFilterAggregate(es(0), es(1), es(2)).toAggregateExpression()))
+    e.injectFunction((FunctionIdentifier("bloom_might_contain"), info("bloom_might_contain"),
+      (es: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(es(0), es(1))))
   }
 }
 

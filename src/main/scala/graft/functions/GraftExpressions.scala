@@ -129,6 +129,13 @@ object GraftFunctions {
       es => TopKByLong.fromExprs(es).toAggregateExpression(), "scala_udf")
     reg.createOrReplaceTempFunction("minhash_sig",
       es => MinHashSig.fromExprs(es).toAggregateExpression(), "scala_udf")
+    reg.createOrReplaceTempFunction("bloom_agg",
+      es => new org.apache.spark.sql.catalyst.expressions.aggregate
+        .BloomFilterAggregate(es(0), es(1), es(2)).toAggregateExpression(),
+      "scala_udf")
+    reg.createOrReplaceTempFunction("bloom_might_contain",
+      es => org.apache.spark.sql.catalyst.expressions
+        .BloomFilterMightContain(es(0), es(1)), "scala_udf")
     // optimizer rules are session state too: imperative twin of
     // GraftExtensions.injectOptimizerRule for sessions built without
     // the static spark.sql.extensions conf. Synchronized: the

@@ -167,6 +167,79 @@ object Curation extends QueryPack {
         .orderBy(col("source"), col("bin"))
     }),
 
+    // Decontamination by bloom filter instead of exact broadcast set:
+    // the benchmark grams aggregate into a fixed-size sketch (bits ~
+    // n·ln(1/fp), independent of gram text size), the corpus probes it
+    // map-side — the shape that still works when the exact gram set is
+    // too big to broadcast. Superset of q_decontaminate's hits by
+    // construction (bloom has false positives, no false negatives);
+    // rows-only (sketch membership isn't SQL-expressible in the
+    // oracle), asserted against the exact query in CurationSpec.
+    "q_decontaminate_bloom" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val g = grams(s, d, 3)
+      // might_contain demands a CONSTANT sketch, so the one-row bloom
+      // aggregate materializes at the driver and re-enters the plan as
+      // a binary literal — the same build-merge-rebroadcast shape
+      // Spark's own runtime bloom join filters use (a ~25 KB sketch,
+      // not data, crosses the driver).
+      val bf = g.filter(col("doc_id") % 97 === 0)
+        .agg(expr("bloom_agg(xxhash64(g), 10000L, 200000L)").as("bf"))
+        .collect()(0).getAs[Array[Byte]](0)
+      val corpus = g.filter(col("doc_id") % 97 =!= 0)
+      val probed =
+        if (bf == null) corpus.filter(lit(false)) // empty benchmark slice
+        else corpus.filter(call_function("bloom_might_contain",
+          lit(bf), xxhash64(col("g"))))
+      probed
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("g")).as("n_candidate_grams"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // PageRank over the near-dup candidate graph (centrality-based
+    // representative selection). Fixed 5 power iterations; ranks are
+    // summed as exact decimals so shuffle order can't perturb the
+    // result; lineage is truncated per round (localCheckpoint) like
+    // the connected-components query. Rows-only: ground-truthed
+    // against a driver-side power iteration in CurationSpec.
+    "q_graph_pagerank" -> ((s, d) => {
+      val damping = 0.85
+      val pairs = Pipeline.queries("q_dedup_minhash")(s, d)
+        .select(col("da"), col("db"))
+      val edges = pairs
+        .unionByName(pairs.select(col("db").as("da"), col("da").as("db")))
+        .select(col("da").as("src"), col("db").as("dst"))
+        .localCheckpoint()
+      val nodes = edges.select(col("src").as("node")).distinct()
+        .localCheckpoint()
+      val n = nodes.count() // scalar fixpoint-style driver value, not data
+      if (n == 0) {
+        nodes.select(col("node").as("doc_id"),
+          lit(0.0).as("pagerank"))
+      } else {
+        val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        var pr = nodes.withColumn("rank",
+          lit(1.0 / n).cast("decimal(30,15)"))
+        (1 to 5).foreach { _ =>
+          val contrib = edges.join(pr, col("src") === col("node"))
+            .join(deg, Seq("src"))
+            .groupBy(col("dst"))
+            .agg(sum((col("rank") / col("deg")).cast("decimal(30,15)"))
+              .as("in_rank"))
+          pr = nodes.join(contrib, col("node") === col("dst"), "left")
+            .select(col("node"),
+              (lit((1 - damping) / n) +
+                lit(damping) * coalesce(col("in_rank").cast("double"), lit(0.0)))
+                .cast("decimal(30,15)").as("rank"))
+            .localCheckpoint()
+        }
+        pr.select(col("node").as("doc_id"),
+          round(col("rank").cast("double"), 12).as("pagerank"))
+          .orderBy(desc("pagerank"), col("doc_id"))
+      }
+    }),
+
     // Inverted index over the corpus: document frequency, corpus
     // frequency, and a capped posting-list sample per token; top 50
     // tokens by df (total order: df desc, cf desc, token).

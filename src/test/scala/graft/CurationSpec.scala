@@ -81,6 +81,47 @@ class CurationSpec extends SparkTestBase {
     }
   }
 
+  test("q_decontaminate_bloom is a superset of the exact hits with bounded inflation") {
+    val exact = q("q_decontaminate").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bloom = q("q_decontaminate_bloom").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    exact.foreach { case (doc, nHits) =>
+      assert(bloom.contains(doc), s"bloom missed exact-contaminated doc $doc")
+      assert(bloom(doc) >= nHits, s"doc $doc: bloom candidates < exact hits")
+    }
+    // 200k bits for ~240 benchmark grams => fp ~ 0; candidate volume
+    // should not blow up beyond 2x the exact volume on this data
+    assert(bloom.values.sum <= math.max(2 * exact.values.sum, 50L),
+      s"bloom candidate volume ${bloom.values.sum} vs exact ${exact.values.sum}")
+  }
+
+  test("q_graph_pagerank matches a driver-side power iteration") {
+    val spRanks = q("q_graph_pagerank").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val pairs = operators.Pipeline.queries("q_dedup_minhash")(spark, sf)
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val edges = pairs ++ pairs.map(p => (p._2, p._1))
+    val nodes = edges.map(_._1).distinct.sorted
+    if (nodes.isEmpty) assert(spRanks.isEmpty)
+    else {
+      val n = nodes.length
+      val deg = edges.groupBy(_._1).view.mapValues(_.length).toMap
+      var rank = nodes.map(_ -> 1.0 / n).toMap
+      (1 to 5).foreach { _ =>
+        val in = edges.groupBy(_._2).view.mapValues(
+          _.map(e => rank(e._1) / deg(e._1)).sum).toMap
+        rank = nodes.map(v => v -> (0.15 / n + 0.85 * in.getOrElse(v, 0.0))).toMap
+      }
+      assert(spRanks.keySet == rank.keySet)
+      spRanks.foreach { case (doc, r) =>
+        assert(math.abs(r - rank(doc)) < 1e-9, s"doc $doc: $r vs ${rank(doc)}")
+      }
+      // undirected graph, no dangling nodes: total rank stays 1
+      assert(math.abs(spRanks.values.sum - 1.0) < 1e-6)
+    }
+  }
+
   test("q_inverted_index postings are capped, sorted, and df<=cf") {
     val rows = q("q_inverted_index").collect()
     assert(rows.nonEmpty && rows.length <= 50)

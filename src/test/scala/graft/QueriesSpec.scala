@@ -8,7 +8,7 @@ class QueriesSpec extends SparkTestBase {
 
   // queries that legitimately return 0 rows at sf0.001 (tiny data)
   private val mayBeEmpty = Set("q_join_anti", "q_except", "q_dedup_simhash",
-    "q_dedup_minhash", "q_dedup_cluster")
+    "q_dedup_minhash", "q_dedup_cluster", "q_graph_pagerank")
 
   test("entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
@@ -24,7 +24,8 @@ class QueriesSpec extends SparkTestBase {
     assert(unoracled == Set("q_agg_approx_distinct", "q_agg_approx_percentile",
       "q_dedup_minhash", "q_dedup_simhash", "q_dedup_simhash_lsh",
       "q_dedup_embedding_lsh", "q_similarity_ann", "q_similarity_batch_ann",
-      "q_similarity_ivf", "q_multimodal_decode", "q_dedup_cluster"))
+      "q_similarity_ivf", "q_multimodal_decode", "q_dedup_cluster",
+      "q_decontaminate_bloom", "q_graph_pagerank"))
   }
 
   test("determinism contract: every oracle imposes a total ORDER BY") {
