@@ -242,16 +242,24 @@ object Curation extends QueryPack {
 
     // Inverted index over the corpus: document frequency, corpus
     // frequency, and a capped posting-list sample per token; top 50
-    // tokens by df (total order: df desc, cf desc, token).
+    // tokens by df (total order: df desc, cf desc, token). The sample
+    // is built with the bounded top_k_by aggregate (5 ids of state per
+    // token, ever) over pre-distinct (tok, doc_id) — collect_set would
+    // buffer EVERY doc_id of a stopword token before slicing, which is
+    // unbounded per-key state at corpus scale. ~doc_id orders the k
+    // smallest ids first (bitwise NOT, overflow-safe vs unary minus).
     "q_inverted_index" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
       docs(s, d)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
         .filter(col("tok") =!= "")
+        .groupBy(col("tok"), col("doc_id")).agg(count(lit(1)).as("c"))
         .groupBy(col("tok"))
-        .agg(countDistinct(col("doc_id")).as("df"), count(lit(1)).as("cf"),
-          sort_array(collect_set(col("doc_id"))).as("ids"))
+        .agg(count(lit(1)).as("df"), sum(col("c")).cast("long").as("cf"),
+          call_function("top_k_by", col("doc_id"),
+            expr("~doc_id"), lit(5)).as("ids"))
         .select(col("tok"), col("df"), col("cf"), expr(
-          "array_join(transform(slice(ids, 1, 5), x -> cast(x as string)), ',')")
+          "array_join(transform(ids, x -> cast(x as string)), ',')")
           .as("posting_sample"))
         .orderBy(desc("df"), desc("cf"), col("tok"))
         .limit(50)

@@ -26,8 +26,10 @@ import graft.engine.{QueryPack, Tables}
   *    bounded keys (vocabulary, (doc,term)); corpus scalars (N, avgdl)
   *    are single-row broadcasts, never a driver collect;
   *  - bm25: term postings are filtered to the query's terms BEFORE the
-  *    join (postings ~ |query| × df, not the corpus), dl/stats sides
-  *    broadcast;
+  *    join (postings ~ |query| × df, not the corpus) — that filtered
+  *    tf side is the small one Spark broadcasts against the
+  *    corpus-sized dl table; only dfc (one row per query term) and
+  *    the single-row stats are explicitly broadcast;
   *  - cooccur_pmi: the per-doc self-join is bounded by document length
   *    (docs are bounded by upstream curation), and the pair aggregation
   *    keys on vocab² with partial aggregation — no corpus-sized state;

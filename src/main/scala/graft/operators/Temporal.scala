@@ -78,10 +78,15 @@ object Temporal extends QueryPack {
         .orderBy(col("ts"), col("event_id"))
       changes
         .withColumn("valid_to", lead(col("ts"), 1).over(wc))
-        .select(col("user_id"), col("event_type"),
+        // event_id stays in the output (provenance: the event that
+        // opened the interval) AND in the final sort: two change rows
+        // can share (user_id, ts) when events carry timestamp ties, and
+        // without the unique id the output order — hence the oracle
+        // hash — would be nondeterministic.
+        .select(col("user_id"), col("event_type"), col("event_id"),
           col("ts").as("valid_from"), col("valid_to"),
           when(col("valid_to").isNull, 1).otherwise(0).as("is_current"))
-        .orderBy(col("user_id"), col("valid_from"), col("event_type"))
+        .orderBy(col("user_id"), col("valid_from"), col("event_id"))
     }),
   )
 
@@ -119,11 +124,11 @@ object Temporal extends QueryPack {
         |  FROM events),
         |changes AS (SELECT user_id, ts, event_id, event_type FROM x
         |            WHERE prev_type IS NULL OR prev_type <> event_type)
-        |SELECT user_id, event_type, ts AS valid_from,
+        |SELECT user_id, event_type, event_id, ts AS valid_from,
         |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
         |    AS valid_to,
         |  CASE WHEN lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
         |    IS NULL THEN 1 ELSE 0 END AS is_current
-        |FROM changes ORDER BY user_id, valid_from, event_type""".stripMargin,
+        |FROM changes ORDER BY user_id, valid_from, event_id""".stripMargin,
   )
 }

@@ -27,14 +27,16 @@ class TemporalSpec extends SparkTestBase {
     val rows = q("q_scd2_intervals").collect()
     assert(rows.nonEmpty)
     rows.groupBy(_.getLong(0)).foreach { case (user, rs) =>
-      val ordered = rs.sortBy(_.getAs[java.time.LocalDateTime](2))
-      assert(ordered.count(_.getInt(4) == 1) == 1,
+      // sort by (valid_from, event_id): ts ties are possible in general
+      val ordered = rs.sortBy(r =>
+        (r.getAs[java.time.LocalDateTime](3).toString, r.getLong(2)))
+      assert(ordered.count(_.getInt(5) == 1) == 1,
         s"user $user: not exactly one current interval")
-      assert(ordered.last.getInt(4) == 1 && ordered.last.isNullAt(3))
+      assert(ordered.last.getInt(5) == 1 && ordered.last.isNullAt(4))
       ordered.sliding(2).foreach {
         case Array(a, b) =>
-          assert(a.getAs[java.time.LocalDateTime](3) ==
-            b.getAs[java.time.LocalDateTime](2),
+          assert(a.getAs[java.time.LocalDateTime](4) ==
+            b.getAs[java.time.LocalDateTime](3),
             s"user $user: gap between intervals")
           assert(a.getString(1) != b.getString(1),
             s"user $user: adjacent intervals share event_type (not collapsed)")
