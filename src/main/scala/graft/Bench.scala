@@ -33,9 +33,13 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // shuffle partitions default to the core count; overridable because
+    // under N-stream concurrency each query needs only ~cores/N
+    val shuffleParts =
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffleParts)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.scheduler.mode", "FAIR")
       .config("spark.ui.enabled", "false")
@@ -75,9 +79,24 @@ object Bench {
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutorService(pool)
     val concFailed = scala.collection.mutable.Set[String]()
+    // longest-processing-time-first submission: the pool's 16 threads
+    // pick tasks in submission order, so the multi-second iterative
+    // chains (pagerank, clustering) start at t=0 instead of landing
+    // last and stretching the makespan tail by their full length
+    val byCost = selected.toSeq.sortBy { case (n, _) =>
+      -seq.getOrElse(n, 0.0)
+    }
+    // under N concurrent streams each query needs ~cores/N of the box,
+    // not all of it: full-width shuffles just multiply task-scheduling
+    // overhead N-fold. Measured on the 100-query surface at 32 cores /
+    // 16 streams: 12.3 s (32 partitions) -> 8.9 s (8). Plans re-build
+    // per runOne call, so the session conf takes effect here.
+    spark.conf.set("spark.sql.shuffle.partitions",
+      sys.env.getOrElse("SPARK_GRAFT_CONC_SHUFFLE_PARTS",
+        math.max(4, cpus.toInt * 4 / streams).toString))
     val wall = (1 to concPasses).map { _ =>
       val w0 = System.nanoTime()
-      val futs = selected.toSeq.map { case (n, f) =>
+      val futs = byCost.map { case (n, f) =>
         scala.concurrent.Future {
           // per-thread pool: with scheduler.mode=FAIR, pools are fair-
           // shared against each other (jobs within one stream stay
