@@ -228,4 +228,36 @@ class PlanSpec extends SparkTestBase {
     assert(planOf("shuffle_hash").contains("ShuffledHashJoin"))
     assert(planOf("broadcast").contains("BroadcastHashJoin"))
   }
+
+  // --- round-4 packs: the windows that must stay keyed (a missing
+  // partition spec silently serializes the whole table through one
+  // partition — invisible at small SF, fatal at 100 TB) ---
+
+  test("q_global_shuffle positions are computed per shard, not globally") {
+    assert(plan("q_global_shuffle").contains("windowspecdefinition(shard"))
+  }
+
+  test("q_pack_sequences cumsum window partitions by source") {
+    assert(plan("q_pack_sequences").contains("windowspecdefinition(source"))
+  }
+
+  test("q_scd2_intervals windows partition by user") {
+    assert(plan("q_scd2_intervals").contains("windowspecdefinition(user_id"))
+  }
+
+  test("q_event_drift windows partition by event_type") {
+    assert(plan("q_event_drift").contains("windowspecdefinition(event_type"))
+  }
+
+  test("q_inverted_index posting aggregation is partial (map-side) and bounded") {
+    val p = finalPlan("q_inverted_index")
+    // top_k_by is an ObjectHashAggregate with a partial phase
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(p.contains("partial_top_k_by") || p.contains("partial top_k_by") ||
+      p.toLowerCase.contains("partial"), p)
+  }
+
+  test("q_bm25 broadcasts the term postings side against the doc-length table") {
+    assert(plan("q_bm25").contains("BroadcastHashJoin"))
+  }
 }
