@@ -57,6 +57,19 @@ object StreamRunner {
       .agg(count(lit(1)).as("n_events"))
       .select(col("user_id"), col("w.start").as("session_start"), col("n_events"))
 
+  /** Stream-static join: the live event stream enriched against a
+    * batch-computed user dimension (first-active cohort day). The
+    * static side re-plans per micro-batch but holds NO streaming state
+    * — the standard shape for dimension enrichment at scale (broadcast
+    * when the dim is small; here it's one row per user). Output:
+    * events per (cohort_day, event_type). */
+  def cohortEnriched(stream: DataFrame, userDim: DataFrame): DataFrame =
+    stream
+      .withWatermark("ts", "1 hour")
+      .join(userDim, Seq("user_id"))
+      .groupBy(col("cohort_day"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+
   /** Stream-stream interval join: each purchase joined to the clicks of
     * the same user in the preceding hour. Both sides carry watermarks so
     * the join state is bounded: a buffered click can be dropped once the

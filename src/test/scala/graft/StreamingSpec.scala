@@ -19,6 +19,20 @@ class StreamingSpec extends SparkTestBase {
     assert(stream.exceptAll(batch).isEmpty && batch.exceptAll(stream).isEmpty)
   }
 
+  test("stream-static join: cohort enrichment == batch equivalent") {
+    val batchEvents = graft.engine.Tables.t(spark, sf, "events")
+    val userDim = batchEvents.groupBy(col("user_id"))
+      .agg(min(to_date(col("ts"))).as("cohort_day"))
+    val stream = StreamRunner.runAvailableNow(spark,
+      StreamRunner.cohortEnriched(StreamRunner.eventsStream(spark, sf), userDim),
+      "t_cohort_enriched")
+    val batch = batchEvents.join(userDim, Seq("user_id"))
+      .groupBy(col("cohort_day"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    assert(stream.count() == batch.count() && stream.count() > 0)
+    assert(stream.exceptAll(batch).isEmpty && batch.exceptAll(stream).isEmpty)
+  }
+
   test("streaming session windows == batch q_stream_session (keys+counts)") {
     val stream = StreamRunner.runAvailableNow(spark,
       StreamRunner.sessions(StreamRunner.eventsStream(spark, sf)),
