@@ -156,6 +156,33 @@ object Retrieval extends QueryPack {
         .orderBy(col("doc_id"), col("chunk_idx"))
     }),
 
+    // Distribution drift between corpus slices: KL(source ‖ corpus)
+    // over token distributions. Per-token contributions are single
+    // IEEE ops on identical integer-ratio operands (exact on both
+    // engines); the Σ runs through the 12dp-rounded exact-decimal
+    // trick so shuffle order can't perturb the sum. Source terms are a
+    // subset of corpus terms, so p_corpus > 0 wherever p_source > 0.
+    "q_source_kl" -> ((s, d) => {
+      val st = docs(s, d)
+        .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+        .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c_st"))
+      val sTot = st.groupBy(col("source"))
+        .agg(sum(col("c_st")).cast("long").as("n_s"))
+      val cTok = st.groupBy(col("tok"))
+        .agg(sum(col("c_st")).cast("long").as("c_t"))
+      val nC = st.agg(sum(col("c_st")).cast("long").as("n_c"))
+      val ps = col("c_st") / col("n_s")
+      val pc = col("c_t") / col("n_c")
+      st.join(sTot, Seq("source")).join(cTok, Seq("tok"))
+        .crossJoin(broadcast(nC))
+        .select(col("source"), col("n_s"),
+          round(ps * log(ps / pc), 12).cast("decimal(30,14)").as("term"))
+        .groupBy(col("source"), col("n_s"))
+        .agg(round(sum(col("term")).cast("double"), 6).as("kl"))
+        .orderBy(col("source"))
+    }),
+
     // Event-stream drift: daily volume per event type, day-over-day
     // change, 7-day moving average, spike flag.
     "q_event_drift" -> ((s, d) => {
@@ -251,6 +278,21 @@ object Retrieval extends QueryPack {
         |  CAST(len(chunk) AS INT) AS n_chunk_tokens,
         |  md5(array_to_string(chunk, ' ')) AS chunk_hash
         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "q_source_kl" ->
+      """WITH st AS (SELECT source, tok, count(*) AS c_st FROM (
+        |    SELECT source, unnest(string_split(text, ' ')) AS tok
+        |    FROM documents) u WHERE tok <> '' GROUP BY 1, 2),
+        |s_tot AS (SELECT source, CAST(sum(c_st) AS BIGINT) AS n_s
+        |          FROM st GROUP BY 1),
+        |c_tok AS (SELECT tok, CAST(sum(c_st) AS BIGINT) AS c_t
+        |          FROM st GROUP BY 1),
+        |n_c AS (SELECT CAST(sum(c_st) AS BIGINT) AS n_c FROM st)
+        |SELECT source, n_s, round(CAST(sum(CAST(round(
+        |    (c_st / n_s) * ln((c_st / n_s) / (c_t / n_c)), 12)
+        |  AS DECIMAL(30,14))) AS DOUBLE), 6) AS kl
+        |FROM st JOIN s_tot USING (source) JOIN c_tok USING (tok), n_c
+        |GROUP BY source, n_s ORDER BY source""".stripMargin,
 
     "q_event_drift" ->
       """WITH daily AS (

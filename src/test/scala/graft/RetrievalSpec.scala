@@ -64,6 +64,18 @@ class RetrievalSpec extends SparkTestBase {
     }
   }
 
+  test("q_source_kl: one row per source, KL non-negative (Gibbs)") {
+    val nSources = spark.read.parquet(s"$sf/documents.parquet")
+      .select("source").distinct().count()
+    val rows = q("q_source_kl").collect()
+    assert(rows.length == nSources)
+    rows.foreach { r =>
+      // rounded at 6dp: allow the rounding epsilon below zero
+      assert(r.getDouble(2) >= -1e-6, s"negative KL: $r")
+      assert(r.getLong(1) > 0)
+    }
+  }
+
   test("q_event_drift: spike flag is binary, ma7 positive, first day has null pct") {
     val rows = q("q_event_drift").collect()
     assert(rows.nonEmpty)
