@@ -84,16 +84,22 @@ object Bench {
     // chains (pagerank, clustering) start at t=0 instead of landing
     // last and stretching the makespan tail by their full length
     val byCost = selected.toSeq.sortBy { case (n, _) =>
-      -seq.getOrElse(n, 0.0)
+      // failed queries carry a -1.0 sentinel — schedule them as zero
+      // cost, not as mid-cost work
+      -math.max(seq.getOrElse(n, 0.0), 0.0)
     }
     // under N concurrent streams each query needs ~cores/N of the box,
     // not all of it: full-width shuffles just multiply task-scheduling
     // overhead N-fold. Measured on the 100-query surface at 32 cores /
     // 16 streams: 12.3 s (32 partitions) -> 8.9 s (8). Plans re-build
     // per runOne call, so the session conf takes effect here.
+    // Precedence: SPARK_GRAFT_CONC_SHUFFLE_PARTS > an explicit
+    // SPARK_GRAFT_SHUFFLE_PARTS (which then governs BOTH phases) >
+    // the 4*cores/streams default.
     spark.conf.set("spark.sql.shuffle.partitions",
       sys.env.getOrElse("SPARK_GRAFT_CONC_SHUFFLE_PARTS",
-        math.max(4, cpus.toInt * 4 / streams).toString))
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTS",
+          math.max(4, cpus.toInt * 4 / streams).toString)))
     val wall = (1 to concPasses).map { _ =>
       val w0 = System.nanoTime()
       val futs = byCost.map { case (n, f) =>

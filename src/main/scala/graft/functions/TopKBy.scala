@@ -26,6 +26,9 @@ case class TopKByLong(arg: Expression, ord: Expression, k: Int,
   override def children: Seq[Expression] = Seq(arg, ord)
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  // render as the SQL-facing name in plans (default would be
+  // "topkbylong"), so plan guards can assert the partial phase
+  override def prettyName: String = "top_k_by"
 
   // ord desc, arg asc — via explicit Ordering, not arithmetic negation:
   // -Long.MinValue == Long.MinValue, so sortBy(-ord) would rank the most

@@ -61,11 +61,14 @@ object StreamRunner {
     * batch-computed user dimension (first-active cohort day). The
     * static side re-plans per micro-batch but holds NO streaming state
     * — the standard shape for dimension enrichment at scale (broadcast
-    * when the dim is small; here it's one row per user). Output:
-    * events per (cohort_day, event_type). */
+    * when the dim is small; here it's one row per user). The global
+    * (non-windowed) aggregation means complete output mode — run via
+    * runAvailableNow, not the append sink. No watermark: nothing here
+    * consumes one (the join is stateless and the agg isn't windowed),
+    * so declaring it would bound nothing. Output: events per
+    * (cohort_day, event_type). */
   def cohortEnriched(stream: DataFrame, userDim: DataFrame): DataFrame =
     stream
-      .withWatermark("ts", "1 hour")
       .join(userDim, Seq("user_id"))
       .groupBy(col("cohort_day"), col("event_type"))
       .agg(count(lit(1)).as("n"))

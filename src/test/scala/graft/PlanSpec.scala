@@ -251,13 +251,17 @@ class PlanSpec extends SparkTestBase {
 
   test("q_inverted_index posting aggregation is partial (map-side) and bounded") {
     val p = finalPlan("q_inverted_index")
-    // top_k_by is an ObjectHashAggregate with a partial phase
+    // top_k_by is an ObjectHashAggregate whose PARTIAL phase must
+    // appear (a Complete-only plan would ship every (tok, doc) row to
+    // one reducer before bounding)
     assert(p.contains("ObjectHashAggregate"), p)
-    assert(p.contains("partial_top_k_by") || p.contains("partial top_k_by") ||
-      p.toLowerCase.contains("partial"), p)
+    assert(p.contains("partial_top_k_by"), p)
   }
 
   test("q_bm25 broadcasts the term postings side against the doc-length table") {
-    assert(plan("q_bm25").contains("BroadcastHashJoin"))
+    // the dfc side is hint-broadcast, so a bare BroadcastHashJoin check
+    // would pass vacuously — assert the doc_id join specifically
+    assert("BroadcastHashJoin \\[doc_id".r
+      .findFirstIn(plan("q_bm25")).isDefined, plan("q_bm25"))
   }
 }
