@@ -113,4 +113,65 @@ class MultimodalSpec extends SparkTestBase {
     assert(f.fmt == "image/png" && f.width == 1 && f.height == 1 &&
       f.n_bytes == realPng.length)
   }
+
+  // --- real pixel codec (ImageCodec / round-4) ---
+
+  test("ImageCodec PNG encode→decode round-trips deterministically") {
+    val seed = Array[Byte](1, 2, 3, 4)
+    val png1 = operators.ImageCodec.synthPng(seed, 5)
+    val png2 = operators.ImageCodec.synthPng(seed, 5)
+    assert(png1.sameElements(png2), "PNG encoding must be deterministic")
+    // real PNG: MediaCodec's independent header sniffer agrees
+    val meta = operators.MediaCodec.sniff(png1)
+    assert(meta.fmt == "image/png" && meta.width == 16 && meta.height == 16)
+    val px = operators.ImageCodec.decodePx(png1)
+    assert(px.ok && px.w == 16 && px.h == 16)
+    assert(px.meanR > 0 && px.meanR < 255 &&
+      px.meanG > 0 && px.meanG < 255 && px.meanB > 0 && px.meanB < 255)
+    assert(operators.ImageCodec.decodePx(png2).phash == px.phash)
+  }
+
+  test("planted near-dups have tiny dHash distance, unrelated images a large one") {
+    val seedA = Array[Byte](9, 9, 9); val seedB = Array[Byte](7, 7, 7)
+    def ah(seed: Array[Byte], v: Int) =
+      operators.ImageCodec.decodePx(operators.ImageCodec.synthPng(seed, v)).phash
+    val near = java.lang.Long.bitCount(ah(seedA, 1) ^ ah(seedA, 10))
+    val far = java.lang.Long.bitCount(ah(seedA, 1) ^ ah(seedB, 1))
+    assert(near <= 6, s"planted near-dup hamming $near")
+    assert(far > 6, s"unrelated hamming $far should exceed the threshold")
+  }
+
+  test("q_image_dedup_phash finds every planted doc_id/3 group pair") {
+    val found = q("q_image_dedup_phash").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ids = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0))
+    val expected = for {
+      g <- ids.groupBy(_ / 3).values.toSeq
+      pair <- g.sorted.toSeq.combinations(2).toSeq
+    } yield (pair(0), pair(1))
+    expected.foreach { p =>
+      assert(found.contains(p), s"planted near-dup pair $p missed")
+    }
+    // hamming column is consistent with the threshold
+    q("q_image_dedup_phash").collect().foreach(r =>
+      assert(r.getInt(2) >= 0 && r.getInt(2) <= 6))
+  }
+
+  test("q_image_features: every doc decoded, 16x16, group-consistent hashes") {
+    val rows = q("q_image_features").collect()
+    val total = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(rows.length.toLong == total)
+    rows.foreach { r =>
+      assert(r.getInt(1) == 16 && r.getInt(2) == 16)
+      assert(r.getDouble(3) >= 0 && r.getDouble(3) <= 255)
+    }
+    // same doc_id/3 group => near-identical images => close hashes
+    rows.groupBy(_.getLong(0) / 3).values.foreach { g =>
+      val hs = g.map(_.getLong(6))
+      for (a <- hs; b <- hs)
+        assert(java.lang.Long.bitCount(a ^ b) <= 6,
+          s"group hashes too far apart: $a vs $b")
+    }
+  }
 }
