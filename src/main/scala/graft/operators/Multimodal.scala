@@ -135,9 +135,23 @@ object MediaCodec {
   * formats ImageIO can't decode (WAV).
   */
 object ImageCodec {
-  locally { System.setProperty("java.awt.headless", "true") }
+  locally {
+    System.setProperty("java.awt.headless", "true")
+    // default is a temp-FILE cache per read/write — pure overhead for
+    // tiny in-memory byte arrays (one create+delete syscall pair per
+    // image, once per row at corpus scale)
+    javax.imageio.ImageIO.setUseCache(false)
+  }
 
   private val W = 16
+
+  /** FNV-1a over bytes (shared with Multimodal.fakeFeatures). */
+  private[operators] def fnv1a(bytes: Array[Byte]): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) { h ^= (bytes(i) & 0xffL); h *= 0x100000001b3L; i += 1 }
+    h
+  }
 
   /** Deterministic 16×16 RGB image: pixels from an LCG chain seeded by
     * the seed bytes; `variant` paints one 2×2 block a variant-derived
@@ -145,9 +159,7 @@ object ImageCodec {
     * 256 pixels (planted near-dups); different seeds ⇒ unrelated
     * images. Output is REAL PNG bytes (ImageIO round-trips exactly). */
   def synthPng(seed: Array[Byte], variant: Int): Array[Byte] = {
-    var h = 0xcbf29ce484222325L
-    var i = 0
-    while (i < seed.length) { h ^= (seed(i) & 0xffL); h *= 0x100000001b3L; i += 1 }
+    var h = fnv1a(seed)
     val img = new java.awt.image.BufferedImage(W, W,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
     var y = 0
@@ -169,7 +181,10 @@ object ImageCodec {
       dy += 1
     }
     val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
+    // write returns false when no PNG writer took the image — fail the
+    // task loudly rather than hand decodePx an empty array
+    require(javax.imageio.ImageIO.write(img, "png", bos),
+      "no ImageIO PNG writer available")
     bos.toByteArray
   }
 
@@ -190,7 +205,9 @@ object ImageCodec {
   def decodePx(payload: Array[Byte]): Px = {
     val img =
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-      catch { case _: Throwable => null }
+      // NonFatal only: an OOM/VM error must fail the task (and retry),
+      // not silently become a NotImage row
+      catch { case scala.util.control.NonFatal(_) => null }
     if (img == null) return NotImage
     val (w, h) = (img.getWidth, img.getHeight)
     if (w == 0 || h == 0) return NotImage
@@ -254,12 +271,7 @@ object Multimodal extends QueryPack {
     * 64-bit FNV-1a content hash. Replace with a real codec at
     * deployment; signature and batch shape stay identical. */
   private[operators] def fakeFeatures(payload: Array[Byte]): Array[Float] = {
-    var h = 0xcbf29ce484222325L
-    var i = 0
-    while (i < payload.length) {
-      h ^= (payload(i) & 0xffL); h *= 0x100000001b3L; i += 1
-    }
-    val hf = h
+    val hf = ImageCodec.fnv1a(payload)
     Array.tabulate(8) { k =>
       val v = hf * (2654435761L + 2 * k) + k
       ((v >>> 11).toDouble / (1L << 53).toDouble).toFloat
@@ -316,55 +328,65 @@ object Multimodal extends QueryPack {
     // deterministic PNG (docs sharing doc_id/3 share a base image with
     // small per-doc perturbations — planted near-dup structure), the
     // pipeline decodes actual pixels via ImageIO and emits channel
-    // means + a 64-bit average perceptual hash. Rows-only (binary
-    // synthesis is engine-specific); codec round-trip, determinism and
+    // means + the 56-bit difference hash. Rows-only (binary synthesis
+    // is engine-specific); codec round-trip, determinism and
     // planted-pair recall are ground-truthed in MultimodalSpec.
-    "q_image_features" -> ((s, d) => {
-      import s.implicits._
-      Tables.t(s, d, "documents")
-        .select(col("doc_id"))
-        .as[Long]
-        .mapPartitions(_.map { id =>
-          val seed = java.security.MessageDigest.getInstance("MD5")
-            .digest(java.nio.ByteBuffer.allocate(8).putLong(id / 3).array())
-          val px = ImageCodec.decodePx(
-            ImageCodec.synthPng(seed, (id % 3).toInt * 9 + 1))
-          (id, px.w, px.h, px.meanR, px.meanG, px.meanB, px.phash)
-        })
-        .toDF("doc_id", "px_w", "px_h", "mean_r", "mean_g", "mean_b", "phash")
-        .select(col("doc_id"), col("px_w"), col("px_h"),
-          round(col("mean_r"), 4).as("mean_r"),
-          round(col("mean_g"), 4).as("mean_g"),
-          round(col("mean_b"), 4).as("mean_b"), col("phash"))
-        .orderBy(col("doc_id"))
-    }),
+    "q_image_features" -> ((s, d) =>
+      imageFeatures(s, d).orderBy(col("doc_id"))),
 
-    // Image near-dup by perceptual hash: band the 64-bit aHash into
-    // 4×16-bit keys, candidates join on band equality (bucketed — the
+    // Image near-dup by perceptual hash: band the 56-bit dHash into
+    // 7×8-bit keys, candidates join on band equality (bucketed — the
     // same LSH shape as the text dedup family, never all-pairs), then
-    // exact hamming ≤ 6 confirms. Finds the planted doc_id/3 groups.
+    // exact hamming confirms IN the join condition (hot-bucket pairs
+    // die during enumeration — the q_dedup_simhash_lsh lesson). Seven
+    // bands make the hamming ≤ 6 threshold pigeonhole-EXACT: any pair
+    // within threshold has ≥1 undisturbed band. Failed decodes (px_w
+    // = 0, phash = 0) are excluded before banding — they would
+    // otherwise all collide pairwise at hamming 0.
     "q_image_dedup_phash" -> ((s, d) => {
-      val feats = queries("q_image_features")(s, d)
+      val feats = imageFeatures(s, d)
+        .filter(col("px_w") > 0)
         .select(col("doc_id"), col("phash")).cache()
       val banded = feats.select(col("doc_id"), col("phash"),
         explode(expr(
-          "transform(sequence(0, 3), b -> struct(b AS band, shiftright(phash, b*14) & 16383 AS v))"))
+          "transform(sequence(0, 6), b -> struct(b AS band, shiftright(phash, b*8) & 255 AS v))"))
           .as("bv"))
         .select(col("doc_id"), col("phash"),
           col("bv.band").as("band"), col("bv.v").as("v"))
-      val hamming = expr("bit_count(a_hash ^ b_hash)")
-      banded.as("a").select(col("doc_id").as("da"), col("phash").as("a_hash"),
-          col("band"), col("v"))
-        .join(banded.as("b").select(col("doc_id").as("db"),
-          col("phash").as("b_hash"), col("band"), col("v")),
-          Seq("band", "v"))
-        .filter(col("da") < col("db") && hamming <= 6)
+      val a = banded.select(col("doc_id").as("da"), col("phash").as("a_hash"),
+        col("band"), col("v"))
+      val b = banded.select(col("doc_id").as("db"), col("phash").as("b_hash"),
+        col("band"), col("v"))
+      a.join(b, a("band") === b("band") && a("v") === b("v") &&
+          col("da") < col("db") && expr("bit_count(a_hash ^ b_hash)") <= 6)
         .select(col("da"), col("db"),
           expr("bit_count(a_hash ^ b_hash)").as("hamming"))
         .distinct()
         .orderBy(col("da"), col("db"))
     })
   )
+
+  /** Shared UNSORTED per-doc image features (the dedup join must not
+    * inherit q_image_features' presentation orderBy — a corpus-wide
+    * sort the banded equi-join would pay for and never use). */
+  private def imageFeatures(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.t(s, d, "documents")
+      .select(col("doc_id"))
+      .as[Long]
+      .mapPartitions(_.map { id =>
+        val seed = java.security.MessageDigest.getInstance("MD5")
+          .digest(java.nio.ByteBuffer.allocate(8).putLong(id / 3).array())
+        val px = ImageCodec.decodePx(
+          ImageCodec.synthPng(seed, (id % 3).toInt * 9 + 1))
+        (id, px.w, px.h, px.meanR, px.meanG, px.meanB, px.phash)
+      })
+      .toDF("doc_id", "px_w", "px_h", "mean_r", "mean_g", "mean_b", "phash")
+      .select(col("doc_id"), col("px_w"), col("px_h"),
+        round(col("mean_r"), 4).as("mean_r"),
+        round(col("mean_g"), 4).as("mean_g"),
+        round(col("mean_b"), 4).as("mean_b"), col("phash"))
+  }
 
   override def oracle: Map[String, String] = Map()
 }

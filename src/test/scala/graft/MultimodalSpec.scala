@@ -142,8 +142,8 @@ class MultimodalSpec extends SparkTestBase {
   }
 
   test("q_image_dedup_phash finds every planted doc_id/3 group pair") {
-    val found = q("q_image_dedup_phash").collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rows = q("q_image_dedup_phash").collect()
+    val found = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
     val ids = spark.read.parquet(s"$sf/documents.parquet")
       .select("doc_id").collect().map(_.getLong(0))
     val expected = for {
@@ -154,8 +154,7 @@ class MultimodalSpec extends SparkTestBase {
       assert(found.contains(p), s"planted near-dup pair $p missed")
     }
     // hamming column is consistent with the threshold
-    q("q_image_dedup_phash").collect().foreach(r =>
-      assert(r.getInt(2) >= 0 && r.getInt(2) <= 6))
+    rows.foreach(r => assert(r.getInt(2) >= 0 && r.getInt(2) <= 6))
   }
 
   test("q_image_features: every doc decoded, 16x16, group-consistent hashes") {
