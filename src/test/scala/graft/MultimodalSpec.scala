@@ -173,4 +173,41 @@ class MultimodalSpec extends SparkTestBase {
           s"group hashes too far apart: $a vs $b")
     }
   }
+  // --- real audio codec (AudioCodec / round-4) ---
+
+  test("AudioCodec sine round-trip matches analytic RMS and frequency") {
+    val sr = 8000
+    val wav = operators.AudioCodec.synthWav(sr, 4000, 440.0, 0.5, seed = 7L)
+    // independent header sniffer agrees it is a real mono WAV
+    val meta = operators.MediaCodec.sniff(wav)
+    assert(meta.fmt == "audio/wav" && meta.sampleRate == sr && meta.channels == 1)
+    val w = operators.AudioCodec.decodeWav(wav)
+    assert(w.ok && w.nSamples == 4000 && w.sampleRate == sr)
+    // sine RMS = amp/sqrt(2) = 0.35355; noise floor is -48 dB
+    assert(math.abs(w.rms - 0.5 / math.sqrt(2.0)) < 0.01, s"rms ${w.rms}")
+    // ZCR of a sine = 2f/sr
+    val estFreq = w.zcr * sr / 2.0
+    assert(math.abs(estFreq - 440.0) < 25.0, s"est freq $estFreq")
+  }
+
+  test("AudioCodec rejects junk and non-WAV payloads") {
+    assert(!operators.AudioCodec.decodeWav("not audio at all".getBytes).ok)
+    assert(!operators.AudioCodec.decodeWav(realPng).ok)
+    // header with no data chunk
+    assert(!operators.AudioCodec.decodeWav(operators.MediaCodec.wavHeader(8000, 1)).ok)
+  }
+
+  test("q_audio_features: every doc decoded with sane DSP stats") {
+    val rows = q("q_audio_features").collect()
+    val total = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(rows.length.toLong == total)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getInt(1) == 8000 && r.getInt(2) == 1600)
+      assert(math.abs(r.getDouble(3) - 0.5 / math.sqrt(2.0)) < 0.01, s"doc $id rms")
+      val trueFreq = 200.0 + (id % 20) * 100.0
+      assert(math.abs(r.getDouble(5) - trueFreq) < 60.0,
+        s"doc $id est ${r.getDouble(5)} vs $trueFreq")
+    }
+  }
 }
