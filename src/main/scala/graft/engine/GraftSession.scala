@@ -29,6 +29,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (es: Seq[Expression]) => ParseLocaleMoney(es.head)))
     e.injectFunction((FunctionIdentifier("parse_date_it"), info("parse_date_it"),
       (es: Seq[Expression]) => ParseDateIt(es.head)))
+    e.injectFunction((FunctionIdentifier("nfc_normalize"), info("nfc_normalize"),
+      (es: Seq[Expression]) => NfcNormalize(es.head)))
     // Spark's runtime-filter bloom machinery, surfaced as SQL functions
     // (upstream keeps them internal-only): bloom_agg(xxhash64(x), est_n,
     // n_bits) builds the sketch, bloom_might_contain(bloom, xxhash64(x))

@@ -37,6 +37,13 @@ object ExprHelpers {
 
   def dateIt(s: UTF8String): java.lang.Integer =
     if (s == null) null else LocaleParse.parseDateIt(s.toString)
+
+  /** Unicode NFC canonicalization (java.text.Normalizer — composes
+    * combining sequences, e.g. e + U+0301 → é). */
+  def nfc(s: UTF8String): UTF8String =
+    if (s == null) null
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(s.toString, java.text.Normalizer.Form.NFC))
 }
 
 /** dot_d(a, b): Σ double(a_i)·double(b_i) over two float vectors.
@@ -58,6 +65,23 @@ case class DotProductD(left: Expression, right: Expression)
 }
 
 /** parse_locale_pct('0,22%') → 0.0022 (crocus vanguard.json:7). */
+/** Unicode NFC normalization — the canonicalization step multilingual
+  * corpus curation runs before hashing/dedup (decomposed combining
+  * sequences and precomposed code points must collide). Codegen'd so it
+  * stays inside whole-stage codegen in the curation hot path. */
+case class NfcNormalize(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = child.nullable
+  override def nullSafeEval(s: Any): Any =
+    ExprHelpers.nfc(s.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ExprHelpers.nfc($c)")
+  override def prettyName: String = "nfc_normalize"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 case class ParseLocalePct(child: Expression)
     extends UnaryExpression {
   override def dataType: DataType = DoubleType
@@ -133,6 +157,8 @@ object GraftFunctions {
       es => new org.apache.spark.sql.catalyst.expressions.aggregate
         .BloomFilterAggregate(es(0), es(1), es(2)).toAggregateExpression(),
       "scala_udf")
+    reg.createOrReplaceTempFunction("nfc_normalize",
+      es => NfcNormalize(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("bloom_might_contain",
       es => org.apache.spark.sql.catalyst.expressions
         .BloomFilterMightContain(es(0), es(1)), "scala_udf")

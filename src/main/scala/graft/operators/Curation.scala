@@ -167,6 +167,25 @@ object Curation extends QueryPack {
         .orderBy(col("source"), col("bin"))
     }),
 
+    // Unicode NFC canonicalization — the normalization multilingual
+    // curation applies before hashing (decomposed combining sequences
+    // must collide with their precomposed forms). The corpus is ASCII,
+    // so the query plants decomposed text (combining acute/diaeresis)
+    // from literals; the custom codegen'd NfcNormalize expression
+    // composes it. Oracle: DuckDB's nfc_normalize.
+    "q_unicode_normalize" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val planted = " café über"
+      val raw = concat(split(col("text"), " ").getItem(0), lit(planted))
+      docs(s, d)
+        .select(col("doc_id"), raw.as("raw"))
+        .select(col("doc_id"), col("raw"),
+          call_function("nfc_normalize", col("raw")).as("normalized"),
+          length(col("raw")).as("len_raw"),
+          length(call_function("nfc_normalize", col("raw"))).as("len_nfc"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Decontamination by bloom filter instead of exact broadcast set:
     // the benchmark grams aggregate into a fixed-size sketch (bits ~
     // n·ln(1/fp), independent of gram text size), the corpus probes it
@@ -267,6 +286,15 @@ object Curation extends QueryPack {
   )
 
   val oracle: Map[String, String] = Map(
+
+    "q_unicode_normalize" ->
+      s"""WITH raw AS (SELECT doc_id,
+        |  string_split(text, ' ')[1] || ' café über' AS raw
+        |  FROM documents)
+        |SELECT doc_id, raw, nfc_normalize(raw) AS normalized,
+        |  CAST(length(raw) AS INT) AS len_raw,
+        |  CAST(length(nfc_normalize(raw)) AS INT) AS len_nfc
+        |FROM raw ORDER BY doc_id""".stripMargin,
 
     "q_decontaminate" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

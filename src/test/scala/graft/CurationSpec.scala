@@ -81,6 +81,29 @@ class CurationSpec extends SparkTestBase {
     }
   }
 
+  test("q_unicode_normalize composes decomposed sequences (codegen'd NFC)") {
+    val rows = q("q_unicode_normalize").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // two combining marks planted per row → exactly 2 chars shorter
+      assert(r.getInt(3) == r.getInt(4) + 2, s"lengths: $r")
+      // explicit \uXXXX escapes (source-encoding-proof): no combining
+      // marks remain, precomposed forms present
+      val norm = r.getString(2)
+      assert(!norm.contains('\u0301') && !norm.contains('\u0308'),
+        "combining marks survived NFC")
+      assert(norm.contains("caf\u00e9") && norm.contains("\u00fcber"))
+    }
+    // expression evaluates inside whole-stage codegen (not fallback
+    // eval) — inspect the AQE-final plan (codegen renders as a "*(n)"
+    // stage marker on the operator line there), so run the query first
+    val df = q("q_unicode_normalize")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l =>
+      l.contains("nfc_normalize") && l.contains("*(")), plan)
+  }
+
   test("q_decontaminate_bloom is a superset of the exact hits with bounded inflation") {
     val exact = q("q_decontaminate").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
