@@ -9,11 +9,14 @@ import org.apache.spark.sql.SparkSession
   * - queries materialize through a `noop`-sink write (all columns, all
   *   rows reach the sink — `count()` lets Catalyst prune projections
   *   and drop final sorts, understating cost);
-  * - SPARK_GRAFT_BENCH_PASSES (default 2) sequential passes; the last
-  *   pass's per-query wall times are reported in "queries" and summed
-  *   as "seq_total". Pass 1 amortizes per-plan fixed costs (codegen
-  *   JIT, JVM warmup) exactly as a long-lived 100 TB cluster session
-  *   would — a plan compiles once, then runs for hours;
+  * - SPARK_GRAFT_BENCH_PASSES (default 2) sequential passes; each
+  *   query's MIN across passes is reported in "queries" and summed as
+  *   "seq_total" (min, not last: co-tenant load spikes on this shared
+  *   box otherwise masquerade as per-query regressions). Pass 1
+  *   amortizes per-plan fixed costs (codegen JIT, JVM warmup) exactly
+  *   as a long-lived 100 TB cluster session would — a plan compiles
+  *   once, then runs for hours. loadavg is sampled at start/end and
+  *   reported so load-confounded rounds are visible;
   * - headline "value" is the wall-clock of one additional pass run as
   *   SPARK_GRAFT_BENCH_STREAMS (default 8) concurrent query streams
   *   over the warm session (FAIR scheduler). Independent queries
@@ -60,10 +63,27 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    def loadavg: Double = math.rint(java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage * 10) / 10
+    val load0 = loadavg
+
+    // Per-query time = MIN across passes (round-4 fix: a single last-
+    // pass sample recorded 4-6.5x co-tenant spikes as if they were code
+    // regressions — this box swings ±40-80% under outside load; PERF.md
+    // "measurement discipline"). Pass 1 is cold (codegen JIT) so its
+    // times rarely win the min, but a pass-2 spike falls back to it
+    // instead of reporting the spike. A query failing ANY pass reports
+    // the -1 sentinel.
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt
     var seq: Map[String, Double] = Map.empty
     (1 to passes).foreach { _ =>
-      seq = selected.map { case (n, f) => n -> runOne(n, f) }
+      val pass = selected.map { case (n, f) => n -> runOne(n, f) }
+      seq =
+        if (seq.isEmpty) pass
+        else pass.map { case (n, v) =>
+          val prev = seq(n)
+          n -> (if (v < 0 || prev < 0) -1.0 else math.min(v, prev))
+        }
     }
     val seqTotal = seq.values.filter(_ >= 0).sum
 
@@ -144,12 +164,13 @@ object Bench {
     // "[success] Total time" line.
     // Stop Spark BEFORE printing so no executor/stop-time log line can
     // land after the machine-readable lines in the bounded capture.
+    val load1 = loadavg
     spark.sparkContext.setLogLevel("ERROR")
     spark.stop()
-    println(s"""{"bench_per_query":$qs,"failed_all":$failedFullJson,"sf":"$sfDir","passes":$passes}""")
+    println(s"""{"bench_per_query":$qs,"failed_all":$failedFullJson,"sf":"$sfDir","passes":$passes,"loadavg_start":$load0,"loadavg_end":$load1}""")
     val slowest = seq.toSeq.filter(_._2 >= 0).sortBy(-_._2).take(12)
       .map { case (k, v) => "\"" + k + "\":" + round3(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"wall_${streams}streams_warm","value":${round3(wall)},"unit":"sec","queries":$slowest,"sf":"$sfDir","seq_total":${round3(seqTotal)},"n_queries":${seq.size},"n_failed":${failed.size},"failed":$failedJson,"cpus":$cpus,"passes":$passes,"note":"noop-sink; value=min-of-$concPasses ${streams}-stream concurrent wall, warm session; queries=12 slowest warm sequential secs, full map on the bench_per_query line"}""")
+    println(s"""{"metric":"wall_${streams}streams_warm","value":${round3(wall)},"unit":"sec","queries":$slowest,"sf":"$sfDir","seq_total":${round3(seqTotal)},"n_queries":${seq.size},"n_failed":${failed.size},"failed":$failedJson,"cpus":$cpus,"passes":$passes,"loadavg":[$load0,$load1],"note":"noop-sink; value=min-of-$concPasses ${streams}-stream concurrent wall, warm session; queries=12 slowest per-query MIN-across-$passes-pass secs, full map on the bench_per_query line"}""")
   }
 }

@@ -175,7 +175,11 @@ object Curation extends QueryPack {
     // composes it. Oracle: DuckDB's nfc_normalize.
     "q_unicode_normalize" -> ((s, d) => {
       graft.functions.GraftFunctions.register(s)
-      val planted = " café über"
+      // explicit combining-mark escapes (U+0301 acute, U+0308
+      // diaeresis), NOT raw NFD bytes: an NFC-normalizing editor or
+      // formatter would silently precompose a raw literal and turn
+      // the query AND its oracle into no-ops in lockstep (ADVICE r4)
+      val planted = " cafe\u0301 u\u0308ber"
       val raw = concat(split(col("text"), " ").getItem(0), lit(planted))
       docs(s, d)
         .select(col("doc_id"), raw.as("raw"))
@@ -197,20 +201,22 @@ object Curation extends QueryPack {
     "q_decontaminate_bloom" -> ((s, d) => {
       graft.functions.GraftFunctions.register(s)
       val g = grams(s, d, 3)
-      // might_contain demands a CONSTANT sketch, so the one-row bloom
-      // aggregate materializes at the driver and re-enters the plan as
-      // a binary literal — the same build-merge-rebroadcast shape
-      // Spark's own runtime bloom join filters use (a ~25 KB sketch,
-      // not data, crosses the driver).
-      val bf = g.filter(col("doc_id") % 97 === 0)
+      // might_contain demands a CONSTANT sketch; it enters the plan as
+      // a SCALAR SUBQUERY over the one-row bloom aggregate — the exact
+      // shape Spark's own InjectRuntimeFilter emits. Unlike the
+      // previous collect()-then-lit() form, building this DataFrame
+      // runs NO job (ADVICE r4: explain/plan inspection used to
+      // trigger a full corpus-gram scan); the ~25 KB sketch is
+      // computed once at execution time and broadcast to the probes.
+      // An empty benchmark slice aggregates to a NULL sketch;
+      // might_contain(NULL, h) is NULL, so the filter drops every row
+      // — same result the old explicit empty-slice branch produced.
+      val bloomDf = g.filter(col("doc_id") % 97 === 0)
         .agg(expr("bloom_agg(xxhash64(g), 10000L, 200000L)").as("bf"))
-        .collect()(0).getAs[Array[Byte]](0)
-      val corpus = g.filter(col("doc_id") % 97 =!= 0)
-      val probed =
-        if (bf == null) corpus.filter(lit(false)) // empty benchmark slice
-        else corpus.filter(call_function("bloom_might_contain",
-          lit(bf), xxhash64(col("g"))))
-      probed
+      g.filter(col("doc_id") % 97 =!= 0)
+        .filter(call_function("bloom_might_contain",
+          org.apache.spark.sql.GraftSqlBridge.scalarSubquery(bloomDf),
+          xxhash64(col("g"))))
         .groupBy(col("doc_id"))
         .agg(countDistinct(col("g")).as("n_candidate_grams"))
         .orderBy(col("doc_id"))
@@ -289,7 +295,7 @@ object Curation extends QueryPack {
 
     "q_unicode_normalize" ->
       s"""WITH raw AS (SELECT doc_id,
-        |  string_split(text, ' ')[1] || ' café über' AS raw
+        |  string_split(text, ' ')[1] || ' cafe' || chr(769) || ' u' || chr(776) || 'ber' AS raw
         |  FROM documents)
         |SELECT doc_id, raw, nfc_normalize(raw) AS normalized,
         |  CAST(length(raw) AS INT) AS len_raw,

@@ -146,7 +146,7 @@ object Windows extends QueryPack {
         .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
           col("ts").as("c_ts"))
       graft.plans.AsOf.join(purchases, clicks, "user_id", "c_user", "ts", "c_ts",
-          rightTieBreak = Some("click_id")) // ties: largest click_id, like the rewrite's frame order
+          rightTieBreak = "click_id") // ties: largest click_id, like the rewrite's frame order
         .select(col("event_id"), col("user_id"), col("ts"), col("click_id"))
         .orderBy(col("event_id"))
     }),
@@ -162,7 +162,7 @@ object Windows extends QueryPack {
         .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
           col("ts").as("p_ts"))
       graft.plans.AsOf.joinForward(clicks, purchases, "user_id", "p_user",
-          "ts", "p_ts", rightTieBreak = Some("p_id"))
+          "ts", "p_ts", rightTieBreak = "p_id")
         .select(col("event_id"), col("user_id"), col("ts"), col("p_id"))
         .orderBy(col("event_id"))
     }),

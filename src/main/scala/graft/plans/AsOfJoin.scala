@@ -147,21 +147,17 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
 object AsOf {
   /** left-outer as-of join: latest right row with rightKey == leftKey
     * and rightTime <= leftTime. Among equal right (key, time) rows the
-    * one with the largest `rightTieBreak` wins. When the tiebreak is
-    * omitted it defaults to rightTime, which makes the winner among
-    * duplicate (key, time) right rows depend on shuffle order — a
-    * warning is logged; pass a unique column for determinism.
-    * Rename right-side columns beforehand if they collide with left
-    * names. */
+    * one with the largest `rightTieBreak` wins. The tiebreak is
+    * REQUIRED (round-4 API change): an omitted tiebreak made the
+    * winner among duplicate (key, time) right rows shuffle-order-
+    * dependent, and a logged warning proved too easy to ship past.
+    * Callers with provably unique (key, time) rows can pass rightTime
+    * itself — explicitly accepting that contract. Rename right-side
+    * columns beforehand if they collide with left names. */
   def join(leftDf: DataFrame, rightDf: DataFrame,
       leftKey: String, rightKey: String,
       leftTime: String, rightTime: String,
-      rightTieBreak: Option[String] = None): DataFrame = {
-    if (rightTieBreak.isEmpty)
-      org.slf4j.LoggerFactory.getLogger(getClass).warn(
-        "AsOf.join: no rightTieBreak given; if the right side has " +
-        "duplicate (key, time) rows the matched row is " +
-        "shuffle-order-dependent. Pass a unique tiebreak column.")
+      rightTieBreak: String): DataFrame = {
     val spark = leftDf.sparkSession
       .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
@@ -172,7 +168,7 @@ object AsOf {
     def attr(p: LogicalPlan, n: String): Attribute =
       p.output.find(_.name == n).getOrElse(
         throw new IllegalArgumentException(s"column $n not found"))
-    val tb = attr(rp, rightTieBreak.getOrElse(rightTime))
+    val tb = attr(rp, rightTieBreak)
     org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
       AsOfJoinPlan(lp, rp, attr(lp, leftKey), attr(rp, rightKey),
         attr(lp, leftTime), attr(rp, rightTime), tb))
@@ -194,13 +190,9 @@ object AsOf {
   def joinForward(leftDf: DataFrame, rightDf: DataFrame,
       leftKey: String, rightKey: String,
       leftTime: String, rightTime: String,
-      rightTieBreak: Option[String] = None): DataFrame = {
+      rightTieBreak: String): DataFrame = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
-    if (rightTieBreak.isEmpty)
-      org.slf4j.LoggerFactory.getLogger(getClass).warn(
-        "AsOf.joinForward: no rightTieBreak given; duplicate (key, time) " +
-        "right rows match shuffle-order-dependently. Pass a unique column.")
     def rev(df: DataFrame, c: String): org.apache.spark.sql.Column =
       df.schema(c).dataType match {
         case TimestampType | TimestampNTZType =>
@@ -214,8 +206,8 @@ object AsOf {
       }
     val l2 = leftDf.withColumn("_fwd_lt", rev(leftDf, leftTime))
     val r2 = rightDf.withColumn("_fwd_rt", rev(rightDf, rightTime))
-      .withColumn("_fwd_tb", rev(rightDf, rightTieBreak.getOrElse(rightTime)))
-    join(l2, r2, leftKey, rightKey, "_fwd_lt", "_fwd_rt", Some("_fwd_tb"))
+      .withColumn("_fwd_tb", rev(rightDf, rightTieBreak))
+    join(l2, r2, leftKey, rightKey, "_fwd_lt", "_fwd_rt", "_fwd_tb")
       .drop("_fwd_lt", "_fwd_rt", "_fwd_tb")
   }
 }

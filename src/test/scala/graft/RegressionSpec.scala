@@ -40,7 +40,7 @@ class RegressionSpec extends SparkTestBase {
     val right = Seq((1L, 5L, 100L), (1L, 5L, 200L), (1L, 5L, 150L))
       .toDF("rk", "rt", "rv")
     val out = AsOf.join(left, right, "k", "rk", "t", "rt",
-      rightTieBreak = Some("rv"))
+      rightTieBreak = "rv")
       .select(col("k"), col("rv")).orderBy("k").collect()
     // largest tiebreak wins among the time-tied rows; key 2 unmatched
     assert(out(0) == Row(1L, 200L), out.mkString(","))
@@ -63,7 +63,7 @@ class RegressionSpec extends SparkTestBase {
       spark.sparkContext.parallelize(Seq(
         Row(1L, 5L, 100L), Row(null, 5L, 888L), Row(1L, null, 999L))), rschema)
     val got = AsOf.join(left, right, "k", "rk", "t", "rt",
-      rightTieBreak = Some("rv"))
+      rightTieBreak = "rv")
       .select(col("lid"), col("rv")).orderBy("lid").collect()
     // only the fully-non-null left row matches, and only the fully-
     // non-null right row is eligible (SQL: NULL matches nothing)
