@@ -1,0 +1,137 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.catalog.Catalog
+import graft.engine.{QueryPack, Tables}
+
+/** Snapshot-over-time catalog diff — the reference's literal product
+  * query. crocus stores one catalog snapshot per day under
+  * /base/{date}/{provider}/ (base_scraper.py:72-83) and exists to
+  * "confront" catalogs (README.md:4); the comparison it never built is
+  * day-over-day: which products appeared, disappeared, or changed
+  * between two snapshot dates.
+  *
+  * Shape: two dates of a catalog land through the A8 sink
+  * (Catalog.writeSnapshot → snapshot_date/provider-partitioned
+  * parquet), the diff reads them back PARTITION-PRUNED (two of N date
+  * partitions scanned, guarded in PlanSpec), full-outer joins on the
+  * product key, and emits added/removed/changed rows with per-field
+  * change flags.
+  *
+  * Scale notes: at 100 TB of history the pruned read is the whole
+  * point — the scan touches exactly two date partitions no matter how
+  * many days exist. The join keys are catalog products (dimension-
+  * sized per provider); a same-day diff across the full history would
+  * instead group by key over the pruned date range. The derived-price
+  * arithmetic stays in exact DECIMAL so the written parquet and the
+  * DuckDB oracle agree bit-for-bit (no double rounding ties).
+  */
+object Snapshots extends QueryPack {
+
+  /** Day-1 catalog: a deterministic slice of `part` (key, name,
+    * price). Products with p_partkey % 10 == 3 are not yet listed. */
+  private def dayA(s: SparkSession, d: String): DataFrame =
+    Tables.t(s, d, "part")
+      .filter(col("p_partkey") % 10 =!= 3)
+      .select(col("p_partkey"), col("p_name").as("name"),
+        expr("CAST(CAST(p_retailprice AS DECIMAL(18,2)) AS DOUBLE)").as("price"),
+        lit("pA").as("provider"))
+
+  /** Day-2 catalog: % 10 == 7 delisted (removed), % 10 == 3 newly
+    * listed (added), % 5 == 0 repriced ×1.01 (exact decimal product —
+    * no rounding, so no half-tie divergence vs the oracle), % 11 == 0
+    * renamed. */
+  private def dayB(s: SparkSession, d: String): DataFrame =
+    Tables.t(s, d, "part")
+      .filter(col("p_partkey") % 10 =!= 7)
+      .select(col("p_partkey"),
+        when(col("p_partkey") % 11 === 0, concat(col("p_name"), lit(" (R)")))
+          .otherwise(col("p_name")).as("name"),
+        when(col("p_partkey") % 5 === 0, expr(
+          "CAST(CAST(p_retailprice AS DECIMAL(18,2)) * CAST(1.01 AS DECIMAL(6,2)) AS DOUBLE)"))
+          .otherwise(expr("CAST(CAST(p_retailprice AS DECIMAL(18,2)) AS DOUBLE)"))
+          .as("price"),
+        lit("pA").as("provider"))
+
+  private val built = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Materialize the two-day snapshot tree through the A8 sink, once
+    * per (process, sf dir). NOTE: the first q_snapshot_diff build per
+    * process runs the two snapshot writes — a write is a sink, it
+    * cannot be lazy; every later build (all bench passes, explain,
+    * plan inspection) reuses the tree. computeIfAbsent makes the
+    * build atomic against concurrent bench streams. */
+  private[operators] def snapshotBase(s: SparkSession, d: String): String =
+    built.computeIfAbsent(d, _ => {
+      val dir = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_snapdiff_" + Integer.toHexString(d.hashCode))
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) { val fs = f.listFiles(); if (fs != null) fs.foreach(rm) }
+        if (f.exists() && !f.delete())
+          throw new java.io.IOException(s"cannot delete $f")
+      }
+      rm(dir) // a partial tree from a killed run must not poison append-mode
+      Catalog.writeSnapshot(dayA(s, d), dir.getAbsolutePath, "2025-03-01")
+      Catalog.writeSnapshot(dayB(s, d), dir.getAbsolutePath, "2025-03-02")
+      dir.getAbsolutePath
+    })
+
+  override def queries: Map[String, Q] = Map(
+    // Two snapshot dates → partition-pruned read → full-outer diff on
+    // the product key → added/removed/changed with per-field flags.
+    // Oracled: DuckDB computes the same diff from the base table (the
+    // snapshots are a deterministic derivation of `part`, so the
+    // write→prune→read→join round trip must reproduce it exactly).
+    "q_snapshot_diff" -> ((s, d) => {
+      val snaps = Catalog.readSnapshots(s, snapshotBase(s, d))
+      // partition-column inference types snapshot_date as DATE
+      def day(dt: String, p: String) = snaps
+        .filter(col("snapshot_date") === lit(dt).cast("date") &&
+          col("provider") === "pA")
+        .select(col("p_partkey"), col("name").as(s"${p}_name"),
+          col("price").as(s"${p}_price"))
+      val a = day("2025-03-01", "a")
+      val b = day("2025-03-02", "b")
+      a.join(b, Seq("p_partkey"), "full_outer")
+        .filter(col("a_name").isNull || col("b_name").isNull ||
+          col("a_name") =!= col("b_name") || col("a_price") =!= col("b_price"))
+        .select(col("p_partkey"),
+          when(col("a_name").isNull, "added")
+            .when(col("b_name").isNull, "removed")
+            .otherwise("changed").as("status"),
+          col("a_name"), col("b_name"), col("a_price"), col("b_price"),
+          coalesce(col("a_name") =!= col("b_name"), lit(false)).as("name_changed"),
+          coalesce(col("a_price") =!= col("b_price"), lit(false)).as("price_changed"))
+        .orderBy(col("p_partkey"))
+    })
+  )
+
+  override def oracle: Map[String, String] = Map(
+    "q_snapshot_diff" ->
+      """WITH a AS (
+        |  SELECT p_partkey, p_name AS name,
+        |    CAST(CAST(p_retailprice AS DECIMAL(18,2)) AS DOUBLE) AS price
+        |  FROM part WHERE p_partkey % 10 <> 3),
+        |b AS (
+        |  SELECT p_partkey,
+        |    CASE WHEN p_partkey % 11 = 0 THEN p_name || ' (R)' ELSE p_name END AS name,
+        |    CASE WHEN p_partkey % 5 = 0
+        |      THEN CAST(CAST(p_retailprice AS DECIMAL(18,2)) * CAST(1.01 AS DECIMAL(6,2)) AS DOUBLE)
+        |      ELSE CAST(CAST(p_retailprice AS DECIMAL(18,2)) AS DOUBLE) END AS price
+        |  FROM part WHERE p_partkey % 10 <> 7)
+        |SELECT coalesce(a.p_partkey, b.p_partkey) AS p_partkey,
+        |  CASE WHEN a.p_partkey IS NULL THEN 'added'
+        |       WHEN b.p_partkey IS NULL THEN 'removed'
+        |       ELSE 'changed' END AS status,
+        |  a.name AS a_name, b.name AS b_name,
+        |  a.price AS a_price, b.price AS b_price,
+        |  coalesce(a.name <> b.name, FALSE) AS name_changed,
+        |  coalesce(a.price <> b.price, FALSE) AS price_changed
+        |FROM a FULL OUTER JOIN b ON a.p_partkey = b.p_partkey
+        |WHERE a.p_partkey IS NULL OR b.p_partkey IS NULL
+        |   OR a.name <> b.name OR a.price <> b.price
+        |ORDER BY 1""".stripMargin
+  )
+}

@@ -86,24 +86,47 @@ class MultimodalSpec extends SparkTestBase {
     assert(res.passed, res.status.toString)
   }
 
-  test("q_multimodal_decode headers match the doc_id fixture formula") {
+  test("q_multimodal_decode: real payloads match the doc_id formula, features are real content stats") {
     val rows = q("q_multimodal_decode").collect()
     assert(rows.length > 0)
     rows.foreach { r =>
       val id = r.getLong(0)
       val (fmt, w, h, sr, ch) =
         (r.getString(2), r.getInt(3), r.getInt(4), r.getInt(5), r.getInt(6))
+      val f0 = r.getDouble(7)
+      val (ew, eh) = ((id % 24 + 8).toInt, (id % 18 + 8).toInt)
       (id % 4) match {
-        case 0 => assert(fmt == "image/png" &&
-          w == (id % 512 + 1) && h == (id % 384 + 1), s"doc $id")
-        case 1 => assert(fmt == "image/jpeg" &&
-          w == (id % 512 + 1) && h == (id % 384 + 1), s"doc $id")
-        case 2 => assert(fmt == "image/gif" &&
-          w == (id % 512 + 1) && h == (id % 384 + 1), s"doc $id")
+        case 0 => assert(fmt == "image/png" && w == ew && h == eh, s"doc $id")
+        case 1 => assert(fmt == "image/jpeg" && w == ew && h == eh, s"doc $id")
+        case 2 => assert(fmt == "image/gif" && w == ew && h == eh, s"doc $id")
         case _ => assert(fmt == "audio/wav" &&
-          sr == 8000 + (id % 40000) && ch == 1 + (id % 2), s"doc $id")
+          sr == 8000 + (id % 8) * 1000 && ch == 1, s"doc $id")
       }
+      // f0 is a REAL content statistic: for audio it is the overall
+      // RMS of the decoded sine (analytic value amp/√2); for images
+      // the first centered-profile component, bounded by its norm
+      if (id % 4 == 3)
+        assert(math.abs(f0 - 0.5 / math.sqrt(2.0)) < 0.01, s"doc $id rms $f0")
+      else assert(f0 >= -1.0 && f0 <= 1.0, s"doc $id f0 $f0")
     }
+  }
+
+  test("contentFeatures dispatches on real decoded content per modality") {
+    // image: 16-dim unit-norm centered profile
+    val png = operators.ImageCodec.synthPng(Array[Byte](3, 1, 4), 1)
+    val fi = operators.Multimodal.contentFeatures(png)
+    assert(fi.length == 16)
+    assert(math.abs(fi.map(x => x.toDouble * x).sum - 1.0) < 1e-3)
+    // audio: 8-dim [rms, zcr, 4-seg envelope, duration, rate]; a
+    // constant-amplitude sine has a flat envelope equal to its RMS
+    val wav = operators.AudioCodec.synthWav(8000, 1600, 440.0, 0.5, 11L)
+    val fa = operators.Multimodal.contentFeatures(wav)
+    assert(fa.length == 8)
+    assert(math.abs(fa(0) - 0.5 / math.sqrt(2.0)) < 0.01)
+    (2 to 5).foreach(i => assert(math.abs(fa(i) - fa(0)) < 0.005, s"seg $i"))
+    assert(math.abs(fa(6) - 0.2) < 1e-4) // 1600 samples @ 8 kHz
+    // undecodable: EMPTY (absence ≠ a black image)
+    assert(operators.Multimodal.contentFeatures("plain text".getBytes).isEmpty)
   }
 
   test("decode of a real PNG payload in the Spark path") {
@@ -157,21 +180,69 @@ class MultimodalSpec extends SparkTestBase {
     rows.foreach(r => assert(r.getInt(2) >= 0 && r.getInt(2) <= 6))
   }
 
-  test("q_image_features: every doc decoded, 16x16, group-consistent hashes") {
+  test("q_image_features: every doc decoded across PNG/JPEG/GIF, group-consistent hashes") {
     val rows = q("q_image_features").collect()
     val total = spark.read.parquet(s"$sf/documents.parquet").count()
     assert(rows.length.toLong == total)
     rows.foreach { r =>
-      assert(r.getInt(1) == 16 && r.getInt(2) == 16)
-      assert(r.getDouble(3) >= 0 && r.getDouble(3) <= 255)
+      val expectFmt = ((r.getLong(0) / 3) % 3) match {
+        case 0 => "png"; case 1 => "jpg"; case _ => "gif"
+      }
+      assert(r.getString(1) == expectFmt)
+      assert(r.getInt(2) == 16 && r.getInt(3) == 16)
+      assert(r.getDouble(4) >= 0 && r.getDouble(4) <= 255)
     }
-    // same doc_id/3 group => near-identical images => close hashes
+    // same doc_id/3 group => near-identical images => close hashes.
+    // Formats are constant within a group; lossless png/gif-decoded
+    // pixels keep the planted bound tight (measured max 4), JPEG's
+    // lossy block artifacts widen it (measured max 7, bound 10).
     rows.groupBy(_.getLong(0) / 3).values.foreach { g =>
-      val hs = g.map(_.getLong(6))
+      val bound = if (g.head.getString(1) == "jpg") 10 else 6
+      val hs = g.map(_.getLong(7))
       for (a <- hs; b <- hs)
-        assert(java.lang.Long.bitCount(a ^ b) <= 6,
-          s"group hashes too far apart: $a vs $b")
+        assert(java.lang.Long.bitCount(a ^ b) <= bound,
+          s"group hashes too far apart (${g.head.getString(1)}): $a vs $b")
     }
+  }
+
+  test("ImageCodec JPEG and GIF encode→decode: deterministic, real pixels, correct dims") {
+    val seed = Array[Byte](5, 6, 7)
+    for (fmt <- Seq("jpg", "gif")) {
+      val b1 = operators.ImageCodec.synthImage(seed, 3, 16, 16, fmt)
+      val b2 = operators.ImageCodec.synthImage(seed, 3, 16, 16, fmt)
+      assert(b1.sameElements(b2), s"$fmt encoding must be deterministic")
+      // the independent header sniffer agrees on format and dims
+      val m = MediaCodec.sniff(b1)
+      assert(m.fmt == s"image/${if (fmt == "jpg") "jpeg" else fmt}" &&
+        m.width == 16 && m.height == 16, s"$fmt: $m")
+      val px = operators.ImageCodec.decodePx(b1)
+      assert(px.ok && px.w == 16 && px.h == 16, s"$fmt decode")
+      assert(px.meanR > 0 && px.meanR < 255, s"$fmt pixels")
+      // non-square dims survive the round trip
+      val rect = operators.ImageCodec.decodePx(
+        operators.ImageCodec.synthImage(seed, 3, 31, 9, fmt))
+      assert(rect.ok && rect.w == 31 && rect.h == 9, s"$fmt rect")
+    }
+  }
+
+  test("q_embed_real: full planted recall, no false positives at the cosine gate") {
+    val rows = q("q_embed_real").collect()
+    val found = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ids = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0))
+    val expected = (for {
+      g <- ids.groupBy(_ / 3).values.toSeq
+      pair <- g.sorted.toSeq.combinations(2).toSeq
+    } yield (pair(0), pair(1))).toSet
+    // planted near-dups (≤8 perturbed pixels of 256): measured
+    // embedding cosine ≥ 0.944, sign signatures differ in ≤4 of 16
+    // bits with zero 4-band misses — every planted pair must surface
+    expected.foreach { p =>
+      assert(found.contains(p), s"planted near-dup pair $p missed")
+    }
+    // the gate itself: every emitted pair really is cosine ≥ 0.9
+    // (unrelated-image cosine measured ≤ 0.844 — the gap is real)
+    rows.foreach(r => assert(r.getDouble(2) >= 0.9 && r.getDouble(2) <= 1.0))
   }
   // --- real audio codec (AudioCodec / round-4) ---
 

@@ -120,6 +120,20 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q_snapshot_diff scans only the two queried snapshot_date partitions") {
+    val p = plan("q_snapshot_diff")
+    // both snapshot scans carry partition filters — the read touches 2
+    // date partitions regardless of how many days the tree holds
+    assert(p.contains("PartitionFilters: [isnotnull(snapshot_date"), p)
+    assert(p.contains("= 2025-03-01)") && p.contains("= 2025-03-02)"), p)
+    // the partition columns are pruned out of the data read (the scan
+    // renders on one line — slice out the ReadSchema suffix)
+    val rs = p.linesIterator.filter(_.contains("ReadSchema"))
+      .map(l => l.substring(l.indexOf("ReadSchema"))).toSeq
+    assert(rs.nonEmpty && rs.forall(l =>
+      !l.contains("snapshot_date") && l.contains("p_partkey")), rs)
+  }
+
   test("runtime bloom-filter pruning injects on selective non-broadcast joins") {
     import graft.engine.Tables
     import org.apache.spark.sql.functions.col
