@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.catalog.Catalog
 import graft.engine.{QueryPack, Tables}
+import graft.streaming.StreamRunner
 
 /** Snapshot-over-time catalog diff — the reference's literal product
   * query. crocus stores one catalog snapshot per day under
@@ -57,6 +58,12 @@ object Snapshots extends QueryPack {
 
   private val built = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  private def rm(f: java.io.File): Unit = {
+    if (f.isDirectory) { val fs = f.listFiles(); if (fs != null) fs.foreach(rm) }
+    if (f.exists() && !f.delete())
+      throw new java.io.IOException(s"cannot delete $f")
+  }
+
   /** Materialize the two-day snapshot tree through the A8 sink, once
     * per (process, sf dir). NOTE: the first q_snapshot_diff build per
     * process runs the two snapshot writes — a write is a sink, it
@@ -67,11 +74,6 @@ object Snapshots extends QueryPack {
     built.computeIfAbsent(d, _ => {
       val dir = new java.io.File(sys.props("java.io.tmpdir"),
         "graft_snapdiff_" + Integer.toHexString(d.hashCode))
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) { val fs = f.listFiles(); if (fs != null) fs.foreach(rm) }
-        if (f.exists() && !f.delete())
-          throw new java.io.IOException(s"cannot delete $f")
-      }
       rm(dir) // a partial tree from a killed run must not poison append-mode
       Catalog.writeSnapshot(dayA(s, d), dir.getAbsolutePath, "2025-03-01")
       Catalog.writeSnapshot(dayB(s, d), dir.getAbsolutePath, "2025-03-02")
@@ -105,8 +107,32 @@ object Snapshots extends QueryPack {
           coalesce(col("a_name") =!= col("b_name"), lit(false)).as("name_changed"),
           coalesce(col("a_price") =!= col("b_price"), lit(false)).as("price_changed"))
         .orderBy(col("p_partkey"))
+    }),
+
+    // The same two-day tree ingested INCREMENTALLY: a file stream over
+    // /base/snapshot_date=*/provider=* folds each snapshot day into
+    // SCD2 intervals (StreamRunner.snapshotScd2Ingest, foreachBatch +
+    // versioned state). Oracled: the final interval table is a
+    // deterministic function of `part`, so DuckDB recomputes it from
+    // scratch — the stream→merge→commit path must reproduce it
+    // bit-for-bit. The first build per process runs the ingest (a sink
+    // cannot be lazy); later builds reuse the committed state.
+    "q_snapshot_scd2_stream" -> ((s, d) => {
+      val stateDir = streamed.computeIfAbsent(d, _ => {
+        val work = new java.io.File(sys.props("java.io.tmpdir"),
+          "graft_snapscd2_" + Integer.toHexString(d.hashCode))
+        rm(work) // stale checkpoint+state from a killed run must not linger
+        StreamRunner.snapshotScd2Ingest(s, snapshotBase(s, d), work.getAbsolutePath)
+      })
+      StreamRunner.readScd2State(s, stateDir, dayA(s, d))
+        .select(col("p_partkey"), col("name"), col("price"),
+          col("valid_from"), col("valid_to"),
+          col("valid_to").isNull.as("is_current"))
+        .orderBy(col("p_partkey"), col("valid_from"))
     })
   )
+
+  private val streamed = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   override def oracle: Map[String, String] = Map(
     "q_snapshot_diff" ->
@@ -132,6 +158,36 @@ object Snapshots extends QueryPack {
         |FROM a FULL OUTER JOIN b ON a.p_partkey = b.p_partkey
         |WHERE a.p_partkey IS NULL OR b.p_partkey IS NULL
         |   OR a.name <> b.name OR a.price <> b.price
-        |ORDER BY 1""".stripMargin
+        |ORDER BY 1""".stripMargin,
+
+    // interval table recomputed from scratch: every day-1 key opens at
+    // 03-01 and closes at 03-02 iff it changed or disappeared; changed
+    // and brand-new keys open a second interval at 03-02
+    "q_snapshot_scd2_stream" ->
+      """WITH a AS (
+        |  SELECT p_partkey, p_name AS name,
+        |    CAST(CAST(p_retailprice AS DECIMAL(18,2)) AS DOUBLE) AS price
+        |  FROM part WHERE p_partkey % 10 <> 3),
+        |b AS (
+        |  SELECT p_partkey,
+        |    CASE WHEN p_partkey % 11 = 0 THEN p_name || ' (R)' ELSE p_name END AS name,
+        |    CASE WHEN p_partkey % 5 = 0
+        |      THEN CAST(CAST(p_retailprice AS DECIMAL(18,2)) * CAST(1.01 AS DECIMAL(6,2)) AS DOUBLE)
+        |      ELSE CAST(CAST(p_retailprice AS DECIMAL(18,2)) AS DOUBLE) END AS price
+        |  FROM part WHERE p_partkey % 10 <> 7),
+        |j AS (SELECT a.p_partkey AS ka, a.name AS an, a.price AS ap,
+        |             b.p_partkey AS kb, b.name AS bn, b.price AS bp
+        |      FROM a FULL OUTER JOIN b ON a.p_partkey = b.p_partkey)
+        |SELECT p_partkey, name, price, valid_from, valid_to,
+        |       valid_to IS NULL AS is_current FROM (
+        |  SELECT ka AS p_partkey, an AS name, ap AS price,
+        |         DATE '2025-03-01' AS valid_from,
+        |         CASE WHEN kb IS NULL OR an <> bn OR ap <> bp
+        |              THEN DATE '2025-03-02' END AS valid_to
+        |  FROM j WHERE ka IS NOT NULL
+        |  UNION ALL
+        |  SELECT kb, bn, bp, DATE '2025-03-02', CAST(NULL AS DATE)
+        |  FROM j WHERE kb IS NOT NULL AND (ka IS NULL OR an <> bn OR ap <> bp)
+        |) ORDER BY p_partkey, valid_from""".stripMargin
   )
 }

@@ -201,4 +201,105 @@ object StreamRunner {
       .start()
     q.awaitTermination()
   }
+
+  // --------------------------------------------------------------------
+  // Snapshot-tree → SCD2 incremental ingest (crocus's daily re-scrape
+  // loop as one runnable path: base_scraper.py:72-83 writes one
+  // /base/{date}/{provider}/ folder per day; this streams those folders
+  // as they land and maintains current+history intervals).
+  // --------------------------------------------------------------------
+
+  /** One SCD2 merge step: fold snapshot `snap` (rows of key/provider/
+    * attrs valid on `date`) into interval `state`. Pure batch function
+    * (unit-testable without a stream): closed intervals pass through;
+    * open intervals are kept (attrs unchanged), closed at `date`
+    * (changed or absent), and changed/new keys open a fresh interval at
+    * `date`. One full-outer shuffle keyed on (provider, key) per
+    * snapshot day — at 100 TB the state side is the product dimension,
+    * not the fact history, so this stays a dimension-sized join. */
+  def scd2Merge(state: DataFrame, snap: DataFrame, date: java.sql.Date): DataFrame = {
+    val d = lit(date)
+    val open = state.filter(col("valid_to").isNull)
+    val closed = state.filter(col("valid_to").isNotNull)
+    val s = snap.select(col("p_partkey").as("s_key"),
+      col("provider").as("s_provider"), col("name").as("s_name"),
+      col("price").as("s_price"))
+    val j = open.join(s,
+      col("p_partkey") === col("s_key") && col("provider") === col("s_provider"),
+      "full_outer")
+    val same = col("name") <=> col("s_name") && col("price") <=> col("s_price")
+    val stateCols = Seq("p_partkey", "provider", "name", "price",
+      "valid_from", "valid_to").map(col)
+    val unchanged = j.filter(col("p_partkey").isNotNull && col("s_key").isNotNull && same)
+      .select(stateCols: _*)
+    val closedNow = j.filter(col("p_partkey").isNotNull && (col("s_key").isNull || !same))
+      .select(col("p_partkey"), col("provider"), col("name"), col("price"),
+        col("valid_from"), d.as("valid_to"))
+    val opened = j.filter(col("s_key").isNotNull && (col("p_partkey").isNull || !same))
+      .select(col("s_key").as("p_partkey"), col("s_provider").as("provider"),
+        col("s_name").as("name"), col("s_price").as("price"),
+        d.as("valid_from"), lit(null).cast("date").as("valid_to"))
+    closed.unionByName(unchanged).unionByName(closedNow).unionByName(opened)
+  }
+
+  private def latestStateVersion(base: java.io.File): Option[java.io.File] = {
+    val vs = Option(base.listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.matches("v\\d+") &&
+        new java.io.File(f, "_SUCCESS").exists())
+    if (vs.isEmpty) None else Some(vs.maxBy(_.getName.drop(1).toInt))
+  }
+
+  /** Latest committed SCD2 state under `stateDir` (empty frame with the
+    * state schema if no version has landed yet — `like` supplies the
+    * snapshot columns). Versions are write-once dirs (v1, v2, …) with
+    * parquet's own _SUCCESS marker as the commit point, so a killed
+    * merge leaves the previous version intact — a minimal time-travel
+    * table, same recovery idea as engine.Layout. */
+  def readScd2State(spark: SparkSession, stateDir: String, like: DataFrame): DataFrame =
+    latestStateVersion(new java.io.File(stateDir)) match {
+      case Some(v) => spark.read.parquet(v.getAbsolutePath)
+      case None => like
+        .select(col("p_partkey"), col("provider"), col("name"), col("price"))
+        .limit(0)
+        .withColumn("valid_from", lit(null).cast("date"))
+        .withColumn("valid_to", lit(null).cast("date"))
+    }
+
+  /** Stream the A8 snapshot tree (glob: snapshot_date=STAR/provider=STAR
+    * under basePath) and maintain SCD2 state incrementally: each AvailableNow run
+    * drains only folders the checkpoint hasn't seen, folds every new
+    * snapshot day into the state IN DATE ORDER, and commits one new
+    * state version per day. Re-running after a new day lands processes
+    * just that day — the reference's daily re-scrape loop. Returns the
+    * state dir. The per-batch date list is a driver-side scalar (one
+    * value per snapshot day in the batch), not a data path. */
+  def snapshotScd2Ingest(spark: SparkSession, basePath: String, workDir: String): String = {
+    val stateDir = new java.io.File(workDir, "state")
+    stateDir.mkdirs()
+    // batch-infer the schema once: data columns + partition columns
+    // (snapshot_date inferred as DATE, provider as STRING)
+    val schema = spark.read.parquet(basePath).schema
+    val stream = spark.readStream.schema(schema)
+      .option("basePath", basePath)
+      .parquet(basePath + "/snapshot_date=*/provider=*")
+    val q = stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", new java.io.File(workDir, "ckpt").getAbsolutePath)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val days = batch.select(col("snapshot_date")).distinct()
+          .collect().map(_.getDate(0)).sortBy(_.getTime)
+        days.foreach { day =>
+          val snap = batch.filter(col("snapshot_date") === lit(day))
+            .select(col("p_partkey"), col("provider"), col("name"), col("price"))
+          val next = scd2Merge(readScd2State(spark, stateDir.getAbsolutePath, snap), snap, day)
+          val n = latestStateVersion(stateDir)
+            .map(_.getName.drop(1).toInt).getOrElse(0) + 1
+          next.write.mode("error")
+            .parquet(new java.io.File(stateDir, s"v$n").getAbsolutePath)
+        }
+      }
+      .start()
+    q.awaitTermination()
+    stateDir.getAbsolutePath
+  }
 }

@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Sanity checks for the oracle-adjacent audit pack (Audits.scala).
+  * The real witnesses are the driver-side DuckDB oracles — every
+  * audit query carries one — so these specs only pin the structural
+  * claims the oracles rely on: non-vacuousness (an audit over an
+  * empty exact set proves nothing) and the containment direction.
+  */
+class AuditsSpec extends SparkTestBase {
+
+  test("bloom-gated decontamination equals the exact result (no false negatives)") {
+    val exact = q("q_decontaminate").collect()
+    val gated = q("q_audit_bloom_fn").collect()
+    assert(exact.nonEmpty, "vacuous: exact contamination set is empty")
+    assert(gated.map(_.toSeq).toSet == exact.map(_.toSeq).toSet)
+  }
+
+  test("minhash recall audit is non-vacuous and a subset of minhash output") {
+    val exactFound = q("q_audit_minhash_recall").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(exactFound.nonEmpty, "vacuous: no exact shingle-jaccard >= 0.9 pairs")
+    val mh = q("q_dedup_minhash")
+      .select(col("da"), col("db")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exactFound.forall(mh.contains), "audit emitted a pair minhash never found")
+  }
+
+  test("simhash LSH misses zero exact-slice pairs (pigeonhole)") {
+    val missed = q("q_audit_simhash_lsh").collect()
+    assert(missed.length == 1 && missed.head.getLong(0) == 0L)
+    // the exact slice itself must be non-empty for the zero to mean anything
+    assert(q("q_dedup_simhash").limit(1).collect().nonEmpty,
+      "vacuous: exact simhash slice has no near pairs")
+  }
+
+  test("phash and embedding recall audits count every planted pair") {
+    val planted = q("q_image_dedup_phash").sparkSession
+      .read.parquet(s"$sf/documents.parquet")
+      .selectExpr("doc_id div 3 AS g")
+      .groupBy(col("g")).count()
+      .agg(sum(expr("count * (count - 1) div 2"))).collect().head.getLong(0)
+    val phash = q("q_audit_phash_recall").collect().head.getLong(0)
+    val embed = q("q_audit_embed_recall").collect().head.getLong(0)
+    assert(phash == planted, s"phash recall $phash of $planted planted pairs")
+    assert(embed == planted, s"embedding recall $embed of $planted planted pairs")
+  }
+}

@@ -209,4 +209,42 @@ class StreamingSpec extends SparkTestBase {
     assert(landed.count() ==
       graft.engine.Tables.t(spark, sf, "events").count())
   }
+
+  test("snapshot-tree SCD2 ingest lands day-by-day and matches a hand replay") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("snapscd2").toString
+    val base = s"$tmp/base"; val work = s"$tmp/work"
+    def snap(rows: Seq[(Long, String, Double)]) =
+      rows.toDF("p_partkey", "name", "price").withColumn("provider", lit("pX"))
+    // day 1: k1 unchanged forever, k2 will be repriced, k3 will vanish
+    graft.catalog.Catalog.writeSnapshot(
+      snap(Seq((1L, "one", 10.0), (2L, "two", 20.0), (3L, "three", 30.0))),
+      base, "2025-06-01")
+    StreamRunner.snapshotScd2Ingest(spark, base, work)
+    val after1 = StreamRunner.readScd2State(spark, s"$work/state", snap(Nil)).collect()
+    assert(after1.length == 3 && after1.forall(_.isNullAt(5)), "day 1: 3 open intervals")
+    // day 2 lands AFTER the first run: k2 repriced, k3 gone, k4 new
+    graft.catalog.Catalog.writeSnapshot(
+      snap(Seq((1L, "one", 10.0), (2L, "two", 25.0), (4L, "four", 40.0))),
+      base, "2025-06-02")
+    StreamRunner.snapshotScd2Ingest(spark, base, work)
+    val got = StreamRunner.readScd2State(spark, s"$work/state", snap(Nil))
+      .select(col("p_partkey"), col("name"), col("price"),
+        col("valid_from").cast("string"), col("valid_to").cast("string"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        r.getString(3), Option(r.getString(4)))).toSet
+    val expected = Set(
+      (1L, "one", 10.0, "2025-06-01", None),                  // unchanged, still open
+      (2L, "two", 20.0, "2025-06-01", Some("2025-06-02")),    // closed by reprice
+      (2L, "two", 25.0, "2025-06-02", None),                  // new open version
+      (3L, "three", 30.0, "2025-06-01", Some("2025-06-02")),  // delisted
+      (4L, "four", 40.0, "2025-06-02", None))                 // newly listed
+    assert(got == expected)
+    // checkpoint idempotency: a third run with nothing new commits nothing
+    val versions = new java.io.File(s"$work/state").listFiles()
+      .count(_.getName.matches("v\\d+"))
+    StreamRunner.snapshotScd2Ingest(spark, base, work)
+    assert(new java.io.File(s"$work/state").listFiles()
+      .count(_.getName.matches("v\\d+")) == versions, "no-op run must not add a version")
+  }
 }
