@@ -1,0 +1,95 @@
+package graft
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale-stress harness for the iterative/LSH tail (VERDICT r4 #5):
+  * does the workload grow ~linearly when the corpus grows ~10×?
+  *
+  * Generates a factor-N documents corpus from the base SF once: replica
+  * r offsets doc_id by r·maxId and suffixes every token with "_r{r}"
+  * (r > 0), so each replica's vocabulary is disjoint — within-replica
+  * similarity structure is statistically the original's, cross-replica
+  * token overlap is zero. That makes the IDEAL workload exactly N× the
+  * base; any superlinear growth measured here is the algorithm's own
+  * (e.g. Σ bucket² candidate enumeration in coarse LSH bands), not the
+  * data's.
+  *
+  * For each query × {1×, N×}: two passes (min wall — co-tenant box) and
+  * the shuffle-write bytes of the LAST pass from a stage listener
+  * (spill-free proxy for data moved; listener counters are polled to
+  * quiescence since the bus is async). One JSON line each, then a
+  * ratio summary line per query — these feed the PERF.md scaling table.
+  */
+object ScaleStress {
+  private def round2(v: Double): Double = math.rint(v * 100) / 100
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt
+    val scaledDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR",
+      s"/tmp/graft_scale_x$factor")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val queries = if (args.nonEmpty) args.toSeq
+      else Seq("q_graph_pagerank", "q_dedup_cluster", "q_dedup_simhash_lsh")
+
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    if (!new java.io.File(scaledDir, "documents.parquet").exists()) {
+      val docs = spark.read.parquet(s"$baseDir/documents.parquet")
+      val maxId = docs.agg(max(col("doc_id"))).head().getLong(0) + 1
+      val reps = (0 until factor).map { r =>
+        val text =
+          if (r == 0) col("text")
+          else array_join(transform(split(col("text"), " "),
+            t => concat(t, lit(s"_r$r"))), " ")
+        docs.select((col("doc_id") + lit(r * maxId)).as("doc_id"),
+          text.as("text"), col("lang"), col("source"), col("n_chars"))
+      }
+      reps.reduce(_ unionByName _).repartition(cpus.toInt)
+        .write.mode("overwrite").parquet(s"$scaledDir/documents.parquet")
+    }
+
+    val shuffleBytes = new AtomicLong()
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(e: SparkListenerStageCompleted): Unit =
+        shuffleBytes.addAndGet(e.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+    })
+    // the listener bus is async: poll until the counter stops moving
+    def settle(): Long = {
+      var prev = -1L; var cur = shuffleBytes.get()
+      while (cur != prev) { Thread.sleep(300); prev = cur; cur = shuffleBytes.get() }
+      cur
+    }
+
+    queries.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      val walls = Seq(s"${factor}x" -> scaledDir, "1x" -> baseDir).reverse.map {
+        case (label, dir) =>
+          var mb = 0.0
+          val wall = (1 to 2).map { _ =>
+            settle(); val b0 = shuffleBytes.get()
+            val t0 = System.nanoTime()
+            fn(spark, dir).write.format("noop").mode("overwrite").save()
+            val w = (System.nanoTime() - t0) / 1e9
+            mb = (settle() - b0) / 1e6
+            w
+          }.min
+          println(s"""{"query":"$name","scale":"$label","wall_sec":${round2(wall)},"shuffle_mb":${round2(mb)}}""")
+          (wall, mb)
+      }
+      val (w1, m1) = walls.head; val (wN, mN) = walls.last
+      println(s"""{"query":"$name","wall_ratio":${round2(wN / w1)},"shuffle_ratio":${round2(mN / m1)},"ideal":$factor.0}""")
+    }
+    spark.stop()
+  }
+}

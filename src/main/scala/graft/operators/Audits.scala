@@ -98,22 +98,29 @@ object Audits extends QueryPack {
     // the driver passes only at 100% recall (verified at every
     // shipped SF).
     "q_audit_minhash_recall" -> ((s, d) => {
-      val sh = Tables.t(s, d, "documents")
+      val bare = Tables.t(s, d, "documents")
         .select(col("doc_id"), split(lower(col("text")), " ").as("toks"))
         .filter(size(col("toks")) >= 3)
         .select(col("doc_id"), explode(array_distinct(expr(
           "transform(sequence(0, size(toks)-3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))")))
           .as("sh"))
-        .cache() // three consumers below; lazy reuse would re-tokenize
-      val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      // per-doc shingle count rides along on every exploded row so the
+      // size-compatibility prune can live INSIDE the self-join
+      val sh = bare
+        .join(bare.groupBy(col("doc_id")).agg(count(lit(1)).as("n")), "doc_id")
+        .cache() // two consumers below; lazy reuse would re-tokenize
+      // jac >= 0.9 forces |A|,|B| within 10/9 of each other — putting
+      // that bound in the join condition kills hot-shingle pairs of
+      // incompatible sizes during enumeration (round-3 lesson: the
+      // verification predicate belongs IN the join, not after it)
       val inter = sh.as("a").join(sh.as("b"),
-          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id") &&
+            col("a.n") * 10 >= col("b.n") * 9 && col("b.n") * 10 >= col("a.n") * 9)
+        .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+          col("a.n").as("na"), col("b.n").as("nb"))
         .agg(count(lit(1)).as("inter_n"))
       val exact = inter
-        .join(cnt.as("ca"), col("da") === col("ca.doc_id"))
-        .join(cnt.as("cb"), col("db") === col("cb.doc_id"))
-        .filter(col("inter_n") * 10 >= (col("ca.n") + col("cb.n") - col("inter_n")) * 9)
+        .filter(col("inter_n") * 10 >= (col("na") + col("nb") - col("inter_n")) * 9)
         .select(col("da"), col("db"))
       val found = Pipeline.queries("q_dedup_minhash")(s, d)
         .select(col("da"), col("db"))
