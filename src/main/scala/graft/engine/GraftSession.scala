@@ -31,6 +31,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (es: Seq[Expression]) => ParseDateIt(es.head)))
     e.injectFunction((FunctionIdentifier("nfc_normalize"), info("nfc_normalize"),
       (es: Seq[Expression]) => NfcNormalize(es.head)))
+    e.injectFunction((FunctionIdentifier("cms_estimate"), info("cms_estimate"),
+      (es: Seq[Expression]) => CmsEstimate(es(0), es(1))))
     // Spark's runtime-filter bloom machinery, surfaced as SQL functions
     // (upstream keeps them internal-only): bloom_agg(xxhash64(x), est_n,
     // n_bits) builds the sketch, bloom_might_contain(bloom, xxhash64(x))

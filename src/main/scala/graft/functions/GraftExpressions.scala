@@ -44,6 +44,18 @@ object ExprHelpers {
     if (s == null) null
     else UTF8String.fromString(
       java.text.Normalizer.normalize(s.toString, java.text.Normalizer.Form.NFC))
+
+  /** Point query against a serialized CountMinSketch (the binary that
+    * Spark's `count_min_sketch` aggregate emits). The string item is
+    * probed as its UTF-8 bytes — the same representation
+    * CountMinSketchAgg feeds to addBinary, so estimates line up with
+    * what was counted. Deserialization per call is fine where this is
+    * used (a handful of heavy-hitter probes against one broadcast
+    * sketch); a corpus-wide probe would hoist the parse. */
+  def cmsEstimate(sketch: Array[Byte], item: UTF8String): Long =
+    org.apache.spark.util.sketch.CountMinSketch
+      .readFrom(new java.io.ByteArrayInputStream(sketch))
+      .estimateCount(item.getBytes)
 }
 
 /** dot_d(a, b): Σ double(a_i)·double(b_i) over two float vectors.
@@ -59,6 +71,25 @@ case class DotProductD(left: Expression, right: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) =>
       s"${ev.value} = graft.functions.ExprHelpers.dot($a, $b);")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** cms_estimate(sketch, item): frequency point-query against the
+  * binary a `count_min_sketch` aggregate produced. CMS never
+  * underestimates, so `cms_estimate(s, x) >= true_count(x)` is an
+  * invariant the heavy-hitter audit turns into an oracled column. */
+case class CmsEstimate(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(sketch: Any, item: Any): Any =
+    ExprHelpers.cmsEstimate(sketch.asInstanceOf[Array[Byte]],
+      item.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (s, i) =>
+      s"${ev.value} = graft.functions.ExprHelpers.cmsEstimate($s, $i);")
+  override def prettyName: String = "cms_estimate"
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
@@ -159,6 +190,8 @@ object GraftFunctions {
       "scala_udf")
     reg.createOrReplaceTempFunction("nfc_normalize",
       es => NfcNormalize(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("cms_estimate",
+      es => CmsEstimate(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("bloom_might_contain",
       es => org.apache.spark.sql.catalyst.expressions
         .BloomFilterMightContain(es(0), es(1)), "scala_udf")

@@ -126,6 +126,31 @@ object Audits extends QueryPack {
         .select(col("da"), col("db"))
       exact.join(found, Seq("da", "db"), "left_semi")
         .orderBy(col("da"), col("db"))
+    }),
+
+    // Heavy hitters through a count-min sketch: the exact top-20
+    // tokens (oracled list + counts) probed against a CMS built over
+    // the full token stream. CMS can only OVERestimate, so
+    // `est_ge_exact` is an invariant — the oracle pins it TRUE; a
+    // single undercount flips the bit and fails the hash. At 100 TB
+    // this is the hot-key detector: the sketch is one mergeable
+    // 112 KB aggregate (partial CMS per partition, merged once), and
+    // probing costs one broadcast row — no second corpus pass, which
+    // is why skew probes use a sketch instead of an exact groupBy.
+    "q_audit_cms_hh" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val toks = Tables.t(s, d, "documents")
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+      val exact = toks.groupBy(col("tok")).agg(count(lit(1)).as("c_exact"))
+        .orderBy(desc("c_exact"), col("tok")).limit(20)
+      val cms = toks.agg(
+        expr("count_min_sketch(tok, 0.001d, 0.99d, 42)").as("sk"))
+      exact.crossJoin(broadcast(cms))
+        .select(col("tok"), col("c_exact"),
+          (call_function("cms_estimate", col("sk"), col("tok")) >=
+            col("c_exact")).as("est_ge_exact"))
+        .orderBy(desc("c_exact"), col("tok"))
     })
   )
 
@@ -173,6 +198,15 @@ object Audits extends QueryPack {
         |SELECT da, db
         |FROM inter JOIN cnt ca ON da = ca.doc_id JOIN cnt cb ON db = cb.doc_id
         |WHERE inter_n * 10 >= (ca.n + cb.n - inter_n) * 9
-        |ORDER BY da, db""".stripMargin
+        |ORDER BY da, db""".stripMargin,
+
+    // exact top-20 token counts; est_ge_exact pinned TRUE (CMS never
+    // underestimates) — the engine side computes the real estimate
+    "q_audit_cms_hh" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS tok
+        |             FROM documents)
+        |SELECT tok, count(*) AS c_exact, TRUE AS est_ge_exact
+        |FROM tok WHERE tok <> ''
+        |GROUP BY tok ORDER BY c_exact DESC, tok LIMIT 20""".stripMargin
   )
 }

@@ -289,6 +289,31 @@ object Curation extends QueryPack {
         .orderBy(desc("df"), desc("cf"), col("tok"))
         .limit(50)
     }),
+
+    // Temperature-weighted domain mixing: the per-source sampling
+    // weights a multilingual/multi-domain pretraining run uses to
+    // up-sample small sources, w_s ∝ n_s^α with α = 0.3 (the unigram-LM
+    // smoothing exponent). Float parity: pow() is transcendental, so
+    // each p_s is rounded to 9dp and carried as exact decimal; the
+    // final ratio divides two doubles that are bit-identical on both
+    // engines. Scale: one map-side-combinable groupBy on `source`
+    // (dozens of keys), then a broadcast of the one-row total — the
+    // corpus is scanned once.
+    "q_domain_mix" -> ((s, d) => {
+      val per = docs(s, d)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " "))).cast("long").as("n_tokens"))
+        .withColumn("p_s",
+          round(pow(col("n_tokens").cast("double"), 0.3), 9)
+            .cast("decimal(28,10)"))
+      val tot = per.agg(sum(col("p_s")).as("p_tot"))
+      per.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          round(col("p_s").cast("double") / col("p_tot").cast("double"), 6)
+            .as("weight"))
+        .orderBy(col("source"))
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -382,5 +407,19 @@ object Curation extends QueryPack {
         |      FROM tok WHERE tok <> '' GROUP BY tok)
         |SELECT t.tok, df, cf, posting_sample FROM t JOIN p USING (tok)
         |ORDER BY df DESC, cf DESC, tok LIMIT 50""".stripMargin,
+
+    "q_domain_mix" ->
+      """WITH per AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |p AS (SELECT source, n_docs, n_tokens,
+        |  CAST(round(pow(CAST(n_tokens AS DOUBLE), CAST(0.3 AS DOUBLE)), 9)
+        |    AS DECIMAL(28,10)) AS p_s
+        |  FROM per),
+        |tot AS (SELECT sum(p_s) AS p_tot FROM p)
+        |SELECT source, n_docs, n_tokens,
+        |  round(CAST(p_s AS DOUBLE) / CAST(p_tot AS DOUBLE), 6) AS weight
+        |FROM p, tot ORDER BY source""".stripMargin,
   )
 }

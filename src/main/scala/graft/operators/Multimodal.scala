@@ -246,6 +246,19 @@ object ImageCodec {
     * "gif" (palette-quantized but deterministic). */
   def synthImage(seed: Array[Byte], variant: Int, w: Int, h0: Int,
       fmt: String): Array[Byte] = {
+    val img = renderImage(seed, variant, w, h0)
+    val bos = new java.io.ByteArrayOutputStream()
+    // write returns false when no writer took the image — fail the
+    // task loudly rather than hand decodePx an empty array
+    require(javax.imageio.ImageIO.write(img, fmt, bos),
+      s"no ImageIO $fmt writer available")
+    bos.toByteArray
+  }
+
+  /** The raster behind synthImage (shared with the animated-GIF
+    * synthesizer, which needs frames pre-encode). */
+  private def renderImage(seed: Array[Byte], variant: Int, w: Int,
+      h0: Int): java.awt.image.BufferedImage = {
     var h = fnv1a(seed)
     val img = new java.awt.image.BufferedImage(w, h0,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
@@ -285,12 +298,64 @@ object ImageCodec {
       }
       dy += 1
     }
+    img
+  }
+
+  /** Deterministic multi-frame animated GIF (the video stand-in the
+    * JDK can actually encode): frame i is the seed raster with
+    * variant i·9+1 — consecutive frames differ by one perturbed 2×2
+    * block, like consecutive video frames differ by small motion.
+    * Written through ImageIO's sequence writer (real GIF89a
+    * animation, one image block per frame). */
+  def synthAnimatedGif(seed: Array[Byte], nFrames: Int, w: Int,
+      h: Int): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
-    // write returns false when no writer took the image — fail the
-    // task loudly rather than hand decodePx an empty array
-    require(javax.imageio.ImageIO.write(img, fmt, bos),
-      s"no ImageIO $fmt writer available")
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      var i = 0
+      while (i < nFrames) {
+        writer.writeToSequence(new javax.imageio.IIOImage(
+          renderImage(seed, i * 9 + 1, w, h), null, null), null)
+        i += 1
+      }
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
     bos.toByteArray
+  }
+
+  /** Per-frame grayscale means of a multi-frame payload (all-integer
+    * accumulation — bit-deterministic). n = 0 when no ImageIO reader
+    * claims the bytes. */
+  def decodeFrameMeans(payload: Array[Byte]): Array[Double] = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) return Array.empty
+      val r = readers.next()
+      try {
+        r.setInput(iis)
+        val n = r.getNumImages(true)
+        Array.tabulate(n) { i =>
+          val img = r.read(i)
+          var sum = 0L
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              val rgb = img.getRGB(x, y)
+              sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+              x += 1
+            }
+            y += 1
+          }
+          sum.toDouble / (3.0 * img.getWidth * img.getHeight)
+        }
+      } finally r.dispose()
+    } finally iis.close()
   }
 
   /** The 16×16 PNG form (planted near-dup fixture for the dHash /
@@ -645,6 +710,35 @@ object Multimodal extends QueryPack {
           expr("bit_count(a_hash ^ b_hash)").as("hamming"))
         .distinct()
         .orderBy(col("da"), col("db"))
+    }),
+
+    // Video frame-sampling over multi-frame payloads: each doc carries
+    // a REAL animated GIF (4–8 frames, ImageIO sequence writer — the
+    // JDK's only multi-frame container), the decoder walks every
+    // frame, and the pipeline keeps every 2nd frame with its decoded
+    // gray mean — the "sample k frames per clip for the vision
+    // encoder" ingestion step. All per-partition map work: no shuffle
+    // until the final presentation sort; at 100 TB frame extraction is
+    // embarrassingly parallel and the decoded frames (not the clips)
+    // are what flows downstream. Rows-only (binary synthesis is
+    // engine-specific); frame counts, sampling stride, determinism and
+    // per-frame content are ground-truthed in MultimodalSpec.
+    "q_frame_sample" -> ((s, d) => {
+      import s.implicits._
+      Tables.t(s, d, "documents")
+        .select(col("doc_id"))
+        .as[Long]
+        .mapPartitions(_.flatMap { id =>
+          val nf = (id % 5).toInt + 4
+          val means = ImageCodec.decodeFrameMeans(
+            ImageCodec.synthAnimatedGif(groupSeed(id), nf, 16, 16))
+          Iterator.range(0, means.length, 2)
+            .map(i => (id, means.length, i, means(i)))
+        })
+        .toDF("doc_id", "n_frames", "frame_idx", "mean_gray")
+        .select(col("doc_id"), col("n_frames"), col("frame_idx"),
+          round(col("mean_gray"), 4).as("mean_gray"))
+        .orderBy(col("doc_id"), col("frame_idx"))
     })
   )
 

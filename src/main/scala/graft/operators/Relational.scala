@@ -357,6 +357,23 @@ object Relational extends QueryPack {
       Tables.t(s, d, "customer").select(col("c_custkey").as("k"))
         .except(Tables.t(s, d, "orders").select(col("o_custkey").as("k")))
         .orderBy(col("k"))
+    }),
+
+    // Hot-key aggregation through the two-phase salted path
+    // (engine/Skew.saltedSumCount): l_returnflag has 3 values over the
+    // whole fact table — the direct groupBy would route ~1/3 of all
+    // rows to each of 3 reducers no matter how many executors exist.
+    // Salting splits each key into 32 sub-keys for the wide shuffle
+    // and recombines the partials in a second (96-row) aggregation.
+    // The exact-decimal partial sums are associative, so salted ==
+    // direct bit-for-bit — which is exactly what the oracle (a plain
+    // direct-aggregation SQL) certifies. AQE re-splits skewed JOINs
+    // but not skewed aggregations; this is the engine's answer there.
+    "q_skew_salted" -> ((s, d) => {
+      graft.engine.Skew
+        .saltedSumCount(Tables.t(s, d, "lineitem"), "l_returnflag",
+          "l_extendedprice")
+        .orderBy(col("l_returnflag"))
     })
   )
 
@@ -573,6 +590,15 @@ object Relational extends QueryPack {
 
     "q_except" ->
       """SELECT c_custkey AS k FROM customer
-        |EXCEPT SELECT o_custkey FROM orders ORDER BY k""".stripMargin
+        |EXCEPT SELECT o_custkey FROM orders ORDER BY k""".stripMargin,
+
+    // the DIRECT aggregation: the salted two-phase plan must match it
+    // bit-for-bit (exact decimal partials are associative)
+    "q_skew_salted" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_l_extendedprice,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
   )
 }

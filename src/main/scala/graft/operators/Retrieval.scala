@@ -204,6 +204,45 @@ object Retrieval extends QueryPack {
             .as("spike"))
         .orderBy(col("event_type"), col("day"))
     }),
+
+    // Perplexity filtering (the CCNet/Gopher curation step): score
+    // every document by its average negative log-likelihood under the
+    // corpus's OWN bigram LM, then keep documents within a band of the
+    // corpus mean. Because the LM is trained on the same corpus, every
+    // bigram has nonzero count — no smoothing term to diverge on.
+    // Float parity: per-bigram nll = ln(c1) − ln(c12) rounded to 9dp
+    // and summed through exact DECIMAL(28,10) (shuffle-order-proof);
+    // the per-doc mean and the corpus mean each divide identical
+    // operands (one IEEE op). Scale: the LM is a vocab²-bounded
+    // aggregation with map-side combine; scoring is one equi-join of
+    // the exploded bigrams against the LM — both corpus-linear.
+    "q_perplexity_filter" -> ((s, d) => {
+      val bi = docs(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(w)-2), i -> struct(w[i] AS w1, w[i+1] AS w2))"))
+          .as("p"))
+        .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+      val lm = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      val ctx = lm.groupBy(col("w1")).agg(sum(col("c12")).cast("long").as("c1"))
+      val probs = lm.join(ctx, Seq("w1"))
+        .select(col("w1"), col("w2"),
+          round(log(col("c1").cast("double")) - log(col("c12").cast("double")), 9)
+            .cast("decimal(28,10)").as("nll"))
+      val perdoc = bi.join(probs, Seq("w1", "w2"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(sum(col("nll")).cast("double") /
+            count(lit(1)).cast("double"), 6).as("avg_nll"))
+      val thr = perdoc.agg(
+        (sum(col("avg_nll").cast("decimal(28,10)")).cast("double") /
+          count(lit(1)).cast("double")).as("mean_nll"))
+      perdoc.crossJoin(broadcast(thr))
+        .select(col("doc_id"), col("n_bigrams"), col("avg_nll"),
+          (col("avg_nll") <= col("mean_nll") + lit(0.05)).as("keep"))
+        .orderBy(col("doc_id"))
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -311,5 +350,27 @@ object Retrieval extends QueryPack {
         |  CASE WHEN CAST(n AS DOUBLE) > ma7 * CAST(1.5 AS DOUBLE) THEN 1 ELSE 0 END
         |    AS spike
         |FROM x ORDER BY event_type, day""".stripMargin,
+
+    "q_perplexity_filter" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |bi AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+        |       FROM w, LATERAL (SELECT unnest(generate_series(1, len(w)-1)) AS i) t
+        |       WHERE len(w) >= 2),
+        |lm AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY 1, 2),
+        |ctx AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM lm GROUP BY 1),
+        |probs AS (SELECT lm.w1 AS w1, w2,
+        |  CAST(round(ln(CAST(c1 AS DOUBLE)) - ln(CAST(c12 AS DOUBLE)), 9)
+        |    AS DECIMAL(28,10)) AS nll
+        |  FROM lm JOIN ctx ON lm.w1 = ctx.w1),
+        |perdoc AS (SELECT doc_id, count(*) AS n_bigrams,
+        |  round(CAST(sum(nll) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+        |    AS avg_nll
+        |  FROM bi JOIN probs ON bi.w1 = probs.w1 AND bi.w2 = probs.w2
+        |  GROUP BY doc_id),
+        |thr AS (SELECT CAST(sum(CAST(avg_nll AS DECIMAL(28,10))) AS DOUBLE)
+        |  / CAST(count(*) AS DOUBLE) AS mean_nll FROM perdoc)
+        |SELECT doc_id, n_bigrams, avg_nll,
+        |  avg_nll <= mean_nll + CAST(0.05 AS DOUBLE) AS keep
+        |FROM perdoc, thr ORDER BY doc_id""".stripMargin,
   )
 }

@@ -109,6 +109,35 @@ object Snapshots extends QueryPack {
         .orderBy(col("p_partkey"))
     }),
 
+    // MERGE (SCD1 upsert): apply the day-2 catalog to the day-1
+    // current table and emit the full merge log — every output row is
+    // the post-merge state of one key plus the action the merge took
+    // (insert / update / delete / keep). This is the warehouse
+    // `MERGE INTO target USING source` statement as a single
+    // full-outer join; at 100 TB both sides shuffle once on the key
+    // (or zero times when target and staged source share a bucketed
+    // layout — engine/Layout.scala) and the action column is a
+    // per-row projection, no second pass. Null-safe <=> comparisons
+    // keep matched-but-unchanged rows out of the update set so a
+    // downstream writer can skip them (classic no-op-update
+    // suppression).
+    "q_merge_upsert" -> ((s, d) => {
+      val t = dayA(s, d).select(col("p_partkey").as("k"),
+        col("name").as("t_name"), col("price").as("t_price"))
+      val src = dayB(s, d).select(col("p_partkey").as("k"),
+        col("name").as("s_name"), col("price").as("s_price"))
+      t.join(src, Seq("k"), "full_outer")
+        .select(col("k"),
+          coalesce(col("s_name"), col("t_name")).as("name"),
+          coalesce(col("s_price"), col("t_price")).as("price"),
+          when(col("t_name").isNull, "insert")
+            .when(col("s_name").isNull, "delete")
+            .when(not(col("s_name") <=> col("t_name")) ||
+              not(col("s_price") <=> col("t_price")), "update")
+            .otherwise("keep").as("action"))
+        .orderBy(col("k"))
+    }),
+
     // The same two-day tree ingested INCREMENTALLY: a file stream over
     // /base/snapshot_date=*/provider=* folds each snapshot day into
     // SCD2 intervals (StreamRunner.snapshotScd2Ingest, foreachBatch +
@@ -159,6 +188,29 @@ object Snapshots extends QueryPack {
         |WHERE a.p_partkey IS NULL OR b.p_partkey IS NULL
         |   OR a.name <> b.name OR a.price <> b.price
         |ORDER BY 1""".stripMargin,
+
+    "q_merge_upsert" ->
+      """WITH a AS (
+        |  SELECT p_partkey, p_name AS name,
+        |    CAST(CAST(p_retailprice AS DECIMAL(18,2)) AS DOUBLE) AS price
+        |  FROM part WHERE p_partkey % 10 <> 3),
+        |b AS (
+        |  SELECT p_partkey,
+        |    CASE WHEN p_partkey % 11 = 0 THEN p_name || ' (R)' ELSE p_name END AS name,
+        |    CASE WHEN p_partkey % 5 = 0
+        |      THEN CAST(CAST(p_retailprice AS DECIMAL(18,2)) * CAST(1.01 AS DECIMAL(6,2)) AS DOUBLE)
+        |      ELSE CAST(CAST(p_retailprice AS DECIMAL(18,2)) AS DOUBLE) END AS price
+        |  FROM part WHERE p_partkey % 10 <> 7)
+        |SELECT coalesce(a.p_partkey, b.p_partkey) AS k,
+        |  coalesce(b.name, a.name) AS name,
+        |  coalesce(b.price, a.price) AS price,
+        |  CASE WHEN a.p_partkey IS NULL THEN 'insert'
+        |       WHEN b.p_partkey IS NULL THEN 'delete'
+        |       WHEN a.name IS DISTINCT FROM b.name
+        |         OR a.price IS DISTINCT FROM b.price THEN 'update'
+        |       ELSE 'keep' END AS action
+        |FROM a FULL OUTER JOIN b ON a.p_partkey = b.p_partkey
+        |ORDER BY k""".stripMargin,
 
     // interval table recomputed from scratch: every day-1 key opens at
     // 03-01 and closes at 03-02 iff it changed or disappeared; changed

@@ -88,6 +88,40 @@ object Temporal extends QueryPack {
           when(col("valid_to").isNull, 1).otherwise(0).as("is_current"))
         .orderBy(col("user_id"), col("valid_from"), col("event_id"))
     }),
+
+    // Gap-based sessionization as an explicit window computation (the
+    // relational twin of q_stream_session's session_window): a new
+    // session opens when the gap since the previous event exceeds 30
+    // minutes; the session index is a running sum of the break flags.
+    // Unlike session_window this form keeps per-event lineage (an
+    // event's session_idx is addressable), which is what training-data
+    // pipelines need to join session features back onto events.
+    // Timestamp arithmetic stays in timestamp space (ts > prev + 30min)
+    // on both engines — no epoch truncation to diverge on sub-second
+    // timestamps. Scale: both windows partition BY USER — parallel
+    // across users, no global sort; state per key is one row.
+    "q_sessionize" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val marked = events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("is_new",
+          when(col("prev_ts").isNull ||
+            col("ts") > col("prev_ts") + expr("INTERVAL 30 MINUTES"), 1)
+            .otherwise(0))
+      val ws = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      marked
+        .withColumn("session_idx", sum(col("is_new")).over(ws))
+        .groupBy(col("user_id"), col("session_idx"))
+        .agg(min(col("ts")).as("session_start"),
+          max(col("ts")).as("session_end"),
+          count(lit(1)).as("n_events"),
+          sum(Tables.dec2(col("value"))).cast("double").as("session_value"))
+        .orderBy(col("user_id"), col("session_idx"))
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -130,5 +164,29 @@ object Temporal extends QueryPack {
         |  CASE WHEN lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
         |    IS NULL THEN 1 ELSE 0 END AS is_current
         |FROM changes ORDER BY user_id, valid_from, event_id""".stripMargin,
+
+    "q_sessionize" ->
+      """WITH m AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS prev_ts
+        |  FROM events),
+        |f AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    CASE WHEN prev_ts IS NULL
+        |           OR ts > prev_ts + INTERVAL 30 MINUTE THEN 1
+        |         ELSE 0 END AS is_new
+        |  FROM m),
+        |x AS (
+        |  SELECT user_id, ts, value,
+        |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS session_idx
+        |  FROM f)
+        |SELECT user_id, session_idx, min(ts) AS session_start,
+        |  max(ts) AS session_end, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+        |FROM x GROUP BY user_id, session_idx
+        |ORDER BY user_id, session_idx""".stripMargin,
   )
 }

@@ -46,4 +46,30 @@ class AuditsSpec extends SparkTestBase {
     assert(phash == planted, s"phash recall $phash of $planted planted pairs")
     assert(embed == planted, s"embedding recall $embed of $planted planted pairs")
   }
+
+  test("cms heavy hitters: 20 rows, estimates never undercount, and the " +
+      "estimate is within the CMS error bound on this corpus") {
+    val rows = q("q_audit_cms_hh").collect()
+    assert(rows.length == 20)
+    rows.foreach(r => assert(r.getBoolean(2), s"CMS undercounted ${r.getString(0)}"))
+    // tighten beyond the shipped boolean: re-probe the sketch and check
+    // est <= exact + eps*N (eps = 0.001) for every heavy hitter
+    graft.functions.GraftFunctions.register(spark)
+    val toks = graft.engine.Tables.t(spark, sf, "documents")
+      .selectExpr("explode(split(text, ' ')) AS tok").where("tok <> ''")
+    val n = toks.count()
+    val probed = toks
+      .agg(org.apache.spark.sql.functions.expr(
+        "count_min_sketch(tok, 0.001d, 0.99d, 42)").as("sk"))
+      .crossJoin(toks.groupBy("tok").count()
+        .orderBy(org.apache.spark.sql.functions.desc("count"),
+          org.apache.spark.sql.functions.col("tok")).limit(20))
+      .selectExpr("tok", "count AS c", "cms_estimate(sk, tok) AS est")
+      .collect()
+    probed.foreach { r =>
+      val (c, est) = (r.getLong(1), r.getLong(2))
+      assert(est >= c && est <= c + (0.001 * n).toLong + 1,
+        s"estimate $est outside [$c, c+εN] for ${r.getString(0)}")
+    }
+  }
 }

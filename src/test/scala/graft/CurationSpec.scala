@@ -154,4 +154,26 @@ class CurationSpec extends SparkTestBase {
       assert(ids.length <= 5 && ids.sameElements(ids.sorted))
     }
   }
+
+  test("q_domain_mix: weights normalize to 1 and are monotone in token mass") {
+    val rows = q("q_domain_mix").collect()
+    assert(rows.length > 1, "vacuous: single source")
+    val wsum = rows.map(_.getDouble(3)).sum
+    assert(math.abs(wsum - 1.0) < 1e-4, s"weights sum to $wsum")
+    rows.foreach(r => assert(r.getDouble(3) > 0))
+    // α = 0.3 keeps ordering: more tokens → weight >= (ties possible
+    // after 6dp rounding)
+    val byTokens = rows.sortBy(_.getLong(2))
+    byTokens.sliding(2).foreach {
+      case Array(a, b) => assert(a.getDouble(3) <= b.getDouble(3) + 1e-9,
+        s"weight not monotone: $a vs $b")
+      case _ =>
+    }
+    // and flattens the raw proportions: the largest source's weight is
+    // strictly below its raw token share (that's the up-sampling point)
+    val tot = rows.map(_.getLong(2)).sum.toDouble
+    val top = byTokens.last
+    assert(top.getDouble(3) < top.getLong(2) / tot,
+      s"α-mix failed to down-weight the dominant source: $top")
+  }
 }

@@ -281,4 +281,38 @@ class MultimodalSpec extends SparkTestBase {
         s"doc $id est ${r.getDouble(5)} vs $trueFreq")
     }
   }
+
+  test("animated GIF codec: frame count round-trips, frames differ, deterministic") {
+    val seed = java.security.MessageDigest.getInstance("MD5")
+      .digest("clip".getBytes("UTF-8"))
+    val gif = operators.ImageCodec.synthAnimatedGif(seed, 6, 16, 16)
+    // GIF89a magic and determinism at the byte level
+    assert(new String(gif.take(6), "US-ASCII") == "GIF89a")
+    assert(java.util.Arrays.equals(gif,
+      operators.ImageCodec.synthAnimatedGif(seed, 6, 16, 16)))
+    val means = operators.ImageCodec.decodeFrameMeans(gif)
+    assert(means.length == 6, s"decoded ${means.length} of 6 frames")
+    means.foreach(m => assert(m > 0 && m < 255))
+    // consecutive frames perturb different blocks with different
+    // deltas — at least one sampled pair of frames must differ
+    assert(means.distinct.length > 1, "all frames identical")
+    // junk in, zero frames out
+    assert(operators.ImageCodec.decodeFrameMeans("junk".getBytes).isEmpty)
+  }
+
+  test("q_frame_sample: stride-2 sampling of every clip, counts from the formula") {
+    val rows = q("q_frame_sample").collect()
+    val ids = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0))
+    val expected = ids.map(id => id -> ((id % 5).toInt + 4)).toMap
+    val byDoc = rows.groupBy(_.getLong(0))
+    assert(byDoc.keySet == expected.keySet)
+    byDoc.foreach { case (id, rs) =>
+      val nf = expected(id)
+      assert(rs.forall(_.getInt(1) == nf), s"doc $id n_frames")
+      val idxs = rs.map(_.getInt(2)).sorted
+      assert(idxs.sameElements(0 until nf by 2), s"doc $id sampled $idxs")
+      rs.foreach(r => assert(r.getDouble(3) > 0 && r.getDouble(3) < 255))
+    }
+  }
 }

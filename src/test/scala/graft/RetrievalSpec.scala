@@ -87,4 +87,27 @@ class RetrievalSpec extends SparkTestBase {
       assert(r.getDouble(5) > 0)
     }
   }
+
+  test("q_perplexity_filter: scores every multi-token doc; keep matches the threshold") {
+    val rows = q("q_perplexity_filter").collect()
+    val expectedDocs = graft.engine.Tables.t(spark, sf, "documents")
+      .selectExpr("size(split(text, ' ')) AS n").where("n >= 2").count()
+    assert(rows.length == expectedDocs, s"${rows.length} scored of $expectedDocs eligible")
+    // nll of an observed bigram is ln(c1/c12) >= 0, so every mean is >= 0
+    rows.foreach(r => assert(r.getDouble(2) >= 0, s"negative nll: $r"))
+    // keep is the band test against the corpus mean (recomputed here in
+    // exact arithmetic; rows within 1e-9 of the boundary are skipped —
+    // the engine's decimal(28,10) path and this check can differ in the
+    // final ulp, and the DuckDB oracle already pins exact equality)
+    val mean = rows.map(r => BigDecimal(r.getDouble(2))).sum.toDouble /
+      rows.length
+    val thr = mean + 0.05
+    rows.filter(r => math.abs(r.getDouble(2) - thr) > 1e-9).foreach { r =>
+      val expectKeep = r.getDouble(2) <= thr
+      assert(r.getBoolean(3) == expectKeep, s"keep flag mismatch: $r (thr $thr)")
+    }
+    // the filter is non-degenerate on this corpus: both verdicts occur
+    assert(rows.exists(_.getBoolean(3)) && rows.exists(!_.getBoolean(3)),
+      "vacuous: all docs on one side of the threshold")
+  }
 }

@@ -44,4 +44,32 @@ class TemporalSpec extends SparkTestBase {
       }
     }
   }
+
+  test("q_sessionize: sessions partition events and split exactly at >30min gaps") {
+    val rows = q("q_sessionize").collect()
+    assert(rows.nonEmpty)
+    val totalEvents = rows.map(_.getLong(4)).sum
+    val ev = graft.engine.Tables.t(spark, sf, "events")
+    val nEvents = ev.count()
+    assert(totalEvents == nEvents, s"sessions cover $totalEvents of $nEvents events")
+    // independent recomputation per user from raw events (µs epoch;
+    // session tz is UTC so the ntz cast is value-preserving)
+    val byUser = ev
+      .selectExpr("user_id", "unix_micros(CAST(ts AS TIMESTAMP)) AS us", "event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    rows.groupBy(_.getLong(0)).foreach { case (user, rs) =>
+      val expected = byUser(user).sortBy(e => (e._2, e._3))
+        .foldLeft(List.empty[Long]) { (acc, e) =>
+          acc match {
+            case prev :: _ if e._2 - prev <= 30L * 60 * 1000000 => e._2 :: acc.tail
+            case _ => e._2 :: acc // new session (gap > 30 min or first)
+          }
+        }.length
+      assert(rs.length == expected, s"user $user: ${rs.length} sessions, expected $expected")
+      // session indices are 1..n and starts are increasing
+      val ordered = rs.sortBy(_.getLong(1))
+      assert(ordered.map(_.getLong(1)).sameElements(1L to expected))
+    }
+  }
 }
