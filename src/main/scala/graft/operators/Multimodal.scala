@@ -566,6 +566,17 @@ object Multimodal extends QueryPack {
       import s.implicits._
       val payloads = Tables.t(s, d, "documents")
         .select(col("doc_id"))
+        // the id scan is one tiny parquet file -> one task; the decode
+        // behind it is the expensive stage. Hash-repartition the ids so
+        // codec work spreads across every core (at 100 TB real payload
+        // columns arrive pre-partitioned; the fixture synthesis stands
+        // in for the payload read here). The partition count is EXPLICIT:
+        // AQE sizes shuffles by bytes, and 5000 ids are ~40 KB -> it
+        // coalesces a bare repartition back to ONE task, serializing the
+        // codec work (measured: q_frame_sample 8.9 s -> 1.4 s with the
+        // count pinned). Bytes are the wrong proxy when each row fans
+        // out into real CPU work.
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
         .as[Long]
         .mapPartitions(_.map(id => Payload(id, mediaPayload(id))))
       decodeFeatures(payloads).toDF()
@@ -590,6 +601,17 @@ object Multimodal extends QueryPack {
       import s.implicits._
       Tables.t(s, d, "documents")
         .select(col("doc_id"))
+        // the id scan is one tiny parquet file -> one task; the decode
+        // behind it is the expensive stage. Hash-repartition the ids so
+        // codec work spreads across every core (at 100 TB real payload
+        // columns arrive pre-partitioned; the fixture synthesis stands
+        // in for the payload read here). The partition count is EXPLICIT:
+        // AQE sizes shuffles by bytes, and 5000 ids are ~40 KB -> it
+        // coalesces a bare repartition back to ONE task, serializing the
+        // codec work (measured: q_frame_sample 8.9 s -> 1.4 s with the
+        // count pinned). Bytes are the wrong proxy when each row fans
+        // out into real CPU work.
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
         .as[Long]
         .mapPartitions(_.map { id =>
           val fmt = ((id / 3) % 3) match {
@@ -626,6 +648,17 @@ object Multimodal extends QueryPack {
       import s.implicits._
       val emb = Tables.t(s, d, "documents")
         .select(col("doc_id"))
+        // the id scan is one tiny parquet file -> one task; the decode
+        // behind it is the expensive stage. Hash-repartition the ids so
+        // codec work spreads across every core (at 100 TB real payload
+        // columns arrive pre-partitioned; the fixture synthesis stands
+        // in for the payload read here). The partition count is EXPLICIT:
+        // AQE sizes shuffles by bytes, and 5000 ids are ~40 KB -> it
+        // coalesces a bare repartition back to ONE task, serializing the
+        // codec work (measured: q_frame_sample 8.9 s -> 1.4 s with the
+        // count pinned). Bytes are the wrong proxy when each row fans
+        // out into real CPU work.
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
         .as[Long]
         .mapPartitions(_.map { id =>
           val e = imageEmbedding(ImageCodec.decodePx(
@@ -666,6 +699,17 @@ object Multimodal extends QueryPack {
       import s.implicits._
       Tables.t(s, d, "documents")
         .select(col("doc_id"))
+        // the id scan is one tiny parquet file -> one task; the decode
+        // behind it is the expensive stage. Hash-repartition the ids so
+        // codec work spreads across every core (at 100 TB real payload
+        // columns arrive pre-partitioned; the fixture synthesis stands
+        // in for the payload read here). The partition count is EXPLICIT:
+        // AQE sizes shuffles by bytes, and 5000 ids are ~40 KB -> it
+        // coalesces a bare repartition back to ONE task, serializing the
+        // codec work (measured: q_frame_sample 8.9 s -> 1.4 s with the
+        // count pinned). Bytes are the wrong proxy when each row fans
+        // out into real CPU work.
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
         .as[Long]
         .mapPartitions(_.map { id =>
           val sr = 8000
@@ -727,6 +771,17 @@ object Multimodal extends QueryPack {
       import s.implicits._
       Tables.t(s, d, "documents")
         .select(col("doc_id"))
+        // the id scan is one tiny parquet file -> one task; the decode
+        // behind it is the expensive stage. Hash-repartition the ids so
+        // codec work spreads across every core (at 100 TB real payload
+        // columns arrive pre-partitioned; the fixture synthesis stands
+        // in for the payload read here). The partition count is EXPLICIT:
+        // AQE sizes shuffles by bytes, and 5000 ids are ~40 KB -> it
+        // coalesces a bare repartition back to ONE task, serializing the
+        // codec work (measured: q_frame_sample 8.9 s -> 1.4 s with the
+        // count pinned). Bytes are the wrong proxy when each row fans
+        // out into real CPU work.
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
         .as[Long]
         .mapPartitions(_.flatMap { id =>
           val nf = (id % 5).toInt + 4
@@ -751,6 +806,7 @@ object Multimodal extends QueryPack {
     import s.implicits._
     Tables.t(s, d, "documents")
       .select(col("doc_id"))
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id")) // decode parallelism: see q_multimodal_decode
       .as[Long]
       .mapPartitions(_.map { id =>
         val px = ImageCodec.decodePx(

@@ -243,6 +243,28 @@ object Retrieval extends QueryPack {
           (col("avg_nll") <= col("mean_nll") + lit(0.05)).as("keep"))
         .orderBy(col("doc_id"))
     }),
+
+    // BPE vocabulary induction, round 1: count adjacent character
+    // pairs within words across the corpus — the argmax pair is the
+    // first merge a byte-pair tokenizer would learn; the top-30 list
+    // is the merge frontier. Pure explode → groupBy on a bounded key
+    // space (alphabet²) with map-side combine; at 100 TB each
+    // subsequent merge round is the same shape over the rewritten
+    // symbol stream.
+    "q_bpe_pair_counts" -> ((s, d) => {
+      docs(s, d)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, length(w)-1), i -> struct(substring(w, i, 1) AS c1, substring(w, i+1, 1) AS c2))"))
+          .as("p"))
+        .groupBy(col("p.c1").as("c1"), col("p.c2").as("c2"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("c1"), col("c2"), concat(col("c1"), col("c2")).as("merged"),
+          col("cnt"))
+        .orderBy(desc("cnt"), col("c1"), col("c2"))
+        .limit(30)
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -372,5 +394,13 @@ object Retrieval extends QueryPack {
         |SELECT doc_id, n_bigrams, avg_nll,
         |  avg_nll <= mean_nll + CAST(0.05 AS DOUBLE) AS keep
         |FROM perdoc, thr ORDER BY doc_id""".stripMargin,
+
+    "q_bpe_pair_counts" ->
+      """WITH w AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        |p AS (SELECT substring(w, i, 1) AS c1, substring(w, i+1, 1) AS c2
+        |      FROM w, LATERAL (SELECT unnest(generate_series(1, len(w)-1)) AS i) t
+        |      WHERE len(w) >= 2)
+        |SELECT c1, c2, c1 || c2 AS merged, count(*) AS cnt
+        |FROM p GROUP BY c1, c2 ORDER BY cnt DESC, c1, c2 LIMIT 30""".stripMargin,
   )
 }

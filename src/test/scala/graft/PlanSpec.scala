@@ -272,6 +272,35 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("partial_top_k_by"), p)
   }
 
+  test("q_sessionize windows partition by user — no global sort") {
+    val p = plan("q_sessionize")
+    assert(p.contains("windowspecdefinition(user_id"), p)
+  }
+
+  test("q_merge_upsert is one keyed full-outer join, no nested loop") {
+    val p = plan("q_merge_upsert")
+    assert(p.contains("FullOuter"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("q_perplexity_filter: LM and scoring aggregate map-side; mean is broadcast") {
+    val p = finalPlan("q_perplexity_filter")
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p)
+    assert(p.contains("Broadcast"), p)
+  }
+
+  test("q_skew_salted splits the wide shuffle across (key, salt)") {
+    val p = plan("q_skew_salted")
+    assert(p.contains("_salt"), p)
+    assert(p.split("Exchange").length >= 3, "expected two shuffle stages\n" + p)
+  }
+
+  test("q_audit_cms_hh: partial CMS aggregation, one-row sketch broadcast") {
+    val p = finalPlan("q_audit_cms_hh")
+    assert(p.contains("partial_count_min_sketch"), p)
+    assert(p.contains("Broadcast"), p)
+  }
+
   test("q_bm25 broadcasts the term postings side against the doc-length table") {
     // the dfc side is hint-broadcast, so a bare BroadcastHashJoin check
     // would pass vacuously — assert the doc_id join specifically

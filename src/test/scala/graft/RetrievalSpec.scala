@@ -110,4 +110,16 @@ class RetrievalSpec extends SparkTestBase {
     assert(rows.exists(_.getBoolean(3)) && rows.exists(!_.getBoolean(3)),
       "vacuous: all docs on one side of the threshold")
   }
+
+  test("q_bpe_pair_counts: single-char pairs, merged = c1||c2, descending evidence") {
+    val rows = q("q_bpe_pair_counts").collect()
+    assert(rows.length == 30)
+    rows.foreach { r =>
+      assert(r.getString(0).length == 1 && r.getString(1).length == 1, s"$r")
+      assert(r.getString(2) == r.getString(0) + r.getString(1))
+      assert(r.getLong(3) >= 1)
+    }
+    val counts = rows.map(_.getLong(3))
+    assert(counts.sameElements(counts.sorted.reverse))
+  }
 }
