@@ -359,6 +359,43 @@ object Relational extends QueryPack {
         .orderBy(col("k"))
     }),
 
+    // Robust statistics: exact median and MAD (median absolute
+    // deviation) per group via DISCRETE rank selection — the value AT
+    // rank ceil(n/2), not an interpolation, so there is no midpoint
+    // arithmetic to diverge between engines (ties broken by order
+    // key). Two passes by construction (MAD needs the median first);
+    // the 3-row median table broadcasts back, so the fact table
+    // shuffles twice on the same group key and never more. The robust
+    // pair is what outlier-heavy pipelines (price feeds, latency
+    // logs) use instead of mean/stddev.
+    "q_median_mad" -> ((s, d) => {
+      val o = Tables.t(s, d, "orders")
+        .select(col("o_orderstatus"), col("o_totalprice"), col("o_orderkey"))
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      val med = o
+        .withColumn("rn", row_number().over(w))
+        .withColumn("cnt",
+          count(lit(1)).over(Window.partitionBy(col("o_orderstatus"))))
+        .groupBy(col("o_orderstatus"))
+        .agg(min(when(col("rn") === ceil(col("cnt") * 0.5),
+          col("o_totalprice"))).as("med"))
+      val dev = o.join(broadcast(med), Seq("o_orderstatus"))
+        .withColumn("adev", abs(col("o_totalprice") - col("med")))
+      val w2 = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("adev"), col("o_orderkey"))
+      dev
+        .withColumn("rn", row_number().over(w2))
+        .withColumn("cnt",
+          count(lit(1)).over(Window.partitionBy(col("o_orderstatus"))))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          min(col("med")).as("median_price"),
+          min(when(col("rn") === ceil(col("cnt") * 0.5), col("adev")))
+            .as("mad"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // Hot-key aggregation through the two-phase salted path
     // (engine/Skew.saltedSumCount): l_returnflag has 3 values over the
     // whole fact table — the direct groupBy would route ~1/3 of all
@@ -591,6 +628,31 @@ object Relational extends QueryPack {
     "q_except" ->
       """SELECT c_custkey AS k FROM customer
         |EXCEPT SELECT o_custkey FROM orders ORDER BY k""".stripMargin,
+
+    "q_median_mad" ->
+      """WITH w AS (
+        |  SELECT o_orderstatus, o_totalprice, o_orderkey,
+        |    ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+        |      ORDER BY o_totalprice, o_orderkey) AS rn,
+        |    COUNT(*) OVER (PARTITION BY o_orderstatus) AS cnt
+        |  FROM orders),
+        |med AS (
+        |  SELECT o_orderstatus,
+        |    MIN(CASE WHEN rn = CEIL(cnt * 0.5) THEN o_totalprice END) AS med
+        |  FROM w GROUP BY o_orderstatus),
+        |dev AS (
+        |  SELECT o.o_orderstatus, med.med,
+        |    abs(o.o_totalprice - med.med) AS adev, o.o_orderkey
+        |  FROM orders o JOIN med ON o.o_orderstatus = med.o_orderstatus),
+        |w2 AS (
+        |  SELECT o_orderstatus, med, adev,
+        |    ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+        |      ORDER BY adev, o_orderkey) AS rn,
+        |    COUNT(*) OVER (PARTITION BY o_orderstatus) AS cnt
+        |  FROM dev)
+        |SELECT o_orderstatus, count(*) AS n, MIN(med) AS median_price,
+        |  MIN(CASE WHEN rn = CEIL(cnt * 0.5) THEN adev END) AS mad
+        |FROM w2 GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     // the DIRECT aggregation: the salted two-phase plan must match it
     // bit-for-bit (exact decimal partials are associative)

@@ -100,29 +100,64 @@ object Temporal extends QueryPack {
     // on both engines — no epoch truncation to diverge on sub-second
     // timestamps. Scale: both windows partition BY USER — parallel
     // across users, no global sort; state per key is one row.
-    "q_sessionize" -> ((s, d) => {
-      val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts"), col("event_id"))
-      val marked = events(s, d)
-        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
-        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
-        .withColumn("is_new",
-          when(col("prev_ts").isNull ||
-            col("ts") > col("prev_ts") + expr("INTERVAL 30 MINUTES"), 1)
-            .otherwise(0))
-      val ws = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts"), col("event_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      marked
-        .withColumn("session_idx", sum(col("is_new")).over(ws))
-        .groupBy(col("user_id"), col("session_idx"))
-        .agg(min(col("ts")).as("session_start"),
-          max(col("ts")).as("session_end"),
-          count(lit(1)).as("n_events"),
-          sum(Tables.dec2(col("value"))).cast("double").as("session_value"))
-        .orderBy(col("user_id"), col("session_idx"))
+    "q_sessionize" -> ((s, d) =>
+      sessions(s, d).orderBy(col("user_id"), col("session_idx"))),
+
+    // Two-sided interval-overlap join, bucketized: sessions (arbitrary
+    // [start,end] intervals) × incident hours (hours whose error count
+    // exceeds 1.5× the hourly mean). The scale rewrite: each interval
+    // EXPLODES into the hour buckets it covers, and candidates meet in
+    // a bucket EQUI-join — never the O(n·m) theta-join the overlap
+    // predicate literally states. The oracle runs that literal
+    // predicate (BETWEEN over the hour range) in DuckDB, certifying
+    // the rewrite. Bucket fan-out is bounded by interval length /
+    // bucket width (sessions are minutes-to-hours — a few buckets);
+    // at 100 TB pick the bucket so fan-out stays O(1) per interval.
+    "q_join_interval_overlap" -> ((s, d) => {
+      val errs = events(s, d).filter(col("event_type") === "error")
+        .groupBy(date_trunc("hour", col("ts")).cast("timestamp_ntz").as("h"))
+        .agg(count(lit(1)).as("n_err"))
+      val thr = errs.agg(
+        (sum(col("n_err")).cast("double") / count(lit(1)).cast("double"))
+          .as("mean_err"))
+      val inc = errs.crossJoin(broadcast(thr))
+        .filter(col("n_err").cast("double") > col("mean_err") * lit(1.5))
+        .select(col("h"), col("n_err"))
+      val covered = sessions(s, d).select(col("user_id"), col("session_idx"),
+          explode(expr(
+            """transform(sequence(date_trunc('hour', session_start),
+              |date_trunc('hour', session_end), interval 1 hour),
+              |x -> cast(x as timestamp_ntz))""".stripMargin))
+            .as("h"))
+      covered.join(inc, Seq("h"))
+        .groupBy(col("h"), col("n_err"))
+        .agg(count(lit(1)).as("n_sessions"))
+        .orderBy(col("h"))
     }),
   )
+
+  /** Shared session builder (30-minute gap rule, per-event lineage). */
+  private def sessions(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val marked = events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("is_new",
+        when(col("prev_ts").isNull ||
+          col("ts") > col("prev_ts") + expr("INTERVAL 30 MINUTES"), 1)
+          .otherwise(0))
+    val ws = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    marked
+      .withColumn("session_idx", sum(col("is_new")).over(ws))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        sum(Tables.dec2(col("value"))).cast("double").as("session_value"))
+  }
 
   val oracle: Map[String, String] = Map(
 
@@ -188,5 +223,40 @@ object Temporal extends QueryPack {
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
         |FROM x GROUP BY user_id, session_idx
         |ORDER BY user_id, session_idx""".stripMargin,
+
+    // the literal two-sided overlap predicate (theta-join) — certifies
+    // the engine's explode-to-buckets + equi-join rewrite
+    "q_join_interval_overlap" ->
+      """WITH m AS (
+        |  SELECT user_id, ts, event_id,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS prev_ts
+        |  FROM events),
+        |f AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN prev_ts IS NULL
+        |           OR ts > prev_ts + INTERVAL 30 MINUTE THEN 1
+        |         ELSE 0 END AS is_new
+        |  FROM m),
+        |x AS (
+        |  SELECT user_id, ts,
+        |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS session_idx
+        |  FROM f),
+        |sess AS (SELECT user_id, session_idx, min(ts) AS session_start,
+        |                max(ts) AS session_end
+        |         FROM x GROUP BY 1, 2),
+        |errs AS (SELECT date_trunc('hour', ts) AS h, count(*) AS n_err
+        |         FROM events WHERE event_type = 'error' GROUP BY 1),
+        |thr AS (SELECT CAST(sum(n_err) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |          AS mean_err FROM errs),
+        |inc AS (SELECT h, n_err FROM errs, thr
+        |        WHERE CAST(n_err AS DOUBLE) > mean_err * CAST(1.5 AS DOUBLE))
+        |SELECT inc.h AS h, inc.n_err AS n_err, count(*) AS n_sessions
+        |FROM inc JOIN sess
+        |  ON inc.h BETWEEN date_trunc('hour', sess.session_start)
+        |               AND date_trunc('hour', sess.session_end)
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
   )
 }

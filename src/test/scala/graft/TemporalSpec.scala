@@ -72,4 +72,25 @@ class TemporalSpec extends SparkTestBase {
       assert(ordered.map(_.getLong(1)).sameElements(1L to expected))
     }
   }
+
+  test("q_join_interval_overlap: bucket equi-join rewrite matches the literal theta-join") {
+    val rows = q("q_join_interval_overlap").collect()
+    assert(rows.nonEmpty, "vacuous: no incident hours at this SF")
+    // recompute with the literal overlap predicate driver-side
+    val sess = q("q_sessionize").collect().map { r =>
+      def hourMs(i: Int) = {
+        val t = r.getAs[java.time.LocalDateTime](i)
+        t.withMinute(0).withSecond(0).withNano(0)
+      }
+      (hourMs(2), hourMs(3))
+    }
+    rows.foreach { r =>
+      val h = r.getAs[java.time.LocalDateTime](0)
+      val expected = sess.count { case (s0, s1) =>
+        !h.isBefore(s0) && !h.isAfter(s1)
+      }
+      assert(r.getLong(2) == expected,
+        s"hour $h: ${r.getLong(2)} sessions vs literal $expected")
+    }
+  }
 }
