@@ -26,6 +26,20 @@ object Tables {
     else raw
   }
 
+  /** Spread a small-file scan across the cluster before CPU-heavy
+    * per-row fan-out (tokenize / explode / shingle / codec work).
+    * Testdata ships ONE parquet row group per table, so a scan stage
+    * gets one task no matter the split config and everything before
+    * the first exchange serializes on a single core. The partition
+    * count is EXPLICIT because AQE sizes shuffles by bytes and will
+    * coalesce a kilobytes-of-text shuffle back to one task even
+    * though each row fans out into real CPU work (measured on the
+    * codec queries: 8.9 s -> 1.4 s). At 100 TB inputs arrive
+    * many-file and pre-split, but the guard keeps pathological
+    * layouts (one giant unsplittable file) from serializing a stage. */
+  def spread(df: DataFrame, key: String): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism, col(key))
+
   /** Exact decimal views of double columns: sums over these are
     * order-independent (exact), so parallel aggregation is deterministic
     * and bit-matches DuckDB once cast back to double. */

@@ -98,7 +98,7 @@ object Audits extends QueryPack {
     // the driver passes only at 100% recall (verified at every
     // shipped SF).
     "q_audit_minhash_recall" -> ((s, d) => {
-      val bare = Tables.t(s, d, "documents")
+      val bare = Tables.spread(Tables.t(s, d, "documents"), "doc_id")
         .select(col("doc_id"), split(lower(col("text")), " ").as("toks"))
         .filter(size(col("toks")) >= 3)
         .select(col("doc_id"), explode(array_distinct(expr(

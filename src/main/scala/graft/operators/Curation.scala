@@ -37,6 +37,12 @@ import graft.engine.{QueryPack, Tables}
   */
 object Curation extends QueryPack {
 
+  // NOT spread (measured): these consumers aggregate into SMALL key
+  // spaces (vocab, doc ids) — 32-way pre-partitioning multiplies the
+  // partial-agg outputs per key and the shuffle rows with them
+  // (q_perplexity_filter 1.5 s -> 2.6 s when docs were spread). The
+  // self-join/shingle family in Pipeline/Audits, whose keys are
+  // corpus-sized, IS spread — see Tables.spread.
   private def docs(s: SparkSession, d: String): DataFrame =
     Tables.t(s, d, "documents")
 

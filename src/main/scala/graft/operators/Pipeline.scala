@@ -43,7 +43,9 @@ object Pipeline extends QueryPack {
 
   /** Distinct lowercase whitespace tokens per doc. */
   private def tokens(docs: DataFrame, cap: Option[Int]): DataFrame = {
-    val base = cap.map(c => docs.filter(col("doc_id") < c)).getOrElse(docs)
+    val capped = cap.map(c => docs.filter(col("doc_id") < c)).getOrElse(docs)
+    // spread: see Tables.spread — the explode below is the CPU stage
+    val base = Tables.spread(capped, "doc_id")
     base.select(col("doc_id"),
         explode(array_distinct(split(lower(col("text")), " "))).as("token"))
       .filter(col("token") =!= "")

@@ -44,6 +44,8 @@ object Retrieval extends QueryPack {
   private val b = 0.75
   private val bm25Terms = Seq("table", "spark", "merge")
 
+  // NOT spread — same small-vocab partial-agg reasoning as
+  // Curation.docs (measured regression when spread)
   private def docs(s: SparkSession, d: String): DataFrame =
     Tables.t(s, d, "documents")
 
