@@ -361,38 +361,44 @@ object Relational extends QueryPack {
 
     // Robust statistics: exact median and MAD (median absolute
     // deviation) per group via DISCRETE rank selection — the value AT
-    // rank ceil(n/2), not an interpolation, so there is no midpoint
-    // arithmetic to diverge between engines (ties broken by order
-    // key). Two passes by construction (MAD needs the median first);
-    // the 3-row median table broadcasts back, so the fact table
-    // shuffles twice on the same group key and never more. The robust
-    // pair is what outlier-heavy pipelines (price feeds, latency
-    // logs) use instead of mean/stddev.
+    // rank ceil(n/2), never an interpolation, so there is no midpoint
+    // arithmetic to diverge between engines. Computed in HISTOGRAM
+    // form: aggregate to (group, value, count) with map-side combine
+    // first, then pick the rank from a cumulative sum over DISTINCT
+    // values — the per-group ordered pass touches the compressed
+    // histogram, not the raw rows. That is the scalable exact-median
+    // shape: a raw row_number() over 3 status groups would sort the
+    // whole fact table on 3 reducers; the histogram bounds the sorted
+    // data by value cardinality. (The value at rank r is identical
+    // either way — equal values are interchangeable at a rank
+    // boundary.) Two passes by construction (MAD needs the median
+    // first); the 3-row median table broadcasts back.
     "q_median_mad" -> ((s, d) => {
       val o = Tables.t(s, d, "orders")
-        .select(col("o_orderstatus"), col("o_totalprice"), col("o_orderkey"))
-      val w = Window.partitionBy(col("o_orderstatus"))
-        .orderBy(col("o_totalprice"), col("o_orderkey"))
-      val med = o
-        .withColumn("rn", row_number().over(w))
-        .withColumn("cnt",
-          count(lit(1)).over(Window.partitionBy(col("o_orderstatus"))))
-        .groupBy(col("o_orderstatus"))
-        .agg(min(when(col("rn") === ceil(col("cnt") * 0.5),
-          col("o_totalprice"))).as("med"))
-      val dev = o.join(broadcast(med), Seq("o_orderstatus"))
-        .withColumn("adev", abs(col("o_totalprice") - col("med")))
-      val w2 = Window.partitionBy(col("o_orderstatus"))
-        .orderBy(col("adev"), col("o_orderkey"))
-      dev
-        .withColumn("rn", row_number().over(w2))
-        .withColumn("cnt",
-          count(lit(1)).over(Window.partitionBy(col("o_orderstatus"))))
-        .groupBy(col("o_orderstatus"))
-        .agg(count(lit(1)).as("n"),
-          min(col("med")).as("median_price"),
-          min(when(col("rn") === ceil(col("cnt") * 0.5), col("adev")))
-            .as("mad"))
+        .select(col("o_orderstatus"), col("o_totalprice"))
+      def rankPick(df: DataFrame, valCol: String, out: String): DataFrame = {
+        val hist = df.groupBy(col("o_orderstatus"), col(valCol))
+          .agg(count(lit(1)).as("c"))
+        val wc = Window.partitionBy(col("o_orderstatus")).orderBy(col(valCol))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wn = Window.partitionBy(col("o_orderstatus"))
+        hist
+          .withColumn("cum", sum(col("c")).over(wc))
+          .withColumn("n", sum(col("c")).over(wn))
+          // first value whose cumulative count reaches rank ceil(n/2)
+          .filter(col("cum") >= ceil(col("n") * 0.5) &&
+            col("cum") - col("c") < ceil(col("n") * 0.5))
+          .select(col("o_orderstatus"), col(valCol).as(out), col("n"))
+      }
+      val med = rankPick(o, "o_totalprice", "med")
+      val dev = o
+        .join(broadcast(med.select(col("o_orderstatus"), col("med"))),
+          Seq("o_orderstatus"))
+        .select(col("o_orderstatus"),
+          abs(col("o_totalprice") - col("med")).as("adev"))
+      med.select(col("o_orderstatus"), col("n"), col("med").as("median_price"))
+        .join(rankPick(dev, "adev", "mad")
+          .select(col("o_orderstatus"), col("mad")), Seq("o_orderstatus"))
         .orderBy(col("o_orderstatus"))
     }),
 
