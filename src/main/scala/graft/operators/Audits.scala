@@ -128,6 +128,38 @@ object Audits extends QueryPack {
         .orderBy(col("da"), col("db"))
     }),
 
+    // HLL distinct-count audit: the exact per-group cardinality is the
+    // oracled value; within_tol pins |approx − exact| ≤ 5%·exact —
+    // 2.5σ above the rsd=0.02 sketch setting, and a FIXED property of
+    // this deterministic data (verified at every shipped SF), so the
+    // driver's hash check witnesses the sketch's accuracy claim.
+    "q_audit_approx_distinct" -> ((s, d) => {
+      val approx = Relational.queries("q_agg_approx_distinct")(s, d)
+        .select(col("o_orderstatus"), col("approx_cust"))
+      Tables.t(s, d, "orders").groupBy(col("o_orderstatus"))
+        .agg(countDistinct(col("o_custkey")).as("n_exact"))
+        .join(approx, Seq("o_orderstatus"))
+        .select(col("o_orderstatus"), col("n_exact"),
+          (abs(col("approx_cust") - col("n_exact")).cast("double") <=
+            lit(0.05) * col("n_exact").cast("double")).as("within_tol"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    // KLL/GK percentile-sketch audit, same shape: exact discrete
+    // p50/p90 oracled, approx-within-5% pinned TRUE (accuracy 10000 →
+    // rank error ≤ n/10⁴; prices are dense, 5% is far above it).
+    "q_audit_approx_percentile" -> ((s, d) => {
+      val approx = Relational.queries("q_agg_approx_percentile")(s, d)
+        .select(col("o_orderstatus"), col("ap50"), col("ap90"))
+      Relational.queries("q_agg_percentile")(s, d)
+        .select(col("o_orderstatus"), col("p50"), col("p90"))
+        .join(approx, Seq("o_orderstatus"))
+        .select(col("o_orderstatus"), col("p50"), col("p90"),
+          (abs(col("ap50") - col("p50")) <= lit(0.05) * col("p50")).as("p50_ok"),
+          (abs(col("ap90") - col("p90")) <= lit(0.05) * col("p90")).as("p90_ok"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // Heavy hitters through a count-min sketch: the exact top-20
     // tokens (oracled list + counts) probed against a CMS built over
     // the full token stream. CMS can only OVERestimate, so
@@ -199,6 +231,24 @@ object Audits extends QueryPack {
         |FROM inter JOIN cnt ca ON da = ca.doc_id JOIN cnt cb ON db = cb.doc_id
         |WHERE inter_n * 10 >= (ca.n + cb.n - inter_n) * 9
         |ORDER BY da, db""".stripMargin,
+
+    "q_audit_approx_distinct" ->
+      """SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_exact,
+        |  TRUE AS within_tol
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_audit_approx_percentile" ->
+      """WITH w AS (
+        |  SELECT o_orderstatus, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+        |      ORDER BY o_totalprice, o_orderkey) AS rn,
+        |    COUNT(*) OVER (PARTITION BY o_orderstatus) AS cnt
+        |  FROM orders)
+        |SELECT o_orderstatus,
+        |  MIN(CASE WHEN rn = CEIL(cnt * 0.5) THEN o_totalprice END) AS p50,
+        |  MIN(CASE WHEN rn = CEIL(cnt * 0.9) THEN o_totalprice END) AS p90,
+        |  TRUE AS p50_ok, TRUE AS p90_ok
+        |FROM w GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     // exact top-20 token counts; est_ge_exact pinned TRUE (CMS never
     // underestimates) — the engine side computes the real estimate

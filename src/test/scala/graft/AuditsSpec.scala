@@ -47,6 +47,18 @@ class AuditsSpec extends SparkTestBase {
     assert(embed == planted, s"embedding recall $embed of $planted planted pairs")
   }
 
+  test("approx sketch audits: every tolerance flag true, non-vacuous groups") {
+    val d = q("q_audit_approx_distinct").collect()
+    assert(d.length == 3)
+    d.foreach(r => { assert(r.getLong(1) > 0); assert(r.getBoolean(2), s"$r") })
+    val p = q("q_audit_approx_percentile").collect()
+    assert(p.length == 3)
+    p.foreach { r =>
+      assert(r.getDouble(1) > 0 && r.getDouble(2) >= r.getDouble(1))
+      assert(r.getBoolean(3) && r.getBoolean(4), s"$r")
+    }
+  }
+
   test("cms heavy hitters: 20 rows, estimates never undercount, and the " +
       "estimate is within the CMS error bound on this corpus") {
     val rows = q("q_audit_cms_hh").collect()
