@@ -383,6 +383,43 @@ object ImageCodec {
     * change shifts the global mean and can flip every marginal bit
     * (measured: planted 2×2-block edits cost ≤4 dHash bits but up to
     * 7+ aHash bits). */
+  /** Deterministic area-average resize to tw×th, all-integer
+    * accumulation (no java.awt rescale ops — those go through float
+    * filtering whose rounding is JVM-version-dependent). Each target
+    * cell averages the source pixels mapping onto it (same cell
+    * geometry as the dHash pooling). Returns packed RGB rows, or null
+    * for undecodable payloads. */
+  def resizeRgb(payload: Array[Byte], tw: Int, th: Int): Array[Int] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      catch { case scala.util.control.NonFatal(_) => null }
+    if (img == null || img.getWidth == 0 || img.getHeight == 0) return null
+    val (w, h) = (img.getWidth, img.getHeight)
+    val sums = new Array[Long](tw * th * 3)
+    val counts = new Array[Long](tw * th)
+    var y = 0
+    while (y < h) {
+      val cy = math.min(th - 1, y * th / h)
+      var x = 0
+      while (x < w) {
+        val cell = cy * tw + math.min(tw - 1, x * tw / w)
+        val rgb = img.getRGB(x, y)
+        sums(cell * 3) += (rgb >> 16) & 0xff
+        sums(cell * 3 + 1) += (rgb >> 8) & 0xff
+        sums(cell * 3 + 2) += rgb & 0xff
+        counts(cell) += 1
+        x += 1
+      }
+      y += 1
+    }
+    Array.tabulate(tw * th) { i =>
+      val n = math.max(1L, counts(i))
+      (((sums(i * 3) / n).toInt) << 16) |
+        (((sums(i * 3 + 1) / n).toInt) << 8) |
+        (sums(i * 3 + 2) / n).toInt
+    }
+  }
+
   def decodePx(payload: Array[Byte]): Px = {
     val img =
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
@@ -794,6 +831,37 @@ object Multimodal extends QueryPack {
         .select(col("doc_id"), col("n_frames"), col("frame_idx"),
           round(col("mean_gray"), 4).as("mean_gray"))
         .orderBy(col("doc_id"), col("frame_idx"))
+    }),
+
+    // Thumbnail resize (the preprocessing step before a vision
+    // encoder): decode the real PNG payload, area-average down to 4×4
+    // (all-integer arithmetic — bit-deterministic across JVMs, unlike
+    // java.awt's float rescale filters), emit the packed thumbnail, a
+    // gray mean, and an FNV checksum of the pixel data. Per-partition
+    // map work like the other decode stages (same pinned-count
+    // repartition). Rows-only; resize semantics (solid colors,
+    // quadrant geometry, determinism) are ground-truthed in
+    // MultimodalSpec.
+    "q_image_resize" -> ((s, d) => {
+      import s.implicits._
+      Tables.t(s, d, "documents")
+        .select(col("doc_id"))
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .as[Long]
+        .mapPartitions(_.map { id =>
+          val px = ImageCodec.resizeRgb(
+            ImageCodec.synthPng(groupSeed(id), (id % 3).toInt * 9 + 1), 4, 4)
+          val bytes = px.flatMap(p => Array(
+            ((p >> 16) & 0xff).toByte, ((p >> 8) & 0xff).toByte, (p & 0xff).toByte))
+          val gray = px.map(p =>
+            (299L * ((p >> 16) & 0xff) + 587L * ((p >> 8) & 0xff) +
+              114L * (p & 0xff)) / 1000L).sum.toDouble / px.length
+          (id, px.length, gray, ImageCodec.fnv1a(bytes))
+        })
+        .toDF("doc_id", "n_cells", "thumb_gray", "thumb_fnv")
+        .select(col("doc_id"), col("n_cells"),
+          round(col("thumb_gray"), 4).as("thumb_gray"), col("thumb_fnv"))
+        .orderBy(col("doc_id"))
     })
   )
 

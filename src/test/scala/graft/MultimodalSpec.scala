@@ -300,6 +300,45 @@ class MultimodalSpec extends SparkTestBase {
     assert(operators.ImageCodec.decodeFrameMeans("junk".getBytes).isEmpty)
   }
 
+  test("area-average resize: solid color preserved, quadrant geometry, deterministic") {
+    // solid-color 16x16 PNG -> every 2x2 cell is exactly that color
+    val img = new java.awt.image.BufferedImage(16, 16,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 16; x <- 0 until 16) img.setRGB(x, y, 0x336699)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val solid = operators.ImageCodec.resizeRgb(bos.toByteArray, 2, 2)
+    assert(solid.toSeq == Seq(0x336699, 0x336699, 0x336699, 0x336699))
+    // quadrant image: each 8x8 quadrant its own color -> 2x2 resize
+    // recovers the quadrant colors in row-major order
+    val q = new java.awt.image.BufferedImage(16, 16,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val colors = Seq(0xff0000, 0x00ff00, 0x0000ff, 0xffffff)
+    for (y <- 0 until 16; x <- 0 until 16)
+      q.setRGB(x, y, colors((y / 8) * 2 + (x / 8)))
+    val bos2 = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(q, "png", bos2)
+    assert(operators.ImageCodec.resizeRgb(bos2.toByteArray, 2, 2).toSeq == colors)
+    // junk rejected
+    assert(operators.ImageCodec.resizeRgb("junk".getBytes, 2, 2) == null)
+  }
+
+  test("q_image_resize: one thumbnail per doc, shared-seed groups share thumbnails") {
+    val rows = q("q_image_resize").collect()
+    val total = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(rows.length.toLong == total)
+    rows.foreach { r =>
+      assert(r.getInt(1) == 16)
+      assert(r.getDouble(2) > 0 && r.getDouble(2) < 255)
+    }
+    // same doc_id/3 group + same variant formula -> near-identical
+    // thumbnails; at minimum the group's gray means must be close
+    rows.groupBy(r => r.getLong(0) / 3).foreach { case (g, rs) =>
+      val grays = rs.map(_.getDouble(2))
+      assert(grays.max - grays.min < 3.0, s"group $g spread ${grays.max - grays.min}")
+    }
+  }
+
   test("q_frame_sample: stride-2 sampling of every clip, counts from the formula") {
     val rows = q("q_frame_sample").collect()
     val ids = spark.read.parquet(s"$sf/documents.parquet")

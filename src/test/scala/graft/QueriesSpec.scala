@@ -27,7 +27,7 @@ class QueriesSpec extends SparkTestBase {
       "q_similarity_ivf", "q_multimodal_decode", "q_dedup_cluster",
       "q_decontaminate_bloom", "q_graph_pagerank",
       "q_image_features", "q_image_dedup_phash", "q_audio_features",
-      "q_embed_real", "q_frame_sample"))
+      "q_embed_real", "q_frame_sample", "q_image_resize"))
   }
 
   test("determinism contract: every oracle imposes a total ORDER BY") {
