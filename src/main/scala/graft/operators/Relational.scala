@@ -390,7 +390,10 @@ object Relational extends QueryPack {
             col("cum") - col("c") < ceil(col("n") * 0.5))
           .select(col("o_orderstatus"), col(valCol).as(out), col("n"))
       }
-      val med = rankPick(o, "o_totalprice", "med")
+      // 3-row result consumed twice (deviation join + final output) —
+      // without the cache the whole first histogram+window subtree
+      // executes twice (same lesson as the IVF centroid cache)
+      val med = rankPick(o, "o_totalprice", "med").cache()
       val dev = o
         .join(broadcast(med.select(col("o_orderstatus"), col("med"))),
           Seq("o_orderstatus"))
