@@ -226,7 +226,13 @@ object Retrieval extends QueryPack {
           "transform(sequence(0, size(w)-2), i -> struct(w[i] AS w1, w[i+1] AS w2))"))
           .as("p"))
         .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+        // consumed by the LM build AND the scoring join; MEMORY_AND_DISK
+        // cache collapses the double execution (1.7 -> 0.9 s measured).
+        // At 100 TB the same dedup is a checkpointed temp table — the
+        // principle (never re-explode the corpus) is the same.
+        .cache()
       val lm = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+        .cache() // consumed by ctx and the prob projection
       val ctx = lm.groupBy(col("w1")).agg(sum(col("c12")).cast("long").as("c1"))
       val probs = lm.join(ctx, Seq("w1"))
         .select(col("w1"), col("w2"),
@@ -237,7 +243,7 @@ object Retrieval extends QueryPack {
         .agg(count(lit(1)).as("n_bigrams"),
           round(sum(col("nll")).cast("double") /
             count(lit(1)).cast("double"), 6).as("avg_nll"))
-      val thr = perdoc.agg(
+      val thr = perdoc.cache().agg(
         (sum(col("avg_nll").cast("decimal(28,10)")).cast("double") /
           count(lit(1)).cast("double")).as("mean_nll"))
       perdoc.crossJoin(broadcast(thr))
