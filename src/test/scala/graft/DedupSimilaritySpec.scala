@@ -179,6 +179,21 @@ class DedupSimilaritySpec extends SparkTestBase {
       val exactBest = exact.collect { case ((q, _), c) if q == qid => c }.max
       assert(rows.map(_.getDouble(2)).max <= exactBest + 1e-15)
     }
+    // Recall floor, stated honestly: the synthetic embeddings are
+    // UNIFORM-RANDOM — the known worst case for sign-LSH, where
+    // neighbor cosines sit barely above the noise floor and buckets
+    // don't concentrate them (measured recall@3 ≈ 33–40% at every
+    // shipped SF; clustered real-world corpora recall far higher, and
+    // the PLANTED near-identical pairs — the case dedup actually
+    // needs — are recovered at 100% by the embedding/IVF paths, pinned
+    // in their own specs). The floor catches bucketing regressions
+    // without pretending the worst case is better than it is.
+    val exactTop = exact.keys.groupBy(_._1).map { case (qid, ks) =>
+      qid -> ks.map(_._2).toSet }
+    val annTop = perQ.map { case (qid, rows) => qid -> rows.map(_.getLong(1)).toSet }
+    val tot = exactTop.values.map(_.size).sum
+    val hit = exactTop.map { case (qid, s) => (s & annTop.getOrElse(qid, Set())).size }.sum
+    assert(hit.toDouble / tot >= 0.25, s"ANN recall@3 collapsed: $hit/$tot")
   }
 
   test("IVF ANN: exact cosines, deterministic across runs, bounded by brute force") {
