@@ -59,6 +59,24 @@ object ScaleStress {
         .write.mode("overwrite").parquet(s"$scaledDir/documents.parquet")
     }
 
+    // events ×N with disjoint user/event ids per replica (timestamps
+    // unchanged): per-user session/window structure replicates exactly,
+    // so the ideal sessionization/SCD2 workload is N× the base; hourly
+    // totals grow N× in lockstep, so relative thresholds
+    // (q_join_interval_overlap's 1.5×-mean) select the same hours.
+    if (!new java.io.File(scaledDir, "events.parquet").exists()) {
+      val ev = graft.engine.Tables.t(spark, baseDir, "events")
+      val maxU = ev.agg(max(col("user_id"))).head().getLong(0) + 1
+      val maxE = ev.agg(max(col("event_id"))).head().getLong(0) + 1
+      val reps = (0 until factor).map { r =>
+        ev.select((col("event_id") + lit(r * maxE)).as("event_id"),
+          col("ts"), (col("user_id") + lit(r * maxU)).as("user_id"),
+          col("event_type"), col("value"), col("props"))
+      }
+      reps.reduce(_ unionByName _).repartition(cpus.toInt)
+        .write.mode("overwrite").parquet(s"$scaledDir/events.parquet")
+    }
+
     val shuffleBytes = new AtomicLong()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onStageCompleted(e: SparkListenerStageCompleted): Unit =
