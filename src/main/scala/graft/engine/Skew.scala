@@ -20,11 +20,17 @@ import org.apache.spark.sql.functions._
 object Skew {
 
   /** Two-phase salted sum of `valCol` (exact decimal, emitted double)
-    * plus row count, grouped by `keyCol`. */
+    * plus row count, grouped by `keyCol`. The salt is a DETERMINISTIC
+    * hash of the whole row — never monotonically_increasing_id, whose
+    * value changes when a map task is recomputed after a shuffle-fetch
+    * failure, re-routing rows to different reduce partitions than the
+    * copies already fetched (the SPARK-23207 double-count/drop class).
+    * Identical rows sharing a salt is harmless: the salt only spreads
+    * the hot key, it carries no semantics. */
   def saltedSumCount(df: DataFrame, keyCol: String, valCol: String,
       buckets: Int = 32): DataFrame = {
     val salted = df.withColumn("_salt",
-      pmod(hash(monotonically_increasing_id()), lit(buckets)))
+      pmod(hash(df.columns.map(col): _*), lit(buckets)))
     salted
       .groupBy(col(keyCol), col("_salt"))
       .agg(sum(Tables.dec2(col(valCol))).as("_psum"),

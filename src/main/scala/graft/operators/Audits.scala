@@ -174,6 +174,8 @@ object Audits extends QueryPack {
       val toks = Tables.t(s, d, "documents")
         .select(explode(split(col("text"), " ")).as("tok"))
         .filter(col("tok") =!= "")
+        .cache() // two consumers (exact histogram + CMS aggregate) —
+                 // lazy reuse would re-explode the corpus
       val exact = toks.groupBy(col("tok")).agg(count(lit(1)).as("c_exact"))
         .orderBy(desc("c_exact"), col("tok")).limit(20)
       val cms = toks.agg(

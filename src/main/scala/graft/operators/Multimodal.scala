@@ -395,6 +395,12 @@ object ImageCodec {
       catch { case scala.util.control.NonFatal(_) => null }
     if (img == null || img.getWidth == 0 || img.getHeight == 0) return null
     val (w, h) = (img.getWidth, img.getHeight)
+    // downsample only: an upscale would leave target cells with zero
+    // source pixels, which the average below would silently render as
+    // black — fail loudly instead (same posture as synthImage's
+    // require on the encoder)
+    require(tw <= w && th <= h,
+      s"resizeRgb is a downsample: target ${tw}x$th exceeds source ${w}x$h")
     val sums = new Array[Long](tw * th * 3)
     val counts = new Array[Long](tw * th)
     var y = 0
@@ -603,17 +609,11 @@ object Multimodal extends QueryPack {
       import s.implicits._
       val payloads = Tables.t(s, d, "documents")
         .select(col("doc_id"))
-        // the id scan is one tiny parquet file -> one task; the decode
-        // behind it is the expensive stage. Hash-repartition the ids so
-        // codec work spreads across every core (at 100 TB real payload
-        // columns arrive pre-partitioned; the fixture synthesis stands
-        // in for the payload read here). The partition count is EXPLICIT:
-        // AQE sizes shuffles by bytes, and 5000 ids are ~40 KB -> it
-        // coalesces a bare repartition back to ONE task, serializing the
-        // codec work (measured: q_frame_sample 8.9 s -> 1.4 s with the
-        // count pinned). Bytes are the wrong proxy when each row fans
-        // out into real CPU work.
-        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        // Tables.spread: the id scan is one task and the codec behind
+        // it is the expensive stage — spread before the fan-out
+        // (measured: q_frame_sample 8.9 s -> 1.4 s; rationale at the
+        // helper)
+        .transform(Tables.spread(_, "doc_id"))
         .as[Long]
         .mapPartitions(_.map(id => Payload(id, mediaPayload(id))))
       decodeFeatures(payloads).toDF()
@@ -638,17 +638,7 @@ object Multimodal extends QueryPack {
       import s.implicits._
       Tables.t(s, d, "documents")
         .select(col("doc_id"))
-        // the id scan is one tiny parquet file -> one task; the decode
-        // behind it is the expensive stage. Hash-repartition the ids so
-        // codec work spreads across every core (at 100 TB real payload
-        // columns arrive pre-partitioned; the fixture synthesis stands
-        // in for the payload read here). The partition count is EXPLICIT:
-        // AQE sizes shuffles by bytes, and 5000 ids are ~40 KB -> it
-        // coalesces a bare repartition back to ONE task, serializing the
-        // codec work (measured: q_frame_sample 8.9 s -> 1.4 s with the
-        // count pinned). Bytes are the wrong proxy when each row fans
-        // out into real CPU work.
-        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .transform(Tables.spread(_, "doc_id")) // codec parallelism: see Tables.spread
         .as[Long]
         .mapPartitions(_.map { id =>
           val fmt = ((id / 3) % 3) match {
@@ -685,17 +675,7 @@ object Multimodal extends QueryPack {
       import s.implicits._
       val emb = Tables.t(s, d, "documents")
         .select(col("doc_id"))
-        // the id scan is one tiny parquet file -> one task; the decode
-        // behind it is the expensive stage. Hash-repartition the ids so
-        // codec work spreads across every core (at 100 TB real payload
-        // columns arrive pre-partitioned; the fixture synthesis stands
-        // in for the payload read here). The partition count is EXPLICIT:
-        // AQE sizes shuffles by bytes, and 5000 ids are ~40 KB -> it
-        // coalesces a bare repartition back to ONE task, serializing the
-        // codec work (measured: q_frame_sample 8.9 s -> 1.4 s with the
-        // count pinned). Bytes are the wrong proxy when each row fans
-        // out into real CPU work.
-        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .transform(Tables.spread(_, "doc_id")) // codec parallelism: see Tables.spread
         .as[Long]
         .mapPartitions(_.map { id =>
           val e = imageEmbedding(ImageCodec.decodePx(
@@ -736,17 +716,7 @@ object Multimodal extends QueryPack {
       import s.implicits._
       Tables.t(s, d, "documents")
         .select(col("doc_id"))
-        // the id scan is one tiny parquet file -> one task; the decode
-        // behind it is the expensive stage. Hash-repartition the ids so
-        // codec work spreads across every core (at 100 TB real payload
-        // columns arrive pre-partitioned; the fixture synthesis stands
-        // in for the payload read here). The partition count is EXPLICIT:
-        // AQE sizes shuffles by bytes, and 5000 ids are ~40 KB -> it
-        // coalesces a bare repartition back to ONE task, serializing the
-        // codec work (measured: q_frame_sample 8.9 s -> 1.4 s with the
-        // count pinned). Bytes are the wrong proxy when each row fans
-        // out into real CPU work.
-        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .transform(Tables.spread(_, "doc_id")) // codec parallelism: see Tables.spread
         .as[Long]
         .mapPartitions(_.map { id =>
           val sr = 8000
@@ -808,17 +778,7 @@ object Multimodal extends QueryPack {
       import s.implicits._
       Tables.t(s, d, "documents")
         .select(col("doc_id"))
-        // the id scan is one tiny parquet file -> one task; the decode
-        // behind it is the expensive stage. Hash-repartition the ids so
-        // codec work spreads across every core (at 100 TB real payload
-        // columns arrive pre-partitioned; the fixture synthesis stands
-        // in for the payload read here). The partition count is EXPLICIT:
-        // AQE sizes shuffles by bytes, and 5000 ids are ~40 KB -> it
-        // coalesces a bare repartition back to ONE task, serializing the
-        // codec work (measured: q_frame_sample 8.9 s -> 1.4 s with the
-        // count pinned). Bytes are the wrong proxy when each row fans
-        // out into real CPU work.
-        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .transform(Tables.spread(_, "doc_id")) // codec parallelism: see Tables.spread
         .as[Long]
         .mapPartitions(_.flatMap { id =>
           val nf = (id % 5).toInt + 4
@@ -846,7 +806,7 @@ object Multimodal extends QueryPack {
       import s.implicits._
       Tables.t(s, d, "documents")
         .select(col("doc_id"))
-        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .transform(Tables.spread(_, "doc_id")) // codec parallelism: see Tables.spread
         .as[Long]
         .mapPartitions(_.map { id =>
           val px = ImageCodec.resizeRgb(
@@ -874,7 +834,7 @@ object Multimodal extends QueryPack {
     import s.implicits._
     Tables.t(s, d, "documents")
       .select(col("doc_id"))
-      .repartition(s.sparkContext.defaultParallelism, col("doc_id")) // decode parallelism: see q_multimodal_decode
+      .transform(Tables.spread(_, "doc_id")) // codec parallelism: see Tables.spread
       .as[Long]
       .mapPartitions(_.map { id =>
         val px = ImageCodec.decodePx(

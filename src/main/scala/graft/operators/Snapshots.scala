@@ -122,16 +122,22 @@ object Snapshots extends QueryPack {
     // downstream writer can skip them (classic no-op-update
     // suppression).
     "q_merge_upsert" -> ((s, d) => {
+      // presence markers, not payload-column nullness: a matched row
+      // whose name happened to be NULL would otherwise masquerade as
+      // insert/delete (and diverge from the oracle, which tests the
+      // join KEY's nullness)
       val t = dayA(s, d).select(col("p_partkey").as("k"),
-        col("name").as("t_name"), col("price").as("t_price"))
+        col("name").as("t_name"), col("price").as("t_price"),
+        lit(true).as("in_t"))
       val src = dayB(s, d).select(col("p_partkey").as("k"),
-        col("name").as("s_name"), col("price").as("s_price"))
+        col("name").as("s_name"), col("price").as("s_price"),
+        lit(true).as("in_s"))
       t.join(src, Seq("k"), "full_outer")
         .select(col("k"),
           coalesce(col("s_name"), col("t_name")).as("name"),
           coalesce(col("s_price"), col("t_price")).as("price"),
-          when(col("t_name").isNull, "insert")
-            .when(col("s_name").isNull, "delete")
+          when(col("in_t").isNull, "insert")
+            .when(col("in_s").isNull, "delete")
             .when(not(col("s_name") <=> col("t_name")) ||
               not(col("s_price") <=> col("t_price")), "update")
             .otherwise("keep").as("action"))

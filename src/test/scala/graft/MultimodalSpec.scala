@@ -321,6 +321,10 @@ class MultimodalSpec extends SparkTestBase {
     assert(operators.ImageCodec.resizeRgb(bos2.toByteArray, 2, 2).toSeq == colors)
     // junk rejected
     assert(operators.ImageCodec.resizeRgb("junk".getBytes, 2, 2) == null)
+    // upscale rejected loudly (empty cells would silently render black)
+    intercept[IllegalArgumentException] {
+      operators.ImageCodec.resizeRgb(bos.toByteArray, 32, 32)
+    }
   }
 
   test("q_image_resize: one thumbnail per doc, shared-seed groups share thumbnails") {
