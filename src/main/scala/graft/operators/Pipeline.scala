@@ -309,6 +309,65 @@ object Pipeline extends QueryPack {
         .orderBy(col("da"), col("db"))
     }),
 
+    // EXACT set-similarity self-join via prefix filtering (the
+    // AllPairs/PPJoin family) — the deterministic counterpart to
+    // minhash: same 3-shingle basis, same jac ≥ 0.9 threshold, but
+    // provably NO false negatives, so the full DuckDB exact-pair
+    // recomputation oracles it hash-exact. The filter: order each
+    // doc's shingles by (global frequency, shingle) — rare first —
+    // and index only the first n − ceil(0.9·n) + 1 of them; any pair
+    // with jac ≥ 0.9 must collide inside that prefix (Bayardo et al.,
+    // AllPairs). Candidates meet in a shingle EQUI-join over prefixes
+    // (~10% of the exploded rows), with the jaccard size bound in the
+    // join condition; verification intersects the two bounded per-doc
+    // shingle arrays (array_intersect — codegen'd, no second corpus
+    // join). ceil(0.9·n) is computed in INTEGER arithmetic
+    // ((9n+9) div 10): double 0.9·n can land above the true product
+    // (10·0.9 → 9.000…002) and ceil away a needed prefix slot — a
+    // silent false-negative the oracle would catch as a missing pair.
+    // Scale: freq table is vocab-sized; the rank window partitions BY
+    // DOC; prefix join scales with duplicates, not pairs.
+    "q_dedup_prefix_join" -> ((s, d) => {
+      val sh = Tables.spread(Tables.t(s, d, "documents"), "doc_id")
+        .select(col("doc_id"), split(lower(col("text")), " ").as("toks"))
+        .filter(size(col("toks")) >= 3)
+        .select(col("doc_id"), explode(array_distinct(expr(
+          "transform(sequence(0, size(toks)-3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))")))
+          .as("sh"))
+        .cache() // consumed by freq, per-doc counts, prefixes, and sets
+      val freq = sh.groupBy(col("sh")).agg(count(lit(1)).as("f"))
+      val n = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("f"), col("sh"))
+      val prefix = sh.join(freq, "sh").join(n, "doc_id")
+        .withColumn("rk", row_number().over(w))
+        // `div`, not `/`: Column./ is double division in Spark
+        .filter(col("rk") <= expr("n - (n * 9 + 9) div 10 + 1"))
+        .select(col("doc_id"), col("sh"), col("n"))
+      val cand = prefix.as("a").join(prefix.as("b"),
+          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id") &&
+            col("a.n") * 10 >= col("b.n") * 9 &&
+            col("b.n") * 10 >= col("a.n") * 9)
+        .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+        .distinct()
+      val sets = sh.groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(col("sh"))).as("shs"),
+          count(lit(1)).as("n"))
+      cand
+        .join(sets.select(col("doc_id").as("da"), col("shs").as("sa"),
+          col("n").as("na")), "da")
+        .join(sets.select(col("doc_id").as("db"), col("shs").as("sb"),
+          col("n").as("nb")), "db")
+        .select(col("da"), col("db"),
+          size(array_intersect(col("sa"), col("sb"))).cast("long")
+            .as("inter_n"),
+          (col("na") + col("nb")).as("sum_n"))
+        .withColumn("union_n", col("sum_n") - col("inter_n"))
+        .filter(col("inter_n") * 10 >= col("union_n") * 9)
+        .select(col("da"), col("db"), col("inter_n"), col("union_n"))
+        .orderBy(col("da"), col("db"))
+    }),
+
     // MinHash + LSH banding: near-dup candidate pairs + estimated
     // jaccard from signature agreement. Deterministic seeds via
     // xxhash64(i, shingle). Rows-only check; ground-truthed against
@@ -761,6 +820,25 @@ object Pipeline extends QueryPack {
         |  CAST(inter_n AS DOUBLE) / (ca.n + cb.n - inter_n) AS jac
         |FROM inter JOIN cnt ca ON da = ca.doc_id JOIN cnt cb ON db = cb.doc_id
         |WHERE CAST(inter_n AS DOUBLE) / (ca.n + cb.n - inter_n) >= 0.5
+        |ORDER BY da, db""".stripMargin,
+
+    // the FULL exact recomputation — no prefix filter on this side, so
+    // the hash match certifies the engine's prefix pruning loses
+    // nothing and invents nothing
+    "q_dedup_prefix_join" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+        |           FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
+        |       FROM t, LATERAL (SELECT unnest(generate_series(1, len(w)-2)) AS i) u
+        |       WHERE len(w) >= 3),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter_n
+        |          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT da, db, inter_n,
+        |  CAST(ca.n + cb.n - inter_n AS BIGINT) AS union_n
+        |FROM inter JOIN cnt ca ON da = ca.doc_id JOIN cnt cb ON db = cb.doc_id
+        |WHERE inter_n * 10 >= (ca.n + cb.n - inter_n) * 9
         |ORDER BY da, db""".stripMargin,
 
     "q_dedup_embedding" ->

@@ -301,6 +301,12 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("Broadcast"), p)
   }
 
+  test("q_dedup_prefix_join: prefix candidates meet in an equi-join, rank window per doc") {
+    val p = plan("q_dedup_prefix_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("windowspecdefinition(doc_id"), p)
+  }
+
   test("q_bm25 broadcasts the term postings side against the doc-length table") {
     // the dfc side is hint-broadcast, so a bare BroadcastHashJoin check
     // would pass vacuously — assert the doc_id join specifically
