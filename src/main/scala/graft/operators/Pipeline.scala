@@ -368,6 +368,29 @@ object Pipeline extends QueryPack {
         .orderBy(col("da"), col("db"))
     }),
 
+    // The dedup END PRODUCT, oracled end-to-end: exact near-dup pairs
+    // (q_dedup_prefix_join) → connected components (iterative
+    // min-label propagation) → one canonical doc per cluster. Because
+    // the pair graph is EXACT (prefix filtering, no sketch), DuckDB
+    // can independently recompute the whole thing — transitive
+    // closure via a recursive CTE — and the driver hash-checks every
+    // doc's cluster id and keep verdict. This is the query a corpus
+    // curator actually runs; the sketch paths (minhash/simhash) are
+    // its cheaper approximations. Iterative exception to the
+    // lazy-build contract (like q_dedup_cluster): label propagation
+    // cannot be expressed as one lazy plan.
+    "q_dedup_apply" -> ((s, d) => {
+      val pairs = queries("q_dedup_prefix_join")(s, d)
+        .select(col("da"), col("db"))
+      val cc = connectedComponents(pairs)
+      Tables.t(s, d, "documents").select(col("doc_id"))
+        .join(cc, col("doc_id") === col("node"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+        .withColumn("is_kept", col("doc_id") === col("cluster_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     // MinHash + LSH banding: near-dup candidate pairs + estimated
     // jaccard from signature agreement. Deterministic seeds via
     // xxhash64(i, shingle). Rows-only check; ground-truthed against
@@ -840,6 +863,35 @@ object Pipeline extends QueryPack {
         |FROM inter JOIN cnt ca ON da = ca.doc_id JOIN cnt cb ON db = cb.doc_id
         |WHERE inter_n * 10 >= (ca.n + cb.n - inter_n) * 9
         |ORDER BY da, db""".stripMargin,
+
+    // independent recomputation of pairs -> transitive closure
+    // (recursive CTE) -> min-reachable cluster label -> keep verdict
+    "q_dedup_apply" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
+        |       FROM t, LATERAL (SELECT unnest(generate_series(1, len(w)-2)) AS i) u
+        |       WHERE len(w) >= 3),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter_n
+        |          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |pairs AS (SELECT da, db
+        |  FROM inter JOIN cnt ca ON da = ca.doc_id JOIN cnt cb ON db = cb.doc_id
+        |  WHERE inter_n * 10 >= (ca.n + cb.n - inter_n) * 9),
+        |edges AS (SELECT da AS a, db AS b FROM pairs
+        |          UNION ALL SELECT db, da FROM pairs),
+        |reach AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        |lbl AS (SELECT a AS node, least(a, min(b)) AS cluster_id
+        |        FROM reach GROUP BY a)
+        |SELECT d.doc_id,
+        |  coalesce(l.cluster_id, d.doc_id) AS cluster_id,
+        |  coalesce(l.cluster_id, d.doc_id) = d.doc_id AS is_kept
+        |FROM documents d LEFT JOIN lbl l ON d.doc_id = l.node
+        |ORDER BY d.doc_id""".stripMargin,
 
     "q_dedup_embedding" ->
       """WITH e AS (
