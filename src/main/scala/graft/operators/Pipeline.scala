@@ -365,6 +365,12 @@ object Pipeline extends QueryPack {
         .withColumn("union_n", col("sum_n") - col("inter_n"))
         .filter(col("inter_n") * 10 >= col("union_n") * 9)
         .select(col("da"), col("db"), col("inter_n"), col("union_n"))
+        // cached BELOW the presentation sort: q_dedup_apply consumes
+        // this exact pair set as its edge list — the CacheManager
+        // matches the unordered fragment, so the whole
+        // prefix+candidate+verify pipeline runs once per session, not
+        // once per consumer
+        .cache()
         .orderBy(col("da"), col("db"))
     }),
 
