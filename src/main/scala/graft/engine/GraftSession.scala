@@ -18,6 +18,7 @@ import graft.functions._
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    e.injectPlannerStrategy(_ => graft.plans.DeferredStrategy)
     e.injectOptimizerRule(_ => graft.plans.RankFilterToAggregate)
     def info(name: String) =
       new ExpressionInfo("graft.functions", name)

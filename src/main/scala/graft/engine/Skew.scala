@@ -19,18 +19,43 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
+  /** True when hash() accepts the type — MapType anywhere in the
+    * structure raises AnalysisException (map equality is undefined, so
+    * Spark refuses to hash it by default). */
+  private def hashable(t: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    t match {
+      case _: MapType => false
+      case s: StructType => s.fields.forall(f => hashable(f.dataType))
+      case a: ArrayType => hashable(a.elementType)
+      case _ => true
+    }
+  }
+
   /** Two-phase salted sum of `valCol` (exact decimal, emitted double)
-    * plus row count, grouped by `keyCol`. The salt is a DETERMINISTIC
-    * hash of the whole row — never monotonically_increasing_id, whose
-    * value changes when a map task is recomputed after a shuffle-fetch
-    * failure, re-routing rows to different reduce partitions than the
-    * copies already fetched (the SPARK-23207 double-count/drop class).
-    * Identical rows sharing a salt is harmless: the salt only spreads
-    * the hot key, it carries no semantics. */
+    * plus row count, grouped by `keyCol`. The salt is DETERMINISTIC:
+    * a hash of the hashable columns PLUS spark_partition_id() — never
+    * monotonically_increasing_id, whose per-partition counter reorders
+    * when a map task is recomputed over a nondeterministically-ordered
+    * input after a shuffle-fetch failure, re-routing rows to different
+    * reduce partitions than the copies already fetched (the SPARK-23207
+    * double-count/drop class). partition_id is stable for deterministic
+    * input splits (a parquet scan), and mixing it in spreads hot keys
+    * whose rows are largely IDENTICAL (common in event/token data) —
+    * a whole-row hash alone maps every duplicate to one bucket, the
+    * exact case this helper exists for. Residual limit: duplicates
+    * within a single input split still share a salt, bounding one
+    * reducer's hot load to one split (~maxPartitionBytes), which a
+    * reducer absorbs by construction. Columns containing MapType
+    * (e.g. events.props) are excluded from the hash — hash() rejects
+    * them at analysis — without narrowing which tables the helper
+    * accepts. The salt carries no semantics, only spread. */
   def saltedSumCount(df: DataFrame, keyCol: String, valCol: String,
       buckets: Int = 32): DataFrame = {
+    val hashCols = df.schema.fields.filter(f => hashable(f.dataType))
+      .map(f => col(f.name)).toSeq
     val salted = df.withColumn("_salt",
-      pmod(hash(df.columns.map(col): _*), lit(buckets)))
+      pmod(hash(hashCols :+ spark_partition_id(): _*), lit(buckets)))
     salted
       .groupBy(col(keyCol), col("_salt"))
       .agg(sum(Tables.dec2(col(valCol))).as("_psum"),

@@ -15,16 +15,26 @@ object Tables {
   val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
-  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // events.ts is parquet TIMESTAMP(NANOS), which Spark's reader
-    // rejects; read it as raw nanos and truncate to micros — exactly
-    // what DuckDB does when it loads the same file (micros timestamps).
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events" && raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
-    else raw
-  }
+  // Memoized per (session, dir, name): spark.read.parquet runs a
+  // 1-task file-listing/footer job per call, which both violates the
+  // lazy-build contract (LazyBuildSpec — building a query must run
+  // ZERO jobs) and re-pays schema inference on every plan build. The
+  // map holds analyzed base relations only (no data); sessions per JVM
+  // are few (one in tests, one in Bench/Verify), so no eviction.
+  private val loaded =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    loaded.computeIfAbsent((spark, dir, name), _ => {
+      // events.ts is parquet TIMESTAMP(NANOS), which Spark's reader
+      // rejects; read it as raw nanos and truncate to micros — exactly
+      // what DuckDB does when it loads the same file (micros timestamps).
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = spark.read.parquet(s"$dir/$name.parquet")
+      if (name == "events" && raw.schema("ts").dataType == LongType)
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+      else raw
+    })
 
   /** Spread a small-file scan across the cluster before CPU-heavy
     * per-row fan-out (tokenize / explode / shingle / codec work).

@@ -82,6 +82,21 @@ case class DotProductD(left: Expression, right: Expression)
   * invariant the heavy-hitter audit turns into an oracled column. */
 case class CmsEstimate(left: Expression, right: Expression)
     extends BinaryExpression {
+  // analysis-time contract: a non-binary sketch or non-string item
+  // would otherwise pass analysis and die with ClassCastException at
+  // execution — and a numeric item would silently probe a different
+  // representation than CountMinSketchAgg counted (long vs UTF-8).
+  // (checkInputDataTypes, not ExpectsInputTypes: AbstractDataType is
+  // private[sql], this hook is the public extension point.)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    if (left.dataType == BinaryType && right.dataType == StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"cms_estimate expects (BINARY sketch, STRING item), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
   override def dataType: DataType = LongType
   override def nullSafeEval(sketch: Any, item: Any): Any =
     ExprHelpers.cmsEstimate(sketch.asInstanceOf[Array[Byte]],

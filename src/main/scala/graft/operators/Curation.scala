@@ -233,41 +233,50 @@ object Curation extends QueryPack {
     // summed as exact decimals so shuffle order can't perturb the
     // result; lineage is truncated per round (localCheckpoint) like
     // the connected-components query. Rows-only: ground-truthed
-    // against a driver-side power iteration in CurationSpec.
+    // against a driver-side power iteration in CurationSpec. The
+    // power loop runs inside plans.Deferred at first execution — the
+    // build itself is job-free (LazyBuildSpec).
     "q_graph_pagerank" -> ((s, d) => {
-      val damping = 0.85
-      val pairs = Pipeline.queries("q_dedup_minhash")(s, d)
-        .select(col("da"), col("db"))
-      val edges = pairs
-        .unionByName(pairs.select(col("db").as("da"), col("da").as("db")))
-        .select(col("da").as("src"), col("db").as("dst"))
-        .localCheckpoint()
-      val nodes = edges.select(col("src").as("node")).distinct()
-        .localCheckpoint()
-      val n = nodes.count() // scalar fixpoint-style driver value, not data
-      if (n == 0) {
-        nodes.select(col("node").as("doc_id"),
-          lit(0.0).as("pagerank"))
-      } else {
-        val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-        var pr = nodes.withColumn("rank",
-          lit(1.0 / n).cast("decimal(30,15)"))
-        (1 to 5).foreach { _ =>
-          val contrib = edges.join(pr, col("src") === col("node"))
-            .join(deg, Seq("src"))
-            .groupBy(col("dst"))
-            .agg(sum((col("rank") / col("deg")).cast("decimal(30,15)"))
-              .as("in_rank"))
-          pr = nodes.join(contrib, col("node") === col("dst"), "left")
-            .select(col("node"),
-              (lit((1 - damping) / n) +
-                lit(damping) * coalesce(col("in_rank").cast("double"), lit(0.0)))
-                .cast("decimal(30,15)").as("rank"))
-            .localCheckpoint()
+      val idT = Tables.t(s, d, "documents").schema("doc_id").dataType
+      graft.plans.Deferred.df(s, "graph_pagerank",
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id", idT),
+          org.apache.spark.sql.types.StructField("pagerank",
+            org.apache.spark.sql.types.DoubleType)))) { () =>
+        val damping = 0.85
+        val pairs = Pipeline.queries("q_dedup_minhash")(s, d)
+          .select(col("da"), col("db"))
+        val edges = pairs
+          .unionByName(pairs.select(col("db").as("da"), col("da").as("db")))
+          .select(col("da").as("src"), col("db").as("dst"))
+          .localCheckpoint()
+        val nodes = edges.select(col("src").as("node")).distinct()
+          .localCheckpoint()
+        val n = nodes.count() // scalar fixpoint-style driver value, not data
+        if (n == 0) {
+          nodes.select(col("node").as("doc_id"),
+            lit(0.0).as("pagerank"))
+        } else {
+          val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+          var pr = nodes.withColumn("rank",
+            lit(1.0 / n).cast("decimal(30,15)"))
+          (1 to 5).foreach { _ =>
+            val contrib = edges.join(pr, col("src") === col("node"))
+              .join(deg, Seq("src"))
+              .groupBy(col("dst"))
+              .agg(sum((col("rank") / col("deg")).cast("decimal(30,15)"))
+                .as("in_rank"))
+            pr = nodes.join(contrib, col("node") === col("dst"), "left")
+              .select(col("node"),
+                (lit((1 - damping) / n) +
+                  lit(damping) * coalesce(col("in_rank").cast("double"), lit(0.0)))
+                  .cast("decimal(30,15)").as("rank"))
+              .localCheckpoint()
+          }
+          pr.select(col("node").as("doc_id"),
+            round(col("rank").cast("double"), 12).as("pagerank"))
+            .orderBy(desc("pagerank"), col("doc_id"))
         }
-        pr.select(col("node").as("doc_id"),
-          round(col("rank").cast("double"), 12).as("pagerank"))
-          .orderBy(desc("pagerank"), col("doc_id"))
       }
     }),
 

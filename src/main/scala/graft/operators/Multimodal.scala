@@ -2,8 +2,10 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 import graft.engine.{QueryPack, Tables}
+import graft.plans.Deferred
 
 /** Binary media container sniffing — pure-JVM magic-byte + header
   * parsing, no external codecs. Formats: PNG (IHDR), JPEG (SOFn scan),
@@ -596,6 +598,61 @@ object Multimodal extends QueryPack {
     }
   }
 
+  // ---- materialized media fixture table (round-6 VERDICT #2) ----
+  // The codec queries exist to time DECODE work, but synthesizing
+  // (ENCODING) payloads inline put the GIF/PNG writers inside every
+  // timed pass — and made q_frame_sample the box-sensitivity outlier
+  // (r5: 14.7 s on the starved driver box vs 1.1 s controlled).
+  // Payloads are now written ONCE per (process, sf dir) as a
+  // binary-column parquet — the layout a real media corpus has — and
+  // the queries read + decode only. One column per codec family, so
+  // each query's scan is column-pruned to exactly its payloads.
+  private val mediaBuilt =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def rmTree(f: java.io.File): Unit = {
+    if (f.isDirectory) { val fs = f.listFiles(); if (fs != null) fs.foreach(rmTree) }
+    if (f.exists() && !f.delete())
+      throw new java.io.IOException(s"cannot delete $f")
+  }
+
+  private[operators] def mediaBase(s: SparkSession, d: String): String =
+    mediaBuilt.computeIfAbsent(d, _ => {
+      val dir = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_media_" + Integer.toHexString(d.hashCode))
+      rmTree(dir) // a partial tree from a killed run must not linger
+      import s.implicits._
+      Tables.t(s, d, "documents").select(col("doc_id"))
+        .transform(Tables.spread(_, "doc_id")) // parallel synthesis
+        .as[Long]
+        .mapPartitions(_.map { id =>
+          val imgFmt = ((id / 3) % 3) match {
+            case 0 => "png"; case 1 => "jpg"; case _ => "gif"
+          }
+          (id,
+            mediaPayload(id),
+            ImageCodec.synthImage(groupSeed(id), (id % 3).toInt * 9 + 1,
+              16, 16, imgFmt),
+            ImageCodec.synthPng(groupSeed(id), (id % 3).toInt * 9 + 1),
+            AudioCodec.synthWav(8000, 1600, 200.0 + (id % 20) * 100.0, 0.5, id),
+            ImageCodec.synthAnimatedGif(groupSeed(id), (id % 5).toInt + 4, 16, 16))
+        })
+        .toDF("doc_id", "media", "img16", "png", "wav", "gif_anim")
+        .write.mode("overwrite").parquet(dir.getAbsolutePath)
+      dir.getAbsolutePath
+    })
+
+  /** One codec family's payloads, column-pruned and spread for decode
+    * parallelism. Builds the fixture tree on first call per process —
+    * callers run inside plans.Deferred so query BUILDS stay job-free. */
+  private def media(s: SparkSession, d: String, c: String): Dataset[Payload] = {
+    import s.implicits._
+    s.read.parquet(mediaBase(s, d))
+      .select(col("doc_id"), col(c).as("payload"))
+      .transform(Tables.spread(_, "doc_id")) // see Tables.spread
+      .as[Payload]
+  }
+
   override def queries: Map[String, Q] = Map(
     // Binary payload → per-partition REAL decode + content features:
     // fully decodable PNG/JPEG/GIF/WAV payloads (real encoders), the
@@ -606,23 +663,21 @@ object Multimodal extends QueryPack {
     // fields are ground-truthed against the doc_id formula, cross-
     // checked against the independent pixel decoder, in MultimodalSpec.
     "q_multimodal_decode" -> ((s, d) => {
-      import s.implicits._
-      val payloads = Tables.t(s, d, "documents")
-        .select(col("doc_id"))
-        // Tables.spread: the id scan is one task and the codec behind
-        // it is the expensive stage — spread before the fan-out
-        // (measured: q_frame_sample 8.9 s -> 1.4 s; rationale at the
-        // helper)
-        .transform(Tables.spread(_, "doc_id"))
-        .as[Long]
-        .mapPartitions(_.map(id => Payload(id, mediaPayload(id))))
-      decodeFeatures(payloads).toDF()
-        // try_element_at: an undecodable payload has an EMPTY feature
-        // vector, and ANSI element_at throws on it
-        .select(col("doc_id"), col("n_bytes"), col("fmt"),
-          col("width"), col("height"), col("sample_rate"), col("channels"),
-          round(try_element_at(col("features"), lit(1)).cast("double"), 6).as("f0"))
-        .orderBy(col("doc_id"))
+      Deferred.df(s, "multimodal_decode", StructType(Seq(
+        StructField("doc_id", LongType), StructField("n_bytes", IntegerType),
+        StructField("fmt", StringType), StructField("width", IntegerType),
+        StructField("height", IntegerType),
+        StructField("sample_rate", IntegerType),
+        StructField("channels", IntegerType),
+        StructField("f0", DoubleType)))) { () =>
+        decodeFeatures(media(s, d, "media")).toDF()
+          // try_element_at: an undecodable payload has an EMPTY feature
+          // vector, and ANSI element_at throws on it
+          .select(col("doc_id"), col("n_bytes"), col("fmt"),
+            col("width"), col("height"), col("sample_rate"), col("channels"),
+            round(try_element_at(col("features"), lit(1)).cast("double"), 6).as("f0"))
+          .orderBy(col("doc_id"))
+      }
     }),
 
     // REAL pixel features through the real codecs — format coverage:
@@ -635,26 +690,28 @@ object Multimodal extends QueryPack {
     // specific); codec round-trip, determinism and planted-pair
     // closeness are ground-truthed per format in MultimodalSpec.
     "q_image_features" -> ((s, d) => {
-      import s.implicits._
-      Tables.t(s, d, "documents")
-        .select(col("doc_id"))
-        .transform(Tables.spread(_, "doc_id")) // codec parallelism: see Tables.spread
-        .as[Long]
-        .mapPartitions(_.map { id =>
-          val fmt = ((id / 3) % 3) match {
-            case 0 => "png"; case 1 => "jpg"; case _ => "gif"
-          }
-          val px = ImageCodec.decodePx(ImageCodec.synthImage(
-            groupSeed(id), (id % 3).toInt * 9 + 1, 16, 16, fmt))
-          (id, fmt, px.w, px.h, px.meanR, px.meanG, px.meanB, px.phash)
-        })
-        .toDF("doc_id", "fmt", "px_w", "px_h", "mean_r", "mean_g", "mean_b",
-          "phash")
-        .select(col("doc_id"), col("fmt"), col("px_w"), col("px_h"),
-          round(col("mean_r"), 4).as("mean_r"),
-          round(col("mean_g"), 4).as("mean_g"),
-          round(col("mean_b"), 4).as("mean_b"), col("phash"))
-        .orderBy(col("doc_id"))
+      Deferred.df(s, "image_features", StructType(Seq(
+        StructField("doc_id", LongType), StructField("fmt", StringType),
+        StructField("px_w", IntegerType), StructField("px_h", IntegerType),
+        StructField("mean_r", DoubleType), StructField("mean_g", DoubleType),
+        StructField("mean_b", DoubleType), StructField("phash", LongType)))) { () =>
+        import s.implicits._
+        media(s, d, "img16")
+          .mapPartitions(_.map { p =>
+            val fmt = ((p.doc_id / 3) % 3) match {
+              case 0 => "png"; case 1 => "jpg"; case _ => "gif"
+            }
+            val px = ImageCodec.decodePx(p.payload)
+            (p.doc_id, fmt, px.w, px.h, px.meanR, px.meanG, px.meanB, px.phash)
+          })
+          .toDF("doc_id", "fmt", "px_w", "px_h", "mean_r", "mean_g", "mean_b",
+            "phash")
+          .select(col("doc_id"), col("fmt"), col("px_w"), col("px_h"),
+            round(col("mean_r"), 4).as("mean_r"),
+            round(col("mean_g"), 4).as("mean_g"),
+            round(col("mean_b"), 4).as("mean_b"), col("phash"))
+          .orderBy(col("doc_id"))
+      }
     }),
 
     // The end-to-end "embed → ANN dedup" path over REAL content
@@ -672,18 +729,17 @@ object Multimodal extends QueryPack {
     // in MultimodalSpec. Rows-only; ground truth in spec.
     "q_embed_real" -> ((s, d) => {
       graft.functions.GraftFunctions.register(s)
+      Deferred.df(s, "embed_real", StructType(Seq(
+        StructField("da", LongType), StructField("db", LongType),
+        StructField("cos", DoubleType)))) { () =>
       import s.implicits._
-      val emb = Tables.t(s, d, "documents")
-        .select(col("doc_id"))
-        .transform(Tables.spread(_, "doc_id")) // codec parallelism: see Tables.spread
-        .as[Long]
-        .mapPartitions(_.map { id =>
-          val e = imageEmbedding(ImageCodec.decodePx(
-            ImageCodec.synthPng(groupSeed(id), (id % 3).toInt * 9 + 1)))
+      val emb = media(s, d, "png")
+        .mapPartitions(_.map { p =>
+          val e = imageEmbedding(ImageCodec.decodePx(p.payload))
           var sig = 0
           var i = 0
           while (i < e.length) { if (e(i) >= 0f) sig |= 1 << i; i += 1 }
-          (id, e, sig)
+          (p.doc_id, e, sig)
         })
         .toDF("doc_id", "emb", "sig")
         .cache() // feeds both join sides; lazy self-join decodes twice
@@ -693,17 +749,23 @@ object Multimodal extends QueryPack {
           .as("bv"))
         .select(col("doc_id"), col("emb"),
           col("bv.band").as("band"), col("bv.v").as("v"))
+      // each side re-aliases band/v to fresh names (fresh exprIds): a
+      // condition built from two references to the SAME unaliased
+      // attribute logs "trivially true equals" and leans on Spark's
+      // dataset-id disambiguation — correct today, fragile under
+      // refactor (VERDICT r5). PlanSpec guards the invariant globally.
       val a = banded.select(col("doc_id").as("da"), col("emb").as("ea"),
-        col("band"), col("v"))
+        col("band").as("band_a"), col("v").as("v_a"))
       val b = banded.select(col("doc_id").as("db"), col("emb").as("eb"),
-        col("band"), col("v"))
+        col("band").as("band_b"), col("v").as("v_b"))
       // embeddings are unit-norm, so the codegen'd dot IS the cosine
       val cos = graft.functions.GraftFunctions.dot_d(col("ea"), col("eb"))
-      a.join(b, a("band") === b("band") && a("v") === b("v") &&
+      a.join(b, col("band_a") === col("band_b") && col("v_a") === col("v_b") &&
           col("da") < col("db") && cos >= 0.9)
         .select(col("da"), col("db"), round(cos, 6).as("cos"))
         .distinct()
         .orderBy(col("da"), col("db"))
+      }
     }),
 
     // REAL audio features: per-doc synthesized PCM16 WAV (sine at a
@@ -713,23 +775,25 @@ object Multimodal extends QueryPack {
     // ground truth (rms ≈ amp/√2, est_freq ≈ true freq) in
     // MultimodalSpec.
     "q_audio_features" -> ((s, d) => {
-      import s.implicits._
-      Tables.t(s, d, "documents")
-        .select(col("doc_id"))
-        .transform(Tables.spread(_, "doc_id")) // codec parallelism: see Tables.spread
-        .as[Long]
-        .mapPartitions(_.map { id =>
-          val sr = 8000
-          val freq = 200.0 + (id % 20) * 100.0 // 200..2100 Hz < Nyquist
-          val w = AudioCodec.decodeWav(
-            AudioCodec.synthWav(sr, 1600, freq, 0.5, id))
-          (id, w.sampleRate, w.nSamples, w.rms, w.zcr, w.zcr * sr / 2.0)
-        })
-        .toDF("doc_id", "sample_rate", "n_samples", "rms", "zcr", "est_freq_hz")
-        .select(col("doc_id"), col("sample_rate"), col("n_samples"),
-          round(col("rms"), 6).as("rms"), round(col("zcr"), 6).as("zcr"),
-          round(col("est_freq_hz"), 2).as("est_freq_hz"))
-        .orderBy(col("doc_id"))
+      Deferred.df(s, "audio_features", StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("sample_rate", IntegerType),
+        StructField("n_samples", IntegerType), StructField("rms", DoubleType),
+        StructField("zcr", DoubleType),
+        StructField("est_freq_hz", DoubleType)))) { () =>
+        import s.implicits._
+        media(s, d, "wav")
+          .mapPartitions(_.map { p =>
+            val w = AudioCodec.decodeWav(p.payload)
+            (p.doc_id, w.sampleRate, w.nSamples, w.rms, w.zcr,
+              w.zcr * w.sampleRate / 2.0)
+          })
+          .toDF("doc_id", "sample_rate", "n_samples", "rms", "zcr", "est_freq_hz")
+          .select(col("doc_id"), col("sample_rate"), col("n_samples"),
+            round(col("rms"), 6).as("rms"), round(col("zcr"), 6).as("zcr"),
+            round(col("est_freq_hz"), 2).as("est_freq_hz"))
+          .orderBy(col("doc_id"))
+      }
     }),
 
     // Image near-dup by perceptual hash: band the 56-bit dHash into
@@ -742,6 +806,9 @@ object Multimodal extends QueryPack {
     // = 0, phash = 0) are excluded before banding — they would
     // otherwise all collide pairwise at hamming 0.
     "q_image_dedup_phash" -> ((s, d) => {
+      Deferred.df(s, "image_dedup_phash", StructType(Seq(
+        StructField("da", LongType), StructField("db", LongType),
+        StructField("hamming", IntegerType)))) { () =>
       val feats = pngFeatures(s, d)
         .filter(col("px_w") > 0)
         .select(col("doc_id"), col("phash")).cache()
@@ -751,16 +818,19 @@ object Multimodal extends QueryPack {
           .as("bv"))
         .select(col("doc_id"), col("phash"),
           col("bv.band").as("band"), col("bv.v").as("v"))
+      // distinct per-side aliases — see q_embed_real note on the
+      // trivially-true-equals self-join trap
       val a = banded.select(col("doc_id").as("da"), col("phash").as("a_hash"),
-        col("band"), col("v"))
+        col("band").as("band_a"), col("v").as("v_a"))
       val b = banded.select(col("doc_id").as("db"), col("phash").as("b_hash"),
-        col("band"), col("v"))
-      a.join(b, a("band") === b("band") && a("v") === b("v") &&
+        col("band").as("band_b"), col("v").as("v_b"))
+      a.join(b, col("band_a") === col("band_b") && col("v_a") === col("v_b") &&
           col("da") < col("db") && expr("bit_count(a_hash ^ b_hash)") <= 6)
         .select(col("da"), col("db"),
           expr("bit_count(a_hash ^ b_hash)").as("hamming"))
         .distinct()
         .orderBy(col("da"), col("db"))
+      }
     }),
 
     // Video frame-sampling over multi-frame payloads: each doc carries
@@ -775,22 +845,22 @@ object Multimodal extends QueryPack {
     // engine-specific); frame counts, sampling stride, determinism and
     // per-frame content are ground-truthed in MultimodalSpec.
     "q_frame_sample" -> ((s, d) => {
-      import s.implicits._
-      Tables.t(s, d, "documents")
-        .select(col("doc_id"))
-        .transform(Tables.spread(_, "doc_id")) // codec parallelism: see Tables.spread
-        .as[Long]
-        .mapPartitions(_.flatMap { id =>
-          val nf = (id % 5).toInt + 4
-          val means = ImageCodec.decodeFrameMeans(
-            ImageCodec.synthAnimatedGif(groupSeed(id), nf, 16, 16))
-          Iterator.range(0, means.length, 2)
-            .map(i => (id, means.length, i, means(i)))
-        })
-        .toDF("doc_id", "n_frames", "frame_idx", "mean_gray")
-        .select(col("doc_id"), col("n_frames"), col("frame_idx"),
-          round(col("mean_gray"), 4).as("mean_gray"))
-        .orderBy(col("doc_id"), col("frame_idx"))
+      Deferred.df(s, "frame_sample", StructType(Seq(
+        StructField("doc_id", LongType), StructField("n_frames", IntegerType),
+        StructField("frame_idx", IntegerType),
+        StructField("mean_gray", DoubleType)))) { () =>
+        import s.implicits._
+        media(s, d, "gif_anim")
+          .mapPartitions(_.flatMap { p =>
+            val means = ImageCodec.decodeFrameMeans(p.payload)
+            Iterator.range(0, means.length, 2)
+              .map(i => (p.doc_id, means.length, i, means(i)))
+          })
+          .toDF("doc_id", "n_frames", "frame_idx", "mean_gray")
+          .select(col("doc_id"), col("n_frames"), col("frame_idx"),
+            round(col("mean_gray"), 4).as("mean_gray"))
+          .orderBy(col("doc_id"), col("frame_idx"))
+      }
     }),
 
     // Thumbnail resize (the preprocessing step before a vision
@@ -803,25 +873,26 @@ object Multimodal extends QueryPack {
     // quadrant geometry, determinism) are ground-truthed in
     // MultimodalSpec.
     "q_image_resize" -> ((s, d) => {
-      import s.implicits._
-      Tables.t(s, d, "documents")
-        .select(col("doc_id"))
-        .transform(Tables.spread(_, "doc_id")) // codec parallelism: see Tables.spread
-        .as[Long]
-        .mapPartitions(_.map { id =>
-          val px = ImageCodec.resizeRgb(
-            ImageCodec.synthPng(groupSeed(id), (id % 3).toInt * 9 + 1), 4, 4)
-          val bytes = px.flatMap(p => Array(
-            ((p >> 16) & 0xff).toByte, ((p >> 8) & 0xff).toByte, (p & 0xff).toByte))
-          val gray = px.map(p =>
-            (299L * ((p >> 16) & 0xff) + 587L * ((p >> 8) & 0xff) +
-              114L * (p & 0xff)) / 1000L).sum.toDouble / px.length
-          (id, px.length, gray, ImageCodec.fnv1a(bytes))
-        })
-        .toDF("doc_id", "n_cells", "thumb_gray", "thumb_fnv")
-        .select(col("doc_id"), col("n_cells"),
-          round(col("thumb_gray"), 4).as("thumb_gray"), col("thumb_fnv"))
-        .orderBy(col("doc_id"))
+      Deferred.df(s, "image_resize", StructType(Seq(
+        StructField("doc_id", LongType), StructField("n_cells", IntegerType),
+        StructField("thumb_gray", DoubleType),
+        StructField("thumb_fnv", LongType)))) { () =>
+        import s.implicits._
+        media(s, d, "png")
+          .mapPartitions(_.map { q =>
+            val px = ImageCodec.resizeRgb(q.payload, 4, 4)
+            val bytes = px.flatMap(p => Array(
+              ((p >> 16) & 0xff).toByte, ((p >> 8) & 0xff).toByte, (p & 0xff).toByte))
+            val gray = px.map(p =>
+              (299L * ((p >> 16) & 0xff) + 587L * ((p >> 8) & 0xff) +
+                114L * (p & 0xff)) / 1000L).sum.toDouble / px.length
+            (q.doc_id, px.length, gray, ImageCodec.fnv1a(bytes))
+          })
+          .toDF("doc_id", "n_cells", "thumb_gray", "thumb_fnv")
+          .select(col("doc_id"), col("n_cells"),
+            round(col("thumb_gray"), 4).as("thumb_gray"), col("thumb_fnv"))
+          .orderBy(col("doc_id"))
+      }
     })
   )
 
@@ -832,14 +903,10 @@ object Multimodal extends QueryPack {
     * artifacts, so the hamming ≤ 6 planted-pair guarantee is exact. */
   private def pngFeatures(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    Tables.t(s, d, "documents")
-      .select(col("doc_id"))
-      .transform(Tables.spread(_, "doc_id")) // codec parallelism: see Tables.spread
-      .as[Long]
-      .mapPartitions(_.map { id =>
-        val px = ImageCodec.decodePx(
-          ImageCodec.synthPng(groupSeed(id), (id % 3).toInt * 9 + 1))
-        (id, px.w, px.h, px.meanR, px.meanG, px.meanB, px.phash)
+    media(s, d, "png")
+      .mapPartitions(_.map { p =>
+        val px = ImageCodec.decodePx(p.payload)
+        (p.doc_id, px.w, px.h, px.meanR, px.meanG, px.meanB, px.phash)
       })
       .toDF("doc_id", "px_w", "px_h", "mean_r", "mean_g", "mean_b", "phash")
   }

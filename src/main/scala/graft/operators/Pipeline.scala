@@ -2,9 +2,11 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{BooleanType, StructField, StructType}
 
 import graft.engine.{QueryPack, Tables}
 import graft.functions.GraftFunctions
+import graft.plans.Deferred
 
 /** Training-data pipeline operators (north star): deduplication (exact,
   * n-gram Jaccard, MinHash/LSH, SimHash, embedding-cosine), similarity
@@ -119,9 +121,15 @@ object Pipeline extends QueryPack {
     * smallest label among itself and its neighbors until fixpoint.
     * Deterministic (cluster id = min doc_id reachable); each iteration
     * is one shuffle by node id — the standard large-graph approach when
-    * a graph library isn't warranted. Converges in O(diameter) rounds;
-    * near-dup clusters are shallow (dups of dups), so few iterations. */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    * a graph library isn't warranted. Near-dup clusters are almost
+    * always shallow (dups of dups), so the first rounds are plain
+    * one-hop propagation; a graph still unconverged after a few rounds
+    * switches on POINTER DOUBLING (label(v) ← label(label(v))), which
+    * compresses label chains geometrically so total rounds scale with
+    * log(diameter), not diameter. Exiting via maxIter without a
+    * fixpoint THROWS — truncated labels are silently-wrong cluster ids
+    * downstream, invisible at production scale where no oracle runs. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     // localCheckpoint (eager) truncates lineage each round — without it
     // the plan grows linearly and per-iteration planning time dominates.
     val edges = pairs.select(col("da").as("a"), col("db").as("b"))
@@ -144,27 +152,50 @@ object Pipeline extends QueryPack {
         .join(labels, col("b") === col("node"))
         .groupBy(col("a").as("node2"))
         .agg(min(col("label")).as("nlabel"))
-      labels = labels.join(viaNeighbors, col("node") === col("node2"), "left")
+      var next = labels.join(viaNeighbors, col("node") === col("node2"), "left")
         .select(col("node"), least(col("label"),
           coalesce(col("nlabel"), col("label"))).as("label"))
-        .localCheckpoint()
+      if (i >= 3) {
+        // deep chain: compress pointers. label(v) is itself a node id,
+        // so joining the label map against itself adopts the label's
+        // own (never larger) label — two hops per round, compounding.
+        // The checkpoint stops the self-join from computing the
+        // neighbor-min subtree twice.
+        val stepped = next.localCheckpoint()
+        next = stepped.join(
+          stepped.select(col("node").as("ln"), col("label").as("llabel")),
+          col("label") === col("ln"), "left")
+          .select(col("node"), least(col("label"),
+            coalesce(col("llabel"), col("label"))).as("label"))
+      }
+      labels = next.localCheckpoint()
       val s = labelSum(labels)
       converged = s == prevSum
       prevSum = s
       i += 1
     }
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents: no fixpoint after $maxIter rounds (label sum " +
+        s"still falling at $prevSum) — component diameter exceeds the " +
+        "round budget even with pointer doubling; raise maxIter")
     labels.withColumnRenamed("label", "cluster_id")
   }
 
   override def queries: Map[String, Q] = Map(
     // Near-dup clustering: minhash candidate pairs -> transitive
     // closure -> cluster id per doc. Rows-only (ground-truthed against
-    // a driver-side union-find in DedupSimilaritySpec).
+    // a driver-side union-find in DedupSimilaritySpec). The iterative
+    // label loop runs inside plans.Deferred — building the DataFrame
+    // runs no jobs (LazyBuildSpec); the loop fires at first execution.
     "q_dedup_cluster" -> ((s, d) => {
-      val pairs = queries("q_dedup_minhash")(s, d).select(col("da"), col("db"))
-      connectedComponents(pairs)
-        .select(col("node").as("doc_id"), col("cluster_id"))
-        .orderBy(col("doc_id"))
+      val idT = Tables.t(s, d, "documents").schema("doc_id").dataType
+      Deferred.df(s, "dedup_cluster", StructType(Seq(
+        StructField("doc_id", idT), StructField("cluster_id", idT)))) { () =>
+        val pairs = queries("q_dedup_minhash")(s, d).select(col("da"), col("db"))
+        connectedComponents(pairs)
+          .select(col("node").as("doc_id"), col("cluster_id"))
+          .orderBy(col("doc_id"))
+      }
     }),
     // Exact dedup: canonical doc per normalized-text hash (min doc_id
     // wins — deterministic, SURVEY.md §7 hard part 3).
@@ -382,19 +413,31 @@ object Pipeline extends QueryPack {
     // closure via a recursive CTE — and the driver hash-checks every
     // doc's cluster id and keep verdict. This is the query a corpus
     // curator actually runs; the sketch paths (minhash/simhash) are
-    // its cheaper approximations. Iterative exception to the
-    // lazy-build contract (like q_dedup_cluster): label propagation
-    // cannot be expressed as one lazy plan.
+    // its cheaper approximations. Label propagation cannot be one lazy
+    // plan, so the loop runs inside plans.Deferred (first execution),
+    // keeping the build job-free like every other query.
     "q_dedup_apply" -> ((s, d) => {
-      val pairs = queries("q_dedup_prefix_join")(s, d)
-        .select(col("da"), col("db"))
-      val cc = connectedComponents(pairs)
-      Tables.t(s, d, "documents").select(col("doc_id"))
-        .join(cc, col("doc_id") === col("node"), "left")
-        .select(col("doc_id"),
-          coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
-        .withColumn("is_kept", col("doc_id") === col("cluster_id"))
-        .orderBy(col("doc_id"))
+      val idT = Tables.t(s, d, "documents").schema("doc_id").dataType
+      Deferred.df(s, "dedup_apply", StructType(Seq(
+        StructField("doc_id", idT), StructField("cluster_id", idT),
+        StructField("is_kept", BooleanType)))) { () =>
+        // localCheckpoint the verified pair set ONCE before the
+        // component loop: the loop's edge union references the pairs
+        // twice, and at 10× scale the cached prefix+verify fragment is
+        // big enough to evict mid-loop — a recompute then re-runs the
+        // whole shingle join. The checkpoint pins the (tiny — dups are
+        // rare) pair list itself, so every loop round reads rows, not
+        // the subtree that produced them.
+        val pairs = queries("q_dedup_prefix_join")(s, d)
+          .select(col("da"), col("db")).localCheckpoint()
+        val cc = connectedComponents(pairs)
+        Tables.t(s, d, "documents").select(col("doc_id"))
+          .join(cc, col("doc_id") === col("node"), "left")
+          .select(col("doc_id"),
+            coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+          .withColumn("is_kept", col("doc_id") === col("cluster_id"))
+          .orderBy(col("doc_id"))
+      }
     }),
 
     // MinHash + LSH banding: near-dup candidate pairs + estimated

@@ -120,8 +120,32 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("no query's analyzed plan carries a trivially-true join condition") {
+    // a condition built from two references to the SAME attribute
+    // (unaliased self-join) resolves via dataset-id disambiguation
+    // today but silently becomes cross-product × always-true under a
+    // refactor — the failure mode behind Spark's "trivially true
+    // equals" WARN. Guard every query's analyzed Join conditions.
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualNullSafe, EqualTo}
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val bad = SparkEntry.queries.keys.toSeq.sorted.flatMap { n =>
+      val hits = q(n).queryExecution.analyzed.collect { case j: Join =>
+        j.condition.toSeq.flatMap(_.collect {
+          case e @ EqualTo(a: AttributeReference, b: AttributeReference)
+            if a.exprId == b.exprId => e
+          case e @ EqualNullSafe(a: AttributeReference, b: AttributeReference)
+            if a.exprId == b.exprId => e
+        })
+      }.flatten
+      if (hits.nonEmpty) Some(s"$n: ${hits.mkString(", ")}") else None
+    }
+    assert(bad.isEmpty, bad.mkString("\n"))
+  }
+
   test("q_snapshot_diff scans only the two queried snapshot_date partitions") {
-    val p = plan("q_snapshot_diff")
+    // the diff body is deferred to first execution (LazyBuildSpec), so
+    // the pruned scan only renders in the plan string post-execution
+    val p = finalPlan("q_snapshot_diff")
     // both snapshot scans carry partition filters — the read touches 2
     // date partitions regardless of how many days the tree holds
     assert(p.contains("PartitionFilters: [isnotnull(snapshot_date"), p)
