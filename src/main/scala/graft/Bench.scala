@@ -28,10 +28,74 @@ import org.apache.spark.sql.SparkSession
   * were truncated to unparseable by per-query values printed at full
   * double precision.
   *
+  * Round-6: every phase carries a CPU calibration (`effpar` fields) +
+  * the cgroup quota, so a starved box (BENCH_r05: 158.7 s that
+  * reproduced at 11.9 s under control) is distinguishable from a code
+  * regression from the artifact alone; `degraded:true` flags any
+  * phase measured at < half the advertised cores.
+  *
   * Optional args: query names to restrict to (local profiling).
   */
 object Bench {
   private def round3(v: Double): Double = math.rint(v * 1000) / 1000
+
+  // ---- environment self-diagnosis (round-6, VERDICT r5 #1) ----
+  // BENCH_r05 recorded a 158.7 s wall that was pure co-tenant/cgroup
+  // starvation (the same binary measured 11.9 s an hour later), and
+  // nothing in the artifact could prove it. Each phase now carries a
+  // CALIBRATION: a fixed CPU spin timed once single-threaded and once
+  // across `cpus` threads. effective_parallelism = cpus * t1 / tN — on
+  // an idle full box it reads ≈ cpus; a box throttled to ~3 effective
+  // cores reads ≈ 3 regardless of what Spark is doing. A wall next to
+  // a degraded calibration is an environment artifact, not a
+  // regression.
+  private val calSink = new java.util.concurrent.atomic.AtomicLong
+  private def spin(units: Long): Long = {
+    var x = 0x9E3779B97F4A7C15L
+    var i = 0L
+    while (i < units) {
+      x = x * 6364136223846793005L + 1442695040888963407L
+      x ^= x >>> 33
+      i += 1
+    }
+    x
+  }
+
+  /** effective parallelism over `threads` threads (min over `reps`
+    * single-thread baselines vs one parallel burst — the min discards
+    * scheduler hiccups in the baseline, which would INFLATE eff). */
+  private def effectiveParallelism(threads: Int): Double = {
+    val units = 20000000L // ~20 ms on one unloaded core
+    val t1 = (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      calSink.addAndGet(spin(units))
+      (System.nanoTime() - t0) / 1e9
+    }.min
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+    val w0 = System.nanoTime()
+    val futs = (1 to threads).map { _ =>
+      pool.submit(new Runnable {
+        override def run(): Unit = calSink.addAndGet(spin(units))
+      })
+    }
+    futs.foreach(_.get())
+    val tN = (System.nanoTime() - w0) / 1e9
+    pool.shutdown()
+    math.min(threads.toDouble, threads * t1 / tN)
+  }
+
+  /** Raw cgroup v2 CPU quota ("max 100000" = unthrottled, or
+    * "<quota_us> <period_us>"), plus the implied core count. */
+  private def cpuMax: (String, Double) =
+    try {
+      val raw = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/sys/fs/cgroup/cpu.max"))).trim
+      val parts = raw.split("\\s+")
+      val cores =
+        if (parts(0) == "max") -1.0
+        else parts(0).toDouble / parts(1).toDouble
+      (raw, cores)
+    } catch { case _: Throwable => ("unreadable", -1.0) }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -75,6 +139,7 @@ object Bench {
     // instead of reporting the spike. A query failing ANY pass reports
     // the -1 sentinel.
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt
+    val calSeq = effectiveParallelism(cpus.toInt)
     var seq: Map[String, Double] = Map.empty
     (1 to passes).foreach { _ =>
       val pass = selected.map { case (n, f) => n -> runOne(n, f) }
@@ -95,6 +160,12 @@ object Bench {
     // stream parallelism hides the per-query scheduling gaps).
     val streams = sys.env.getOrElse("SPARK_GRAFT_BENCH_STREAMS", "16").toInt
     val concPasses = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONC_PASSES", "3").toInt
+    // phase boundary: drop the caches the 128 query builds accumulated
+    // (ADVICE r5: unbounded .cache() growth across a session can evict
+    // mid-measurement and perturb the very timings recorded). Each
+    // phase starts from a known cache state; concurrent pass 1 rebuilds
+    // them once, passes 2..N measure warm — min-of-N reports warm.
+    spark.catalog.clearCache()
     val pool = java.util.concurrent.Executors.newFixedThreadPool(streams)
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutorService(pool)
@@ -120,7 +191,10 @@ object Bench {
       sys.env.getOrElse("SPARK_GRAFT_CONC_SHUFFLE_PARTS",
         sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTS",
           math.max(4, cpus.toInt * 4 / streams).toString)))
+    val calConc = scala.collection.mutable.ArrayBuffer[Double]()
     val wall = (1 to concPasses).map { _ =>
+      calConc += effectiveParallelism(cpus.toInt) // per-pass: a starved
+      // pass sits NEXT TO its own degraded calibration in the artifact
       val w0 = System.nanoTime()
       val futs = byCost.map { case (n, f) =>
         scala.concurrent.Future {
@@ -165,12 +239,21 @@ object Bench {
     // Stop Spark BEFORE printing so no executor/stop-time log line can
     // land after the machine-readable lines in the bounded capture.
     val load1 = loadavg
+    val calPost = effectiveParallelism(cpus.toInt)
+    val (cpuMaxRaw, cpuQuotaCores) = cpuMax
+    // a wall measured while the box delivered < half its advertised
+    // cores is an environment artifact — flag it machine-readably
+    val degraded = (calSeq +: calPost +: calConc).min < cpus.toInt / 2.0
+    val effJson = s""""effpar":{"seq":${round3(calSeq)},"conc":[${
+      calConc.map(round3).mkString(",")}],"post":${round3(calPost)}},""" +
+      s""""cpu_max":"$cpuMaxRaw","cpu_quota_cores":${round3(cpuQuotaCores)},""" +
+      s""""degraded":$degraded"""
     spark.sparkContext.setLogLevel("ERROR")
     spark.stop()
     println(s"""{"bench_per_query":$qs,"failed_all":$failedFullJson,"sf":"$sfDir","passes":$passes,"loadavg_start":$load0,"loadavg_end":$load1}""")
     val slowest = seq.toSeq.filter(_._2 >= 0).sortBy(-_._2).take(12)
       .map { case (k, v) => "\"" + k + "\":" + round3(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"wall_${streams}streams_warm","value":${round3(wall)},"unit":"sec","queries":$slowest,"sf":"$sfDir","seq_total":${round3(seqTotal)},"n_queries":${seq.size},"n_failed":${failed.size},"failed":$failedJson,"cpus":$cpus,"passes":$passes,"loadavg":[$load0,$load1],"note":"noop-sink; value=min-of-$concPasses ${streams}-stream concurrent wall, warm session; queries=12 slowest per-query MIN-across-$passes-pass secs, full map on the bench_per_query line"}""")
+    println(s"""{"metric":"wall_${streams}streams_warm","value":${round3(wall)},"unit":"sec","queries":$slowest,"sf":"$sfDir","seq_total":${round3(seqTotal)},"n_queries":${seq.size},"n_failed":${failed.size},"failed":$failedJson,"cpus":$cpus,"passes":$passes,"loadavg":[$load0,$load1],$effJson,"note":"noop-sink; value=min-of-$concPasses ${streams}-stream concurrent wall, warm session; queries=12 slowest per-query MIN-across-$passes-pass secs, full map on the bench_per_query line; effpar=measured effective cores per phase (calibrated CPU spin) - a wall beside effpar<<cpus is box starvation, not a regression"}""")
   }
 }

@@ -77,6 +77,34 @@ object ScaleStress {
         .write.mode("overwrite").parquet(s"$scaledDir/events.parquet")
     }
 
+    // relational core ×N (round-6, VERDICT r5 #7): FACT tables grow,
+    // DIMENSIONS stay — the 100 TB shape. lineitem + orders replicate
+    // with disjoint order keys but the SAME customers/parts, so
+    // per-dimension fan-out grows N× (more orders per customer), which
+    // is how a warehouse actually scales. Dim tables are symlinked
+    // unscaled so every query resolves against the one scaled dir.
+    if (!new java.io.File(scaledDir, "lineitem.parquet").exists()) {
+      val ord = spark.read.parquet(s"$baseDir/orders.parquet")
+      val li = spark.read.parquet(s"$baseDir/lineitem.parquet")
+      val maxOk =
+        ord.agg(max(col("o_orderkey"))).head().getAs[Number](0).longValue + 1
+      (0 until factor)
+        .map(r => ord.withColumn("o_orderkey", col("o_orderkey") + lit(r * maxOk)))
+        .reduce(_ unionByName _).repartition(cpus.toInt)
+        .write.mode("overwrite").parquet(s"$scaledDir/orders.parquet")
+      (0 until factor)
+        .map(r => li.withColumn("l_orderkey", col("l_orderkey") + lit(r * maxOk)))
+        .reduce(_ unionByName _).repartition(cpus.toInt)
+        .write.mode("overwrite").parquet(s"$scaledDir/lineitem.parquet")
+    }
+    Seq("region", "nation", "customer", "supplier", "part", "embeddings")
+      .foreach { t =>
+        val link = java.nio.file.Paths.get(scaledDir, s"$t.parquet")
+        if (!java.nio.file.Files.exists(link))
+          java.nio.file.Files.createSymbolicLink(link,
+            java.nio.file.Paths.get(baseDir, s"$t.parquet"))
+      }
+
     val shuffleBytes = new AtomicLong()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onStageCompleted(e: SparkListenerStageCompleted): Unit =
