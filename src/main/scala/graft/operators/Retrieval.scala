@@ -55,6 +55,140 @@ object Retrieval extends QueryPack {
 
   val queries: Map[String, Q] = Map(
 
+    // TEXT-CONTENT embeddings (round-6, VERDICT r5 #3): a 64-dim
+    // feature-hashed tf·idf projection over documents.text in PURE
+    // INTEGER arithmetic, so DuckDB recomputes it bit-exactly:
+    //   hv   = first 60 bits of md5(token)  (same hex both engines)
+    //   dim  = hv % 64, sign = bit 6 of hv (hashing-trick signed
+    //          projection, Weinberger et al.)
+    //   w    = 100000 div df  (integer idf surrogate — no ln, so no
+    //          cross-engine transcendental drift)
+    //   v_j  = Σ sign·tf·w  (exact BIGINT)
+    // Sparse rows (doc_id, j, v≠0). This replaces the synthetic-random
+    // embeddings table as the ANN family's content-derived input (the
+    // random table stays as the documented sign-LSH worst case,
+    // SURVEY §12). The unordered fragment is cached: q_dedup_text_lsh
+    // consumes it for signatures, norms, AND dots.
+    "q_embed_text" -> ((s, d) => {
+      val tf = tokens(s, d).groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).as("tf"))
+      val df_ = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      tf.join(df_, Seq("tok"))
+        .withColumn("hv",
+          expr("cast(conv(substring(md5(tok), 1, 15), 16, 10) as bigint)"))
+        .groupBy(col("doc_id"), expr("cast(hv % 64 as int)").as("j"))
+        .agg(sum(expr(
+          "(case when (hv div 64) % 2 = 0 then 1 else -1 end) * tf * (100000 div df)"))
+          .as("v"))
+        .filter(col("v") =!= 0)
+        .select(col("doc_id"), col("j"), col("v"))
+        .cache() // shared with q_dedup_text_lsh below the sort
+        .orderBy(col("doc_id"), col("j"))
+    }),
+
+    // ANN consumer over the text embeddings: RANDOM-HYPERPLANE
+    // sign-LSH near-dup join (the q_dedup_embedding_lsh shape) with
+    // the ENTIRE pipeline — mean-centering, 63 ±1-hyperplane
+    // projections → 8 bands → band-equality candidates with a packed-
+    // signature hamming prefilter IN the join → exact cosine ≥ 0.9 —
+    // mirrored in the DuckDB oracle, banding included, so the result
+    // is hash-oracled end-to-end rather than rows-only.
+    //
+    // Two load-bearing steps, both measured the hard way at sf0.1:
+    //  1. CENTERING (c_j = v_j·N − S_j ≡ (v_j − mean_j)·N, cosine-
+    //     invariant; >> 12 keeps later products inside exact 64/128-
+    //     bit range). Raw hashed-tfidf sign bits are common-mode
+    //     correlated → quadratic bucket collisions (92 s).
+    //  2. PROJECTIONS, not coordinate signs: the per-dim distribution
+    //     is heavy-tailed (rare tokens carry w up to 1e5), so even
+    //     centered coordinates leave most docs below the mean and the
+    //     bits stay skewed (148 s). A ±1 pseudo-random hyperplane
+    //     (md5-derived, engine-portable) mixes all 64 dims per bit —
+    //     bits come out balanced, buckets uniform. 63 planes, not 64:
+    //     the packed signature must stay under BIGINT's sign bit in
+    //     both engines. The hamming ≤ 16 prefilter (codegen'd
+    //     bit_count inside the join condition) kills the ~N²/256
+    //     random same-bucket pairs during enumeration — only
+    //     near-dups reach the 64-dim dot verification (the
+    //     q_dedup_simhash_lsh lesson).
+    // The cosine gate is INTEGER-EXACT (dot > 0 and 100·dot² ≥
+    // 81·|a|²·|b|² in DECIMAL(38)/HUGEINT) so no borderline pair can
+    // flip between engines; the reported cosine double mirrors
+    // operand order. Scale: candidates meet in a (band, bucket)
+    // equi-join — never all-pairs; at much larger corpora widen the
+    // bands (more planes) to hold buckets sub-quadratic. Degenerate
+    // docs (< 4 nonzero dims) are excluded on both sides.
+    "q_dedup_text_lsh" -> ((s, d) => {
+      val emb = queries("q_embed_text")(s, d)
+        .select(col("doc_id"), col("j"), col("v")) // cached fragment
+      val docsE = emb.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("nz")).filter(col("nz") >= 4)
+        .select(col("doc_id"))
+      val nD = docsE.agg(count(lit(1)).as("nd"))
+      val sj = emb.groupBy(col("j")).agg(sum(col("v")).as("sj")) // ≤64 rows
+      val dims = s.range(0, 64).select(col("id").cast("int").as("j"))
+      val dense = docsE.crossJoin(broadcast(dims))
+        .join(emb, Seq("doc_id", "j"), "left")
+        .join(broadcast(sj), Seq("j"), "left")
+        .crossJoin(broadcast(nD))
+        .select(col("doc_id"), col("j"),
+          shiftright(coalesce(col("v"), lit(0L)) * col("nd") -
+            coalesce(col("sj"), lit(0L)), 12).as("c"))
+        .cache() // feeds projections, norms, and both dot sides
+      val rmat = s.range(0, 63).select(col("id").cast("int").as("k"))
+        .crossJoin(s.range(0, 64).select(col("id").cast("int").as("j")))
+        .withColumn("r", expr(
+          "case when cast(conv(substring(md5(concat(cast(k as string), " +
+            "'_', cast(j as string))), 1, 15), 16, 10) as bigint) % 2 = 0 " +
+            "then cast(1 as bigint) else cast(-1 as bigint) end"))
+      val proj = dense.join(broadcast(rmat), Seq("j"))
+        .groupBy(col("doc_id"), col("k"))
+        .agg(sum(col("r") * col("c")).as("p"))
+      val bands = proj.groupBy(col("doc_id"), expr("k div 8").as("band"))
+        .agg(sum(when(col("p") >= 0,
+          expr("shiftleft(cast(1 as bigint), k % 8)")).otherwise(0L)).as("bkt"))
+      val sigs = bands.groupBy(col("doc_id"))
+        .agg(sum(expr("shiftleft(bkt, cast(band * 8 as int))")).as("sig"))
+      // both self-join sides read this (docs × 8 rows, tiny): uncached,
+      // the dense→proj→bands→sigs subtree would execute twice
+      val keyed = bands.join(sigs, Seq("doc_id")).cache()
+      val aa = keyed.select(col("doc_id").as("da"), col("band").as("band_a"),
+        col("bkt").as("bkt_a"), col("sig").as("sig_a"))
+      val bb = keyed.select(col("doc_id").as("db"), col("band").as("band_b"),
+        col("bkt").as("bkt_b"), col("sig").as("sig_b"))
+      val cand = aa.join(bb, col("band_a") === col("band_b") &&
+          col("bkt_a") === col("bkt_b") && col("da") < col("db") &&
+          expr("bit_count(sig_a ^ sig_b)") <= 16)
+        .select(col("da"), col("db")).distinct()
+      // verification over PACKED per-doc vectors: a zip_with/aggregate
+      // dot per candidate row instead of a 64-rows-per-pair join+agg —
+      // the row-explosion form measured ~3× slower at sf0.1 (the
+      // corpus holds ~450k hamming-close candidates)
+      val cvecs = dense.groupBy(col("doc_id"))
+        .agg(expr("transform(sort_array(collect_list(struct(j, c))), x -> x.c)")
+          .as("cv"))
+        .cache() // norms + both dot sides
+      val nrm = cvecs.select(col("doc_id"), expr(
+        "aggregate(cv, cast(0 as bigint), (acc, x) -> acc + x * x)").as("n2"))
+      val dots = cand
+        .join(cvecs.select(col("doc_id").as("da"), col("cv").as("cva")), Seq("da"))
+        .join(cvecs.select(col("doc_id").as("db"), col("cv").as("cvb")), Seq("db"))
+        .select(col("da"), col("db"), expr(
+          "aggregate(zip_with(cva, cvb, (x, y) -> x * y), " +
+            "cast(0 as bigint), (acc, x) -> acc + x)").as("dot"))
+      val na = nrm.select(col("doc_id").as("da"), col("n2").as("na"))
+      val nb = nrm.select(col("doc_id").as("db"), col("n2").as("nb"))
+      dots.join(na, Seq("da")).join(nb, Seq("db"))
+        .filter(col("dot") > 0 &&
+          col("dot").cast("decimal(38,0)") * col("dot") * 100 >=
+            col("na").cast("decimal(38,0)") * col("nb") * 81)
+        .select(col("da"), col("db"),
+          round(col("dot").cast("double") /
+            sqrt(col("na").cast("double") * col("nb").cast("double")), 6)
+            .as("cos"))
+        .orderBy(col("da"), col("db"))
+    }),
+
     // TF-IDF: tf(doc,term) × ln(N/df(term)), top 100 scored pairs.
     "q_tfidf" -> ((s, d) => {
       val tf = tokens(s, d).groupBy(col("doc_id"), col("tok"))
@@ -276,6 +410,99 @@ object Retrieval extends QueryPack {
   )
 
   val oracle: Map[String, String] = Map(
+    // integer-exact hashed projection: md5 hex and all arithmetic are
+    // engine-portable; DuckDB SUM(BIGINT) widens to HUGEINT, so the
+    // final CAST pins the schema to Spark's BIGINT
+    "q_embed_text" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |             FROM documents),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok WHERE tok <> ''
+        |       GROUP BY 1, 2),
+        |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+        |h AS (SELECT tf.doc_id, tf.tf, df.df,
+        |        ('0x' || substr(md5(tf.tok), 1, 15))::BIGINT AS hv
+        |      FROM tf JOIN df USING (tok)),
+        |emb AS (SELECT doc_id, CAST(hv % 64 AS INT) AS j,
+        |          SUM((CASE WHEN (hv // 64) % 2 = 0 THEN 1 ELSE -1 END)
+        |              * tf * (100000 // df)) AS v
+        |        FROM h GROUP BY 1, 2)
+        |SELECT doc_id, j, CAST(v AS BIGINT) AS v FROM emb
+        |WHERE v <> 0 ORDER BY doc_id, j""".stripMargin,
+
+    // the FULL LSH pipeline mirrored — hashed projection, mean-
+    // centering (v·N − S_j, >> 12), 63 md5-derived ±1 hyperplanes,
+    // banding, the packed-signature hamming prefilter, integer-exact
+    // cosine gate — so the near-dup pair set is hash-oracled
+    // end-to-end (not an approximation audit). DuckDB's >> is
+    // arithmetic shift like Spark's shiftright (both floor, verified
+    // on negatives); SUMs widen to HUGEINT, hence the BIGINT casts at
+    // each fragment boundary.
+    "q_dedup_text_lsh" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |             FROM documents),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok WHERE tok <> ''
+        |       GROUP BY 1, 2),
+        |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+        |h AS (SELECT tf.doc_id, tf.tf, df.df,
+        |        ('0x' || substr(md5(tf.tok), 1, 15))::BIGINT AS hv
+        |      FROM tf JOIN df USING (tok)),
+        |emb0 AS (SELECT doc_id, CAST(hv % 64 AS INT) AS j,
+        |           SUM((CASE WHEN (hv // 64) % 2 = 0 THEN 1 ELSE -1 END)
+        |               * tf * (100000 // df)) AS v
+        |         FROM h GROUP BY 1, 2),
+        |emb AS (SELECT doc_id, j, CAST(v AS BIGINT) AS v FROM emb0 WHERE v <> 0),
+        |docs_e AS (SELECT doc_id FROM emb GROUP BY 1 HAVING count(*) >= 4),
+        |n_d AS (SELECT count(*) AS nd FROM docs_e),
+        |sj AS (SELECT j, CAST(SUM(v) AS BIGINT) AS sj FROM emb GROUP BY 1),
+        |dense AS (SELECT d.doc_id, g.j,
+        |            ((COALESCE(e.v, 0) * (SELECT nd FROM n_d)
+        |              - COALESCE(s.sj, 0)) >> 12) AS c
+        |          FROM docs_e d CROSS JOIN range(64) g(j)
+        |          LEFT JOIN emb e ON e.doc_id = d.doc_id AND e.j = g.j
+        |          LEFT JOIN sj s ON s.j = g.j),
+        |rmat AS (SELECT t1.range AS k, t2.range AS j,
+        |           CASE WHEN ('0x' || substr(md5(t1.range::VARCHAR || '_'
+        |                      || t2.range::VARCHAR), 1, 15))::BIGINT % 2 = 0
+        |                THEN 1::BIGINT ELSE (-1)::BIGINT END AS r
+        |         FROM range(63) t1 CROSS JOIN range(64) t2),
+        |proj AS (SELECT d.doc_id, r.k, SUM(r.r * d.c) AS p
+        |         FROM dense d JOIN rmat r ON r.j = d.j GROUP BY 1, 2),
+        |bands AS (SELECT doc_id, k // 8 AS band,
+        |            CAST(SUM(CASE WHEN p >= 0 THEN (1::BIGINT << (k % 8))
+        |                          ELSE 0 END) AS BIGINT) AS bkt
+        |          FROM proj GROUP BY 1, 2),
+        |sigs AS (SELECT doc_id,
+        |           CAST(SUM(bkt << CAST(band * 8 AS INT)) AS BIGINT) AS sig
+        |         FROM bands GROUP BY 1),
+        |keyed AS (SELECT b.doc_id, b.band, b.bkt, s.sig
+        |          FROM bands b JOIN sigs s USING (doc_id)),
+        |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+        |         FROM keyed a JOIN keyed b
+        |           ON a.band = b.band AND a.bkt = b.bkt
+        |          AND a.doc_id < b.doc_id
+        |          AND bit_count(xor(a.sig, b.sig)) <= 16),
+        |cvecs AS (SELECT doc_id, list(c ORDER BY j) AS cv
+        |          FROM dense GROUP BY 1),
+        |nrm AS (SELECT doc_id,
+        |          CAST(list_sum(list_transform(cv, x -> x * x)) AS BIGINT) AS n2
+        |        FROM cvecs),
+        |dots AS (SELECT c2.da, c2.db,
+        |           CAST(list_sum(list_transform(range(1, 65),
+        |                i -> a.cv[i] * b.cv[i])) AS BIGINT) AS dot
+        |         FROM cand c2
+        |         JOIN cvecs a ON a.doc_id = c2.da
+        |         JOIN cvecs b ON b.doc_id = c2.db)
+        |SELECT d.da, d.db,
+        |  round(CAST(d.dot AS DOUBLE)
+        |        / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)), 6) AS cos
+        |FROM dots d
+        |JOIN nrm na ON na.doc_id = d.da
+        |JOIN nrm nb ON nb.doc_id = d.db
+        |WHERE d.dot > 0
+        |  AND 100 * CAST(d.dot AS HUGEINT) * d.dot
+        |      >= 81 * CAST(na.n2 AS HUGEINT) * nb.n2
+        |ORDER BY 1, 2""".stripMargin,
+
 
     "q_tfidf" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok

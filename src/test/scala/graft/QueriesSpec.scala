@@ -38,7 +38,9 @@ class QueriesSpec extends SparkTestBase {
 
   test("oracles reference only driver-known tables") {
     val known = graft.engine.Tables.names.toSet
-    val tablePattern = "(?i)(?:FROM|JOIN)\\s+([a-z_][a-z0-9_]*)".r
+    // \b + lookahead: `FROM range(63)` is a TABLE FUNCTION, not a table
+    // (the \b stops backtracking from matching a shorter prefix)
+    val tablePattern = "(?i)(?:FROM|JOIN)\\s+([a-z_][a-z0-9_]*)\\b(?!\\s*\\()".r
     SparkEntry.oracleSql.foreach { case (name, sql) =>
       val cites = tablePattern.findAllMatchIn(sql).map(_.group(1).toLowerCase)
         .toSet -- Set("r", "null") // CTE self-ref; "FROM NULL" in IS NOT DISTINCT FROM NULL
