@@ -33,9 +33,15 @@ import org.apache.spark.sql.types.StructType
   * asserted against the built DataFrame at materialization, failing
   * fast on drift.
   */
-final class DeferredBody(val label: String, declared: StructType,
-    body: () => DataFrame) extends Serializable {
-  @volatile private var planned: SparkPlan = _
+final class DeferredBody(val label: String,
+    // @transient: SparkPlan nodes are Serializable and DO get dragged
+    // into task closures (e.g. WholeStageCodegen's doExecute) — the
+    // body closure and planned inner plan are driver-only and often
+    // capture non-serializable driver state (a SparkSession, a test
+    // harness); executors never touch them
+    @transient private val declared: StructType,
+    @transient private val body: () => DataFrame) extends Serializable {
+  @transient @volatile private var planned: SparkPlan = _
   def inner: SparkPlan = {
     if (planned == null) synchronized {
       if (planned == null) {

@@ -84,4 +84,22 @@ class AuditsSpec extends SparkTestBase {
         s"estimate $est outside [$c, c+εN] for ${r.getString(0)}")
     }
   }
+
+  test("cms_estimate rejects wrong input types at analysis time (r6 ADVICE)") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val df = Seq((1L, "x")).toDF("n", "s")
+    // string sketch: used to pass analysis and die with
+    // ClassCastException at execution
+    intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(org.apache.spark.sql.functions.expr("cms_estimate(s, s)"))
+        .collect()
+    }
+    // numeric item: would silently probe a different representation
+    // than CountMinSketchAgg counted
+    intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(org.apache.spark.sql.functions.expr(
+        "cms_estimate(cast(null as binary), n)")).collect()
+    }
+  }
 }

@@ -271,4 +271,28 @@ class DedupSimilaritySpec extends SparkTestBase {
         a.features.sameElements(b.features))
     }
   }
+
+  test("connectedComponents: 60-node chain converges via pointer doubling") {
+    import graft.operators.Pipeline
+    import spark.implicits._
+    // a pure path graph is the worst case for one-hop propagation
+    // (diameter 59 > the plain-round budget); pointer doubling from
+    // round 4 compresses it within the default maxIter = 20
+    val pairs = (0 until 59).map(i => (i.toLong, i.toLong + 1))
+      .toDF("da", "db")
+    val got = Pipeline.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 60)
+    assert(got.values.toSet == Set(0L), s"labels: ${got.values.toSet}")
+  }
+
+  test("connectedComponents: maxIter exit without fixpoint throws, never truncates") {
+    import graft.operators.Pipeline
+    import spark.implicits._
+    val pairs = (0 until 59).map(i => (i.toLong, i.toLong + 1))
+      .toDF("da", "db")
+    intercept[IllegalStateException] {
+      Pipeline.connectedComponents(pairs, maxIter = 2)
+    }
+  }
 }

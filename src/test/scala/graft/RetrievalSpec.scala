@@ -122,4 +122,41 @@ class RetrievalSpec extends SparkTestBase {
     val counts = rows.map(_.getLong(3))
     assert(counts.sameElements(counts.sorted.reverse))
   }
+
+  test("q_embed_text: deterministic, sparse-nonzero, and rebuild-stable") {
+    val a = q("q_embed_text").collect()
+    val b = q("q_embed_text").collect()
+    assert(a.nonEmpty && a.length == b.length)
+    a.zip(b).foreach { case (x, y) => assert(x == y) }
+    a.foreach { r =>
+      assert(r.getInt(1) >= 0 && r.getInt(1) < 64)
+      assert(r.getLong(2) != 0L) // v <> 0 filter holds
+    }
+  }
+
+  test("q_dedup_text_lsh: cosines match a driver-side recomputation of the full pipeline") {
+    val embRows = q("q_embed_text").collect()
+    val emb = embRows.groupBy(_.getLong(0)).map { case (id, rows) =>
+      val m = rows.map(r => r.getInt(1) -> r.getLong(2)).toMap
+      id -> (0 until 64).map(j => m.getOrElse(j, 0L)).toArray
+    }
+    // mirror the query: S_j over ALL embedded docs, N = eligible count
+    val eligible = emb.filter(_._2.count(_ != 0L) >= 4)
+    val n = eligible.size.toLong
+    val sj = (0 until 64).map(j => emb.values.map(_(j)).sum).toArray
+    def cvec(v: Array[Long]): Array[Long] =
+      (0 until 64).map(j => (v(j) * n - sj(j)) >> 12).toArray
+    val got = q("q_dedup_text_lsh").collect()
+    assert(got.nonEmpty, "vacuous: no near-dup pairs at test SF")
+    got.foreach { r =>
+      val (da, db, cos) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+      assert(da < db)
+      assert(cos >= 0.9 - 1e-9 && cos <= 1.0 + 1e-9, s"($da,$db) cos=$cos")
+      val (a, b) = (cvec(eligible(da)), cvec(eligible(db)))
+      val dot = (0 until 64).map(j => a(j).toDouble * b(j)).sum
+      val exp = dot / math.sqrt(
+        a.map(x => x.toDouble * x).sum * b.map(x => x.toDouble * x).sum)
+      assert(math.abs(exp - cos) < 1e-4, s"($da,$db): got $cos expected $exp")
+    }
+  }
 }

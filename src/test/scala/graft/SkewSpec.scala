@@ -31,4 +31,36 @@ class SkewSpec extends SparkTestBase {
     assert(p.contains("_salt"), p)
     assert(p.split("Exchange").length >= 3, "expected two shuffle stages\n" + p)
   }
+
+  test("MapType columns are tolerated and the salt mixes partition id (r6 ADVICE)") {
+    import spark.implicits._
+    // the old whole-row hash salt raised AnalysisException on any
+    // table carrying a MapType column
+    val df = Seq(("a", 1.0), ("a", 2.0), ("b", 3.0)).toDF("k", "v")
+      .withColumn("m", map(lit("x"), col("v")))
+    assert(df.schema("m").dataType
+      .isInstanceOf[org.apache.spark.sql.types.MapType])
+    val out = Skew.saltedSumCount(df, "k", "v").orderBy("k").collect()
+    assert(out.map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSeq ==
+      Seq(("a", 3.0, 2L), ("b", 3.0, 1L)))
+    // the salt must include spark_partition_id so hot keys whose rows
+    // are IDENTICAL (dup-heavy event data) still spread across buckets
+    // (analyzed plan: the physical string truncates wide projections
+    // and the optimizer folds a local Seq input into a LocalRelation,
+    // evaluating the salt away entirely)
+    val p = Skew.saltedSumCount(df, "k", "v")
+      .queryExecution.analyzed.toString.toLowerCase
+    assert(p.contains("spark_partition_id"), p)
+  }
+
+  test("duplicate-heavy input aggregates exactly (the case the salt exists for)") {
+    import spark.implicits._
+    val dup = Seq.fill(5000)(("hot", 2.5)).toDF("k", "v")
+      .union(Seq.fill(10)(("cold", 1.0)).toDF("k", "v"))
+      .repartition(8)
+    val got = Skew.saltedSumCount(dup, "k", "v", buckets = 8)
+      .orderBy("k").collect()
+    assert(got.map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSeq ==
+      Seq(("cold", 10.0, 10L), ("hot", 12500.0, 5000L)))
+  }
 }
