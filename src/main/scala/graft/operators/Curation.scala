@@ -329,6 +329,84 @@ object Curation extends QueryPack {
             .as("weight"))
         .orderBy(col("source"))
     }),
+
+    // Contamination ATTRIBUTION: for each benchmark doc (the %97 eval
+    // slice q_decontaminate uses), the top-3 training docs ranked by
+    // 3-gram containment C(bench→train) = |G_b ∩ G_t| / |G_b| — the
+    // "which training doc covers this eval item" report a
+    // decontamination AUDIT produces, where q_decontaminate only
+    // counts hits per training doc. Ranking is by the INTEGER
+    // intersection size (the per-bench denominator is constant inside
+    // each window partition), ties by train_id — no float ordering
+    // can diverge between engines. Chance single-gram collisions are
+    // suppressed (inter_n ≥ 2). Scale: the bench gram set is
+    // broadcast (eval suites are tiny vs the corpus), the corpus side
+    // is a scan + hash probe, and the top-3 window partitions by
+    // bench doc — bounded state, parallel across the suite.
+    "q_contain_attrib" -> ((s, d) => {
+      val g = grams(s, d, 3).distinct()
+      val bench = g.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("bench_id"), col("g"))
+      val nb = bench.groupBy(col("bench_id")).agg(count(lit(1)).as("n_bench"))
+      val win = Window.partitionBy(col("bench_id"))
+        .orderBy(desc("inter_n"), col("train_id"))
+      g.filter(col("doc_id") % 97 =!= 0)
+        .select(col("doc_id").as("train_id"), col("g"))
+        .join(broadcast(bench), Seq("g"))
+        .groupBy(col("bench_id"), col("train_id"))
+        .agg(count(lit(1)).as("inter_n"))
+        .filter(col("inter_n") >= 2)
+        .withColumn("rank", row_number().over(win))
+        .filter(col("rank") <= 3)
+        .join(broadcast(nb), Seq("bench_id"))
+        .select(col("bench_id"), col("rank"), col("train_id"),
+          col("inter_n"), col("n_bench"),
+          round(col("inter_n").cast("double") / col("n_bench"), 6)
+            .as("containment"))
+        .orderBy(col("bench_id"), col("rank"))
+    }),
+
+    // Domain-mix RESAMPLING — materialize q_domain_mix's α = 0.3
+    // temperature weights as an actual training subset: per-source
+    // keep-rate r_s ∝ weight_s / token_share_s, normalized so the
+    // most up-weighted source keeps everything (downsample-only — no
+    // replication), decided by a deterministic per-doc coin
+    // (md5-derived integer in [0, 1e9)) any engine reproduces. The
+    // keep decision is an INTEGER compare (u < round(r_s·1e9)) — no
+    // float threshold can flip a doc between engines; the double
+    // chain producing r_s is operand-order-mirrored in the oracle.
+    // Scale: the rate table is sources-sized and broadcast; the
+    // corpus pass is map-only (scan + hash + filter) — the shape
+    // production mixers use to hit a target mixture without a
+    // shuffle.
+    "q_mix_sample" -> ((s, d) => {
+      val per = docs(s, d)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " "))).cast("long").as("n_tokens"))
+        .withColumn("p_s",
+          round(pow(col("n_tokens").cast("double"), 0.3), 9)
+            .cast("decimal(28,10)"))
+      val tot = per.agg(sum(col("p_s")).as("p_tot"),
+        sum(col("n_tokens")).as("tok_tot"))
+      val rates = per.crossJoin(broadcast(tot))
+        .select(col("source"),
+          round((round(col("p_s").cast("double") / col("p_tot").cast("double"), 9) /
+            round(col("n_tokens").cast("double") / col("tok_tot").cast("double"), 9)), 9)
+            .as("raw"))
+      val mx = rates.agg(max(col("raw")).as("mx"))
+      val thr = rates.crossJoin(broadcast(mx))
+        .select(col("source"),
+          expr("cast(round(raw / mx * 1000000000, 0) as bigint)").as("thr"))
+      docs(s, d)
+        .select(col("doc_id"), col("source"), expr(
+          "cast(conv(substring(md5(concat('mix:', cast(doc_id as string))), 1, 15), 16, 10) as bigint) " +
+            "% 1000000000").as("u"))
+        .join(broadcast(thr), Seq("source"))
+        .filter(col("u") < col("thr"))
+        .select(col("doc_id"), col("source"), col("u"), col("thr"))
+        .orderBy(col("doc_id"))
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -436,5 +514,48 @@ object Curation extends QueryPack {
         |SELECT source, n_docs, n_tokens,
         |  round(CAST(p_s AS DOUBLE) / CAST(p_tot AS DOUBLE), 6) AS weight
         |FROM p, tot ORDER BY source""".stripMargin,
+
+    "q_contain_attrib" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |g AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS g
+        |      FROM w, LATERAL (SELECT unnest(generate_series(1, len(w)-2)) AS i) t
+        |      WHERE len(w) >= 3),
+        |nb AS (SELECT doc_id, count(*) AS n_bench FROM g
+        |       WHERE doc_id % 97 = 0 GROUP BY doc_id),
+        |inter AS (SELECT b.doc_id AS bench_id, a.doc_id AS train_id, count(*) AS inter_n
+        |          FROM g b JOIN g a USING (g)
+        |          WHERE b.doc_id % 97 = 0 AND a.doc_id % 97 <> 0 GROUP BY 1, 2),
+        |rk AS (SELECT bench_id, train_id, inter_n,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY bench_id
+        |           ORDER BY inter_n DESC, train_id) AS INT) AS rank
+        |       FROM inter WHERE inter_n >= 2)
+        |SELECT bench_id, rank, train_id, inter_n, n_bench,
+        |  round(CAST(inter_n AS DOUBLE) / n_bench, 6) AS containment
+        |FROM rk JOIN nb ON bench_id = nb.doc_id
+        |WHERE rank <= 3 ORDER BY bench_id, rank""".stripMargin,
+
+    "q_mix_sample" ->
+      """WITH per AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |p AS (SELECT source, n_tokens,
+        |  CAST(round(pow(CAST(n_tokens AS DOUBLE), CAST(0.3 AS DOUBLE)), 9)
+        |    AS DECIMAL(28,10)) AS p_s
+        |  FROM per),
+        |tot AS (SELECT sum(p_s) AS p_tot, CAST(sum(n_tokens) AS BIGINT) AS tok_tot FROM p),
+        |rates AS (SELECT source,
+        |  round(round(CAST(p_s AS DOUBLE) / CAST(p_tot AS DOUBLE), 9) /
+        |        round(CAST(n_tokens AS DOUBLE) / CAST(tok_tot AS DOUBLE), 9), 9) AS raw
+        |  FROM p, tot),
+        |mx AS (SELECT max(raw) AS mx FROM rates),
+        |thr AS (SELECT source,
+        |  CAST(round(raw / mx * 1000000000, 0) AS BIGINT) AS thr FROM rates, mx),
+        |u AS (SELECT doc_id, source,
+        |  CAST(('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+        |    % 1000000000 AS u
+        |  FROM documents)
+        |SELECT doc_id, u.source, u, thr FROM u JOIN thr USING (source)
+        |WHERE u < thr ORDER BY doc_id""".stripMargin,
   )
 }

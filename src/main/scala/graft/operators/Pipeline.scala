@@ -440,6 +440,85 @@ object Pipeline extends QueryPack {
       }
     }),
 
+    // EXACT duplicated-substring spans (the ExactSubstr pass of
+    // "Deduplicating Training Data Makes Language Models Better",
+    // Lee et al. 2022, §3.1 generalized to word grams): every maximal
+    // run of word positions whose 5-gram also occurs in ANOTHER
+    // document — the verbatim cross-document repeats a substring-level
+    // dedup pass would cut, with byte offsets a downstream splitter
+    // can apply. Shape: positional 5-grams built per-doc with a
+    // transform (no window), gram → distinct-doc count (corpus-keyed
+    // agg — spread), hits join back on the gram, then a
+    // gaps-and-islands merge per doc (pos − row_number is constant
+    // within a run; the window partitions BY DOC, so runs merge in
+    // parallel across docs — no global sort). Scale: the dup-gram
+    // table is linear in *duplicated* text, not corpus size; at
+    // 100 TB key the join on a 128-bit gram hash instead of the raw
+    // string to shrink shuffle width (same plan shape).
+    "q_dedup_substring" -> ((s, d) => {
+      val g = Tables.spread(Tables.t(s, d, "documents"), "doc_id")
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= 5)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(w)-4), i -> " +
+            "struct(i as pos, concat_ws(' ', slice(w, i, 5)) as g))")).as("pg"))
+        .select(col("doc_id"), col("pg.pos").as("pos"), col("pg.g").as("g"))
+        .cache() // feeds the dup-gram agg AND the hit join-back
+      val dup = g.groupBy(col("g"))
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") >= 2).select(col("g"))
+      val win = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("pos"))
+      g.join(dup, Seq("g")).select(col("doc_id"), col("pos"))
+        .withColumn("grp", col("pos") - row_number().over(win))
+        .groupBy(col("doc_id"), col("grp"))
+        .agg(min(col("pos")).as("span_start"),
+          (max(col("pos")) + 4).as("span_end"),
+          count(lit(1)).as("n_grams"))
+        .select(col("doc_id"), col("span_start"), col("span_end"),
+          (col("span_end") - col("span_start") + 1).as("span_len"),
+          col("n_grams"))
+        .orderBy(col("doc_id"), col("span_start"))
+    }),
+
+    // INCREMENTAL dedup — the shape a daily ingest actually runs: a
+    // new batch (doc_id % 10 = 0 stands in for today's crawl) deduped
+    // AGAINST the standing corpus without re-pairing the corpus with
+    // itself. Exact 3-gram Jaccard, batch×corpus only; the ≥ 0.5
+    // threshold is applied in INTEGER arithmetic (3·ix ≥ na+nb ⇔
+    // jac ≥ 0.5) so no borderline pair can flip vs the oracle. Scale:
+    // this is the query that makes dedup AFFORDABLE at 100 TB — the
+    // standing corpus is never self-joined again; the batch gram set
+    // (a day's crawl ≪ the corpus) is broadcast, so the corpus side
+    // is one scan + hash probe, and corpus gram counts aggregate
+    // map-side. The corpus-side self-dedup ran once, historically,
+    // via q_dedup_prefix_join/q_dedup_apply.
+    "q_dedup_incremental" -> ((s, d) => {
+      val g = Tables.spread(Tables.t(s, d, "documents"), "doc_id")
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= 3)
+        .select(col("doc_id"), explode(array_distinct(expr(
+          "transform(sequence(1, size(w)-2), i -> concat_ws(' ', slice(w, i, 3)))")))
+          .as("g"))
+      val batch = g.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id").as("batch_id"), col("g"))
+      val corpus = g.filter(col("doc_id") % 10 =!= 0)
+        .select(col("doc_id").as("corpus_id"), col("g"))
+      val nb = batch.groupBy(col("batch_id")).agg(count(lit(1)).as("nb"))
+      val nc = corpus.groupBy(col("corpus_id")).agg(count(lit(1)).as("nc"))
+      corpus.join(broadcast(batch), Seq("g"))
+        .groupBy(col("batch_id"), col("corpus_id"))
+        .agg(count(lit(1)).as("inter_n"))
+        .join(broadcast(nb), Seq("batch_id"))
+        .join(nc, Seq("corpus_id"))
+        .filter(col("inter_n") * 3 >= col("nb") + col("nc"))
+        .select(col("batch_id"), col("corpus_id"), col("inter_n"),
+          (col("nb") + col("nc") - col("inter_n")).as("union_n"),
+          round(col("inter_n").cast("double") /
+            (col("nb") + col("nc") - col("inter_n")), 6).as("jac"))
+        .orderBy(col("batch_id"), col("corpus_id"))
+    }),
+
     // MinHash + LSH banding: near-dup candidate pairs + estimated
     // jaccard from signature agreement. Deterministic seeds via
     // xxhash64(i, shingle). Rows-only check; ground-truthed against
@@ -941,6 +1020,39 @@ object Pipeline extends QueryPack {
         |  coalesce(l.cluster_id, d.doc_id) = d.doc_id AS is_kept
         |FROM documents d LEFT JOIN lbl l ON d.doc_id = l.node
         |ORDER BY d.doc_id""".stripMargin,
+
+    "q_dedup_substring" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |g AS (SELECT doc_id, i AS pos, array_to_string(w[i:i+4], ' ') AS g
+        |      FROM w, LATERAL (SELECT unnest(generate_series(1, len(w)-4)) AS i) t
+        |      WHERE len(w) >= 5),
+        |dup AS (SELECT g FROM g GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+        |hit AS (SELECT doc_id, pos FROM g JOIN dup USING (g)),
+        |isl AS (SELECT doc_id, pos,
+        |          pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        |        FROM hit)
+        |SELECT doc_id, CAST(min(pos) AS INT) AS span_start,
+        |  CAST(max(pos) + 4 AS INT) AS span_end,
+        |  CAST(max(pos) - min(pos) + 5 AS INT) AS span_len,
+        |  count(*) AS n_grams
+        |FROM isl GROUP BY doc_id, grp ORDER BY doc_id, span_start""".stripMargin,
+
+    "q_dedup_incremental" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |g AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS g
+        |      FROM w, LATERAL (SELECT unnest(generate_series(1, len(w)-2)) AS i) t
+        |      WHERE len(w) >= 3),
+        |nb AS (SELECT doc_id, count(*) AS nb FROM g WHERE doc_id % 10 = 0 GROUP BY doc_id),
+        |nc AS (SELECT doc_id, count(*) AS nc FROM g WHERE doc_id % 10 <> 0 GROUP BY doc_id),
+        |inter AS (SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id, count(*) AS inter_n
+        |          FROM g b JOIN g c USING (g)
+        |          WHERE b.doc_id % 10 = 0 AND c.doc_id % 10 <> 0 GROUP BY 1, 2)
+        |SELECT batch_id, corpus_id, inter_n,
+        |  CAST(nb.nb + nc.nc - inter_n AS BIGINT) AS union_n,
+        |  round(CAST(inter_n AS DOUBLE) / (nb.nb + nc.nc - inter_n), 6) AS jac
+        |FROM inter JOIN nb ON batch_id = nb.doc_id JOIN nc ON corpus_id = nc.doc_id
+        |WHERE inter_n * 3 >= nb.nb + nc.nc
+        |ORDER BY batch_id, corpus_id""".stripMargin,
 
     "q_dedup_embedding" ->
       """WITH e AS (

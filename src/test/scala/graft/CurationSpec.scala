@@ -176,4 +176,58 @@ class CurationSpec extends SparkTestBase {
     assert(top.getDouble(3) < top.getLong(2) / tot,
       s"α-mix failed to down-weight the dominant source: $top")
   }
+
+  test("q_contain_attrib: ranks contiguous, ordered by integer intersection, scores recompute") {
+    val rows = q("q_contain_attrib").collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (bench, rs) =>
+      val sorted = rs.sortBy(_.getInt(1))
+      assert(sorted.map(_.getInt(1)).sameElements(1 to rs.length),
+        s"bench $bench ranks not 1..k")
+      val inters = sorted.map(_.getLong(3))
+      assert(inters.sameElements(inters.sorted.reverse),
+        s"bench $bench not ordered by inter_n desc")
+      assert(inters.forall(_ >= 2))
+    }
+    // recompute one containment driver-side from raw text
+    val r = rows.head
+    def grams3(id: Long): Set[String] = {
+      val w = graft.engine.Tables.t(spark, sf, "documents")
+        .filter(col("doc_id") === id).collect()(0)
+        .getAs[String]("text").split(" ")
+      w.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+    }
+    val (gb, gt) = (grams3(r.getLong(0)), grams3(r.getLong(2)))
+    assert(r.getLong(3) == gb.intersect(gt).size.toLong, "inter_n mismatch")
+    assert(r.getLong(4) == gb.size.toLong, "n_bench mismatch")
+  }
+
+  test("q_mix_sample: argmax source keeps everything, others thin to ~thr/1e9") {
+    val rows = q("q_mix_sample").collect()
+    val thr = rows.map(r => r.getString(1) -> r.getLong(3)).toMap
+    assert(thr.values.max == 1000000000L,
+      "downsample-only contract: most up-weighted source must keep all")
+    val perSource = graft.engine.Tables.t(spark, sf, "documents")
+      .groupBy(col("source")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = rows.groupBy(_.getString(1)).view.mapValues(_.length.toLong).toMap
+    thr.foreach { case (src, t) =>
+      val (n, k) = (perSource(src), kept.getOrElse(src, 0L))
+      if (t == 1000000000L) assert(k == n, s"$src lost docs despite rate 1")
+      else {
+        val p = t.toDouble / 1e9
+        val sd = math.sqrt(n * p * (1 - p))
+        assert(math.abs(k - n * p) <= 5 * sd + 1,
+          s"$src kept $k of $n, expected ~${n * p} ± ${5 * sd}")
+      }
+    }
+    // the coin is the documented md5 derivation
+    rows.take(20).foreach { r =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"mix:${r.getLong(0)}".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      assert(r.getLong(2) == java.lang.Long.parseLong(hex, 16) % 1000000000L)
+      assert(r.getLong(2) < r.getLong(3))
+    }
+  }
 }

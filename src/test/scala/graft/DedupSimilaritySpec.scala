@@ -295,4 +295,72 @@ class DedupSimilaritySpec extends SparkTestBase {
       Pipeline.connectedComponents(pairs, maxIter = 2)
     }
   }
+
+  test("q_dedup_substring: spans are maximal, disjoint, and every gram truly cross-doc") {
+    val spans = q("q_dedup_substring").collect()
+    assert(spans.nonEmpty)
+    // structural invariants: len = end-start+1 = n_grams+4; per-doc
+    // spans disjoint AND non-adjacent (adjacent would mean non-maximal)
+    spans.foreach { r =>
+      assert(r.getInt(3) == r.getInt(2) - r.getInt(1) + 1)
+      assert(r.getLong(4) == r.getInt(3) - 4L)
+    }
+    spans.groupBy(_.getLong(0)).foreach { case (doc, rs) =>
+      val sorted = rs.sortBy(_.getInt(1))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getInt(1) > a.getInt(2) - 4 + 1,
+            s"doc $doc: spans mergeable — not maximal islands")
+        case _ =>
+      }
+    }
+    // semantic: every 5-gram inside a sampled span occurs in ANOTHER doc
+    val texts = Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ")).toMap
+    val gramOwners = texts.toSeq.flatMap { case (id, w) =>
+      w.sliding(5).filter(_.length == 5).map(g => g.mkString(" ") -> id)
+    }.groupBy(_._1).view.mapValues(_.map(_._2).distinct).toMap
+    spans.take(10).foreach { r =>
+      val (doc, s0, s1) = (r.getLong(0), r.getInt(1), r.getInt(2))
+      val w = texts(doc)
+      (s0 to s1 - 4).foreach { p =>
+        val g = w.slice(p - 1, p + 4).mkString(" ")
+        assert(gramOwners(g).exists(_ != doc),
+          s"doc $doc pos $p: gram not shared with any other doc")
+      }
+      // maximality outward: the grams just outside the span are NOT shared
+      if (s0 > 1) {
+        val g = w.slice(s0 - 2, s0 + 3).mkString(" ")
+        assert(!gramOwners(g).exists(_ != doc), s"doc $doc: span extends left")
+      }
+    }
+  }
+
+  test("q_dedup_incremental: batch x corpus only, jaccard recomputes exactly") {
+    val rows = q("q_dedup_incremental").collect()
+    assert(rows.nonEmpty)
+    val texts = Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ")
+        .sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet).toMap
+    rows.foreach { r =>
+      val (b, c) = (r.getLong(0), r.getLong(1))
+      assert(b % 10 == 0 && c % 10 != 0, s"($b,$c) crosses the split wrong way")
+      val (gb, gc) = (texts(b), texts(c))
+      val ix = gb.intersect(gc).size.toLong
+      assert(r.getLong(2) == ix, s"($b,$c) inter_n")
+      assert(r.getLong(3) == gb.size + gc.size - ix, s"($b,$c) union_n")
+      assert(3 * ix >= gb.size + gc.size, s"($b,$c) below threshold")
+    }
+    // completeness: driver-side exhaustive scan finds no pair the query missed
+    val batchIds = texts.keys.filter(_ % 10 == 0)
+    val corpusIds = texts.keys.filter(_ % 10 != 0).toSeq
+    val expected = (for {
+      b <- batchIds; c <- corpusIds
+      ix = texts(b).intersect(texts(c)).size
+      if 3 * ix >= texts(b).size + texts(c).size && texts(b).nonEmpty
+    } yield (b, c)).toSet
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSet == expected)
+  }
 }

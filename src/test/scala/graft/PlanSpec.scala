@@ -337,4 +337,30 @@ class PlanSpec extends SparkTestBase {
     assert("BroadcastHashJoin \\[doc_id".r
       .findFirstIn(plan("q_bm25")).isDefined, plan("q_bm25"))
   }
+
+  // --- round-6 incremental-curation pack ---
+
+  test("q_dedup_substring: island merge windows per doc, dup-gram join is equi") {
+    val p = plan("q_dedup_substring")
+    assert(p.contains("windowspecdefinition(doc_id"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q_dedup_incremental: the batch gram set broadcasts (corpus side never shuffles)") {
+    val p = plan("q_dedup_incremental")
+    assert("BroadcastHashJoin \\[g#".r.findFirstIn(p).isDefined, p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q_contain_attrib: bench grams broadcast, top-3 window partitions by bench doc") {
+    val p = plan("q_contain_attrib")
+    assert("BroadcastHashJoin \\[g#".r.findFirstIn(p).isDefined, p)
+    assert(p.contains("windowspecdefinition(bench_id"), p)
+  }
+
+  test("q_mix_sample: the rate table broadcasts onto a map-only corpus pass") {
+    val p = plan("q_mix_sample")
+    assert("BroadcastHashJoin \\[source#".r.findFirstIn(p).isDefined, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }
