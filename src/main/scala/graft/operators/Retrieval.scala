@@ -3,8 +3,11 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{BooleanType, StructField, StructType}
 
 import graft.engine.{QueryPack, Tables}
+import graft.functions.GraftFunctions
+import graft.plans.Deferred
 
 /** Round-4 retrieval & corpus-statistics operators: TF-IDF, BM25
   * scoring, co-occurrence PMI, a bigram language model, sliding-window
@@ -52,6 +55,53 @@ object Retrieval extends QueryPack {
   private def tokens(s: SparkSession, d: String): DataFrame =
     docs(s, d).select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .filter(col("tok") =!= "")
+
+  /** Dense mean-centered text-content vectors (doc_id, j, c) — the
+    * shared basis of q_dedup_text_lsh and q_dedup_semantic. c_j =
+    * (v_j·N − S_j) >> 12: cosine-invariant centering kept in exact
+    * integer range. Docs with < 4 nonzero dims are excluded. Cached:
+    * feeds projections, norms, and packed vectors. */
+  private def centeredDense(s: SparkSession, d: String): DataFrame = {
+    val emb = queries("q_embed_text")(s, d)
+      .select(col("doc_id"), col("j"), col("v")) // cached fragment
+    val docsE = emb.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("nz")).filter(col("nz") >= 4)
+      .select(col("doc_id"))
+    val nD = docsE.agg(count(lit(1)).as("nd"))
+    val sj = emb.groupBy(col("j")).agg(sum(col("v")).as("sj")) // ≤64 rows
+    val dims = s.range(0, 64).select(col("id").cast("int").as("j"))
+    docsE.crossJoin(broadcast(dims))
+      .join(emb, Seq("doc_id", "j"), "left")
+      .join(broadcast(sj), Seq("j"), "left")
+      .crossJoin(broadcast(nD))
+      .select(col("doc_id"), col("j"),
+        shiftright(coalesce(col("v"), lit(0L)) * col("nd") -
+          coalesce(col("sj"), lit(0L)), 12).as("c"))
+      .cache() // feeds projections, norms, and both dot sides
+  }
+
+  /** Packed per-doc centered vectors (doc_id, cv: array<bigint>) —
+    * one row per doc, dims in j order. Cached: norms + both sides of
+    * every pairwise dot. */
+  private def packedVecs(s: SparkSession, d: String): DataFrame =
+    centeredDense(s, d).groupBy(col("doc_id"))
+      .agg(expr("transform(sort_array(collect_list(struct(j, c))), x -> x.c)")
+        .as("cv"))
+      .cache()
+
+  /** packedVecs plus a float mirror (vf) and its float norm (n2f):
+    * pairwise PREFILTERS run on the codegen'd dot_d over floats —
+    * float error is ~1e-6 relative, three orders below the 0.88-vs-
+    * 0.90 margin every caller uses, so no true pair can be lost; the
+    * integer cv stays authoritative for the exact gate. Cached: both
+    * sides of every candidate join. */
+  private def packedVecsF(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    packedVecs(s, d).select(col("doc_id"), col("cv"),
+        expr("transform(cv, x -> cast(x as float))").as("vf"))
+      .withColumn("n2f", GraftFunctions.dot_d(col("vf"), col("vf")))
+      .cache()
+  }
 
   val queries: Map[String, Q] = Map(
 
@@ -119,39 +169,48 @@ object Retrieval extends QueryPack {
     // bands (more planes) to hold buckets sub-quadratic. Degenerate
     // docs (< 4 nonzero dims) are excluded on both sides.
     "q_dedup_text_lsh" -> ((s, d) => {
-      val emb = queries("q_embed_text")(s, d)
-        .select(col("doc_id"), col("j"), col("v")) // cached fragment
-      val docsE = emb.groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("nz")).filter(col("nz") >= 4)
-        .select(col("doc_id"))
-      val nD = docsE.agg(count(lit(1)).as("nd"))
-      val sj = emb.groupBy(col("j")).agg(sum(col("v")).as("sj")) // ≤64 rows
-      val dims = s.range(0, 64).select(col("id").cast("int").as("j"))
-      val dense = docsE.crossJoin(broadcast(dims))
-        .join(emb, Seq("doc_id", "j"), "left")
-        .join(broadcast(sj), Seq("j"), "left")
-        .crossJoin(broadcast(nD))
-        .select(col("doc_id"), col("j"),
-          shiftright(coalesce(col("v"), lit(0L)) * col("nd") -
-            coalesce(col("sj"), lit(0L)), 12).as("c"))
-        .cache() // feeds projections, norms, and both dot sides
-      val rmat = s.range(0, 63).select(col("id").cast("int").as("k"))
+      GraftFunctions.register(s)
+      val dense = centeredDense(s, d)
+      // ADAPTIVE band width (round-6 10× lesson): with a FIXED 8-bit
+      // bucket, same-bucket pairs grow quadratically in the corpus
+      // (measured: 103M enumerated pairs / 1.9 GB shuffle / 35 s at
+      // 10× vs 1M / 3 s at 1×). w = the smallest width in 8..16 with
+      // 24·2^w ≥ n keeps expected bucket occupancy ≤ 24 docs, so
+      // enumeration stays ~linear; w is selected IN-PLAN by integer
+      // comparison (no transcendentals, no build-time job) and the
+      // oracle derives the identical w from the same count. The plane
+      // pool is a static 128×64 table (w ≤ 16); beyond n ≈ 1.5M docs
+      // per partition-of-corpus, shard or raise the cap.
+      val nD = dense.agg(countDistinct(col("doc_id")).as("nd"))
+      val wSel = s.range(8, 17).select(col("id").cast("int").as("w"))
+        .crossJoin(nD)
+        .agg(coalesce(min(when(
+          expr("shiftleft(cast(1 as bigint), w)") * 24 >= col("nd"), col("w"))),
+          lit(16)).as("w"))
+      val rmat = s.range(0, 128).select(col("id").cast("int").as("k"))
         .crossJoin(s.range(0, 64).select(col("id").cast("int").as("j")))
         .withColumn("r", expr(
           "case when cast(conv(substring(md5(concat(cast(k as string), " +
             "'_', cast(j as string))), 1, 15), 16, 10) as bigint) % 2 = 0 " +
             "then cast(1 as bigint) else cast(-1 as bigint) end"))
       val proj = dense.join(broadcast(rmat), Seq("j"))
-        .groupBy(col("doc_id"), col("k"))
+        .crossJoin(broadcast(wSel))
+        .filter(col("k") < col("w") * 8)
+        .groupBy(col("doc_id"), col("k"), col("w"))
         .agg(sum(col("r") * col("c")).as("p"))
-      val bands = proj.groupBy(col("doc_id"), expr("k div 8").as("band"))
+        // buckets AND sig read this — uncached, the dense→proj subtree
+        // ran twice (measured 2.1 GB shuffle at 10× from the rebuild)
+        .cache()
+      val buckets = proj.groupBy(col("doc_id"), expr("k div w").as("band"))
         .agg(sum(when(col("p") >= 0,
-          expr("shiftleft(cast(1 as bigint), k % 8)")).otherwise(0L)).as("bkt"))
-      val sigs = bands.groupBy(col("doc_id"))
-        .agg(sum(expr("shiftleft(bkt, cast(band * 8 as int))")).as("sig"))
-      // both self-join sides read this (docs × 8 rows, tiny): uncached,
-      // the dense→proj→bands→sigs subtree would execute twice
-      val keyed = bands.join(sigs, Seq("doc_id")).cache()
+          expr("shiftleft(cast(1 as bigint), k % w)")).otherwise(0L)).as("bkt"))
+      // the 63-plane hamming signature is decoupled from bucket
+      // packing (k < 63 always — identical to the former band-packed
+      // form at w = 8)
+      val sigs = proj.filter(col("k") < 63).groupBy(col("doc_id"))
+        .agg(sum(when(col("p") >= 0,
+          expr("shiftleft(cast(1 as bigint), k)")).otherwise(0L)).as("sig"))
+      val keyed = buckets.join(sigs, Seq("doc_id")).cache()
       val aa = keyed.select(col("doc_id").as("da"), col("band").as("band_a"),
         col("bkt").as("bkt_a"), col("sig").as("sig_a"))
       val bb = keyed.select(col("doc_id").as("db"), col("band").as("band_b"),
@@ -160,25 +219,30 @@ object Retrieval extends QueryPack {
           col("bkt_a") === col("bkt_b") && col("da") < col("db") &&
           expr("bit_count(sig_a ^ sig_b)") <= 16)
         .select(col("da"), col("db")).distinct()
-      // verification over PACKED per-doc vectors: a zip_with/aggregate
-      // dot per candidate row instead of a 64-rows-per-pair join+agg —
-      // the row-explosion form measured ~3× slower at sf0.1 (the
-      // corpus holds ~450k hamming-close candidates)
-      val cvecs = dense.groupBy(col("doc_id"))
-        .agg(expr("transform(sort_array(collect_list(struct(j, c))), x -> x.c)")
-          .as("cv"))
-        .cache() // norms + both dot sides
-      val nrm = cvecs.select(col("doc_id"), expr(
-        "aggregate(cv, cast(0 as bigint), (acc, x) -> acc + x * x)").as("n2"))
+      // verification over PACKED per-doc vectors: codegen'd float
+      // dot_d ≥ 0.88 prefilter first (margin argument in packedVecsF),
+      // the interpreted integer-exact gate only on survivors — the
+      // zip_with-on-everything form measured 43 s at 10×. The vector
+      // table is BROADCAST into both joins: it is docs-sized (~800 B/
+      // doc) while the candidate stream is pairs-sized — shuffling
+      // pairs+arrays measured 1.3 GB at 10× vs ~0 broadcast. Beyond
+      // broadcastable corpus sizes, bucket both sides by doc_id range
+      // instead (Layout.bucketed) — the pair stream still never
+      // re-shuffles with arrays attached.
+      val cvf = packedVecsF(s, d)
+      val fdot = GraftFunctions.dot_d(col("vfa"), col("vfb"))
       val dots = cand
-        .join(cvecs.select(col("doc_id").as("da"), col("cv").as("cva")), Seq("da"))
-        .join(cvecs.select(col("doc_id").as("db"), col("cv").as("cvb")), Seq("db"))
+        .join(broadcast(cvf.select(col("doc_id").as("da"), col("cv").as("cva"),
+          col("vf").as("vfa"), col("n2f").as("n2a"))), Seq("da"))
+        .join(broadcast(cvf.select(col("doc_id").as("db"), col("cv").as("cvb"),
+          col("vf").as("vfb"), col("n2f").as("n2b"))), Seq("db"))
+        .filter(fdot > 0 && fdot * fdot >= lit(0.7744) * col("n2a") * col("n2b"))
         .select(col("da"), col("db"), expr(
           "aggregate(zip_with(cva, cvb, (x, y) -> x * y), " +
-            "cast(0 as bigint), (acc, x) -> acc + x)").as("dot"))
-      val na = nrm.select(col("doc_id").as("da"), col("n2").as("na"))
-      val nb = nrm.select(col("doc_id").as("db"), col("n2").as("nb"))
-      dots.join(na, Seq("da")).join(nb, Seq("db"))
+            "cast(0 as bigint), (acc, x) -> acc + x)").as("dot"),
+          expr("aggregate(cva, cast(0 as bigint), (acc, x) -> acc + x * x)").as("na"),
+          expr("aggregate(cvb, cast(0 as bigint), (acc, x) -> acc + x * x)").as("nb"))
+      dots
         .filter(col("dot") > 0 &&
           col("dot").cast("decimal(38,0)") * col("dot") * 100 >=
             col("na").cast("decimal(38,0)") * col("nb") * 81)
@@ -187,6 +251,100 @@ object Retrieval extends QueryPack {
             sqrt(col("na").cast("double") * col("nb").cast("double")), 6)
             .as("cos"))
         .orderBy(col("da"), col("db"))
+    }),
+
+    // SemDeDup-style SEMANTIC dedup (Abbas et al. 2023): k-means
+    // cluster the content-derived text embeddings, then prune within
+    // each cluster — a doc is dropped when a LOWER-ID doc in the SAME
+    // cell has cosine ≥ 0.9 with it. The pairwise pass is
+    // cluster-scoped by construction, and k SCALES WITH THE CORPUS
+    // (k = ⌈n/160⌉, floor 32) so expected cell size stays bounded and
+    // the per-cell pairwise distributes — with fixed k, 10× data
+    // makes each cell 10× bigger and the pairwise 100× (measured: the
+    // fixed-k form did not finish the 10× stress pass that every
+    // other query completes in seconds). Deriving k needs the corpus
+    // count, so the body runs inside plans.Deferred — builds stay
+    // job-free and k is fixed at first execution. Candidates meet in
+    // a cell-id equi-join, never all-pairs. Clustering is
+    // deterministic across runs: seeds are the k hash-ranked docs,
+    // centroid means aggregate as exact decimals (order-independent),
+    // assignment ties break by cell id. The drop verdict uses the
+    // SAME integer-exact cosine gate as q_dedup_text_lsh (dot > 0 ∧
+    // 100·dot² ≥ 81·na·nb in DECIMAL(38)) — assignment geometry is
+    // float (rows-only; clustering is engine-specific) but no verdict
+    // can flip on a borderline cosine. "Min-id wins locally": the
+    // lower-id doc of a dup pair survives unless itself shadowed —
+    // one pass, no iteration (contrast q_dedup_apply's transitive
+    // closure).
+    "q_dedup_semantic" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val idT = Tables.t(s, d, "documents").schema("doc_id").dataType
+      Deferred.df(s, s"dedup_semantic:$d", StructType(Seq(
+        StructField("doc_id", idT), StructField("cid", idT),
+        StructField("is_kept", BooleanType, nullable = false)))) { () =>
+      // all CLUSTERING geometry and the pairwise PREFILTER run on
+      // codegen'd dot_d over the float mirror (the interpreted
+      // zip_with form measured 8.0 s at sf0.1; this form 2 s)
+      val cvf = packedVecsF(s, d)
+      val kCells = math.max(32, (cvf.count() / 160L + 1L).toInt)
+      val rounds = 2
+      def sqDist = col("n2f") - lit(2.0) * GraftFunctions.dot_d(col("vf"), col("cvec")) +
+        GraftFunctions.dot_d(col("cvec"), col("cvec"))
+      def assignOf(docsV: DataFrame, cents: DataFrame): DataFrame =
+        docsV.crossJoin(broadcast(cents))
+          .groupBy(col("doc_id"))
+          .agg(min(struct(sqDist.as("dist"), col("cid"))).as("m"))
+          .select(col("doc_id"), col("m.cid").as("cid"))
+      // quantizer FIT on a bounded hash-sample (16 Ki docs): Lloyd
+      // rounds cost O(sample·k), not O(n·k) — with k ∝ n, fitting on
+      // the full corpus is quadratic (measured: 2.6 s → 15.8 s at 10×
+      // before the sample bound). The one remaining O(n·k) pass is the
+      // final full-corpus assignment — the algorithm's irreducible
+      // cost (production SemDeDup pays it approximately on
+      // accelerators); it is map-only over broadcast centroids, so
+      // per-executor work scales with its partition share.
+      val fit = cvf.orderBy(xxhash64(col("doc_id")), col("doc_id"))
+        .limit(16384)
+        .select(col("doc_id"), col("vf"), col("n2f")).cache()
+      var cents = fit.orderBy(xxhash64(col("doc_id")), col("doc_id"))
+        .limit(kCells)
+        .select(col("doc_id").as("cid"), col("vf").as("cvec"))
+      (1 to rounds).foreach { _ =>
+        cents = assignOf(fit, cents)
+          .join(fit, Seq("doc_id"))
+          .select(col("cid"), posexplode(col("vf")).as(Seq("pos", "x")))
+          .groupBy(col("cid"), col("pos"))
+          .agg(avg(col("x").cast("decimal(28,6)")).cast("double").as("mx"))
+          .groupBy(col("cid"))
+          .agg(expr("transform(array_sort(collect_list(struct(pos, mx))), " +
+            "s -> cast(s.mx as float))").as("cvec"))
+      }
+      val cells = assignOf(cvf, cents.cache()).cache() // both join sides + output
+      val sides = cells.join(cvf, Seq("doc_id")).cache()
+      val aa = sides.select(col("cid"), col("doc_id").as("da"),
+        col("cv").as("cva"), col("vf").as("vfa"), col("n2f").as("n2a"))
+      val bb = sides.select(col("cid").as("cid_b"), col("doc_id").as("db"),
+        col("cv").as("cvb"), col("vf").as("vfb"), col("n2f").as("n2b"))
+      // float cos ≥ 0.88 prefilter INSIDE the join — survivors (near
+      // dups only) reach the interpreted exact gate
+      val fdot = GraftFunctions.dot_d(col("vfa"), col("vfb"))
+      val shadowed = aa.join(bb, col("cid") === col("cid_b") &&
+          col("da") < col("db") && fdot > 0 &&
+          fdot * fdot >= lit(0.7744) * col("n2a") * col("n2b"))
+        .select(col("da"), col("db"), expr(
+          "aggregate(zip_with(cva, cvb, (x, y) -> x * y), " +
+            "cast(0 as bigint), (acc, x) -> acc + x)").as("dot"),
+          expr("aggregate(cva, cast(0 as bigint), (acc, x) -> acc + x * x)").as("na"),
+          expr("aggregate(cvb, cast(0 as bigint), (acc, x) -> acc + x * x)").as("nb"))
+        .filter(col("dot") > 0 && // lower id shadows higher, exact ≥ 0.9
+          col("dot").cast("decimal(38,0)") * col("dot") * 100 >=
+            col("na").cast("decimal(38,0)") * col("nb") * 81)
+        .select(col("db").as("doc_id")).distinct()
+      cells.join(shadowed.withColumn("shadowed", lit(true)), Seq("doc_id"), "left")
+        .select(col("doc_id"), col("cid"),
+          coalesce(!col("shadowed"), lit(true)).as("is_kept"))
+        .orderBy(col("doc_id"))
+      }
     }),
 
     // TF-IDF: tf(doc,term) × ln(N/df(term)), top 100 scored pairs.
@@ -460,20 +618,27 @@ object Retrieval extends QueryPack {
         |          FROM docs_e d CROSS JOIN range(64) g(j)
         |          LEFT JOIN emb e ON e.doc_id = d.doc_id AND e.j = g.j
         |          LEFT JOIN sj s ON s.j = g.j),
+        |wsel AS (SELECT coalesce(min(CASE WHEN 24 * (1::BIGINT << w.range)
+        |                  >= (SELECT nd FROM n_d) THEN w.range END), 16) AS w
+        |         FROM range(8, 17) w),
         |rmat AS (SELECT t1.range AS k, t2.range AS j,
         |           CASE WHEN ('0x' || substr(md5(t1.range::VARCHAR || '_'
         |                      || t2.range::VARCHAR), 1, 15))::BIGINT % 2 = 0
         |                THEN 1::BIGINT ELSE (-1)::BIGINT END AS r
-        |         FROM range(63) t1 CROSS JOIN range(64) t2),
+        |         FROM range(128) t1 CROSS JOIN range(64) t2),
         |proj AS (SELECT d.doc_id, r.k, SUM(r.r * d.c) AS p
-        |         FROM dense d JOIN rmat r ON r.j = d.j GROUP BY 1, 2),
-        |bands AS (SELECT doc_id, k // 8 AS band,
-        |            CAST(SUM(CASE WHEN p >= 0 THEN (1::BIGINT << (k % 8))
+        |         FROM dense d JOIN rmat r ON r.j = d.j
+        |         WHERE r.k < 8 * (SELECT w FROM wsel) GROUP BY 1, 2),
+        |bands AS (SELECT doc_id, k // (SELECT w FROM wsel) AS band,
+        |            CAST(SUM(CASE WHEN p >= 0
+        |                          THEN (1::BIGINT << CAST(k % (SELECT w FROM wsel) AS INT))
         |                          ELSE 0 END) AS BIGINT) AS bkt
         |          FROM proj GROUP BY 1, 2),
         |sigs AS (SELECT doc_id,
-        |           CAST(SUM(bkt << CAST(band * 8 AS INT)) AS BIGINT) AS sig
-        |         FROM bands GROUP BY 1),
+        |           CAST(SUM(CASE WHEN p >= 0 AND k < 63
+        |                         THEN (1::BIGINT << CAST(k AS INT))
+        |                         ELSE 0 END) AS BIGINT) AS sig
+        |         FROM proj GROUP BY 1),
         |keyed AS (SELECT b.doc_id, b.band, b.bkt, s.sig
         |          FROM bands b JOIN sigs s USING (doc_id)),
         |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db

@@ -363,4 +363,17 @@ class PlanSpec extends SparkTestBase {
     assert("BroadcastHashJoin \\[source#".r.findFirstIn(p).isDefined, p)
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  test("q_dedup_semantic: pairwise pass meets in a cell-id equi-join, centroids broadcast") {
+    // the body is deferred (k is corpus-derived), so the inner plan
+    // renders only post-execution
+    val p = finalPlan("q_dedup_semantic")
+    // the only nested-loop fan-out is the broadcast of the k-row
+    // centroid table; the shadow pass must be cell-keyed, never
+    // all-pairs
+    assert(!p.contains("CartesianProduct"), p)
+    assert("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \\[cid".r
+      .findFirstIn(p).isDefined, p)
+    assert(p.contains("BroadcastExchange"), p) // centroid fan-out is broadcast
+  }
 }

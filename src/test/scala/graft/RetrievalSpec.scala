@@ -159,4 +159,44 @@ class RetrievalSpec extends SparkTestBase {
       assert(math.abs(exp - cos) < 1e-4, s"($da,$db): got $cos expected $exp")
     }
   }
+
+  test("q_dedup_semantic: verdicts recompute exactly given the cells; deterministic") {
+    val rows = q("q_dedup_semantic").collect()
+    val again = q("q_dedup_semantic").collect()
+    assert(rows.nonEmpty && rows.sameElements(again), "non-deterministic clustering")
+    val cellOf = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val kept = rows.map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(kept.values.exists(!_), "vacuous: nothing dropped at test SF")
+    // rebuild the centered integer vectors exactly as the engine does
+    val embRows = q("q_embed_text").collect()
+    val emb = embRows.groupBy(_.getLong(0)).map { case (id, rs) =>
+      val m = rs.map(r => r.getInt(1) -> r.getLong(2)).toMap
+      id -> (0 until 64).map(j => m.getOrElse(j, 0L)).toArray
+    }
+    val eligible = emb.filter(_._2.count(_ != 0L) >= 4)
+    assert(rows.length == eligible.size, "one verdict per eligible doc")
+    val n = eligible.size.toLong
+    val sj = (0 until 64).map(j => emb.values.map(_(j)).sum).toArray
+    val cv = eligible.map { case (id, v) =>
+      id -> (0 until 64).map(j => (v(j) * n - sj(j)) >> 12).toArray
+    }
+    def shadows(a: Long, b: Long): Boolean = { // integer-exact cos ≥ 0.9
+      val (x, y) = (cv(a), cv(b))
+      val dot = (0 until 64).map(j => BigInt(x(j)) * y(j)).sum
+      val (na, nb) = (x.map(v => BigInt(v) * v).sum, y.map(v => BigInt(v) * v).sum)
+      dot > 0 && dot * dot * 100 >= na * nb * 81
+    }
+    // a doc is dropped IFF a lower-id doc in its cell shadows it
+    val byCell = cellOf.keys.groupBy(cellOf)
+    cellOf.keys.foreach { id =>
+      val expected = !byCell(cellOf(id)).exists(o => o < id && shadows(o, id))
+      assert(kept(id) == expected, s"doc $id: kept=${kept(id)} expected=$expected")
+    }
+    // cross-check vs the LSH pair list: same-cell LSH pairs must drop the higher id
+    q("q_dedup_text_lsh").collect().foreach { r =>
+      val (da, db) = (r.getLong(0), r.getLong(1))
+      if (cellOf(da) == cellOf(db)) assert(!kept(db),
+        s"pair ($da,$db) shares cell ${cellOf(da)} but $db survived")
+    }
+  }
 }
