@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{BooleanType, StructField, StructType}
+import org.apache.spark.sql.types.{BooleanType, IntegerType, LongType, StringType, StructField, StructType}
 
 import graft.engine.{QueryPack, Tables}
 import graft.functions.GraftFunctions
@@ -564,6 +564,77 @@ object Retrieval extends QueryPack {
           col("cnt"))
         .orderBy(desc("cnt"), col("c1"), col("c2"))
         .limit(30)
+    }),
+
+    // BPE vocabulary induction, rounds 1..10 (Sennrich et al. 2016):
+    // the full iterative learner — count weighted adjacent symbol
+    // pairs over the WORD-FREQUENCY dictionary, take the argmax
+    // (ties: count desc, then symbols — deterministic), rewrite every
+    // word's symbol sequence by the greedy left-to-right merge, and
+    // repeat. Output is the learned merge table. This is the shape
+    // production BPE trainers actually run: the corpus is touched
+    // ONCE (word-count aggregation, map-side combinable); every round
+    // after that is vocab-sized — pair counts, argmax, and the
+    // rewrite all scale with distinct words, not corpus bytes.
+    // Per-round state is localCheckpointed (10 rounds of nested
+    // higher-order rewrites would otherwise stack lineage). Iterative
+    // argmax cannot be one lazy plan → plans.Deferred; rows-only
+    // (the spec replays an independent driver-side BPE reference
+    // implementation and the round-1 argmax must equal
+    // q_bpe_pair_counts' top row).
+    "q_bpe_apply" -> ((s, d) => {
+      val nMerges = 10
+      Deferred.df(s, s"bpe_apply:$d", StructType(Seq(
+        StructField("round", IntegerType, nullable = false),
+        StructField("s1", StringType), StructField("s2", StringType),
+        StructField("merged", StringType),
+        StructField("cnt", LongType)))) { () =>
+        var vocab = docs(s, d)
+          .select(explode(split(col("text"), " ")).as("w"))
+          .filter(col("w") =!= "")
+          .groupBy(col("w")).agg(count(lit(1)).as("wc"))
+          .select(expr(
+            "transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+            .as("syms"), col("wc"))
+          .localCheckpoint()
+        val learned = scala.collection.mutable.ArrayBuffer
+          .empty[(Int, String, String, String, Long)]
+        var r = 1
+        var exhausted = false
+        while (r <= nMerges && !exhausted) {
+          val top = vocab.filter(size(col("syms")) >= 2)
+            .select(col("wc"), explode(expr(
+              // element access is 0-based: pair i = (syms[i-1], syms[i])
+              "transform(sequence(1, size(syms)-1), " +
+                "i -> struct(syms[i-1] as s1, syms[i] as s2))")).as("p"))
+            .groupBy(col("p.s1").as("s1"), col("p.s2").as("s2"))
+            .agg(sum(col("wc")).as("cnt"))
+            .orderBy(desc("cnt"), col("s1"), col("s2")).limit(1).collect()
+          if (top.isEmpty) exhausted = true
+          else {
+            val (s1, s2, cnt) =
+              (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+            learned += ((r, s1, s2, s1 + s2, cnt))
+            // greedy left-to-right merge: fold the symbol array, fusing
+            // [.., s1] + s2 → [.., s1s2]; a just-created merged symbol
+            // never re-fuses with a following s2 unless it literally
+            // equals s1 — exactly the non-overlapping BPE apply rule
+            vocab = vocab.select(aggregate(col("syms"),
+              array().cast("array<string>"),
+              (acc, x) => when(size(acc) > 0 &&
+                  element_at(acc, -1) === lit(s1) && x === lit(s2),
+                concat(slice(acc, lit(1), size(acc) - 1), array(lit(s1 + s2))))
+                .otherwise(concat(acc, array(x))))
+              .as("syms"), col("wc"))
+              .localCheckpoint()
+            r += 1
+          }
+        }
+        val sq = s
+        import sq.implicits._
+        learned.toSeq.toDF("round", "s1", "s2", "merged", "cnt")
+          .orderBy(col("round"))
+      }
     }),
   )
 

@@ -199,4 +199,43 @@ class RetrievalSpec extends SparkTestBase {
         s"pair ($da,$db) shares cell ${cellOf(da)} but $db survived")
     }
   }
+
+  test("q_bpe_apply replays an independent driver-side BPE reference exactly") {
+    val got = q("q_bpe_apply").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    assert(got.length == 10)
+    // independent reference: word-frequency dictionary + greedy merges
+    val wc = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    graft.engine.Tables.t(spark, sf, "documents")
+      .select(org.apache.spark.sql.functions.col("text")).collect()
+      .foreach(_.getString(0).split(" ").filter(_.nonEmpty)
+        .foreach(w => wc(w) += 1))
+    var vocab: Seq[(List[String], Long)] =
+      wc.toSeq.map { case (w, c) => w.toList.map(_.toString) -> c }
+    val ref = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, String, Long)]
+    (1 to 10).foreach { r =>
+      val pc = scala.collection.mutable.Map.empty[(String, String), Long]
+        .withDefaultValue(0L)
+      vocab.foreach { case (syms, c) =>
+        syms.zip(syms.tail).foreach(p => pc(p) += c)
+      }
+      val ((s1, s2), cnt) =
+        pc.toSeq.minBy { case ((a, b), c) => (-c, a, b) }
+      ref += ((r, s1, s2, s1 + s2, cnt))
+      vocab = vocab.map { case (syms, c) =>
+        syms.foldLeft(List.empty[String]) { (acc, x) =>
+          if (acc.nonEmpty && acc.last == s1 && x == s2) acc.init :+ (s1 + s2)
+          else acc :+ x
+        } -> c
+      }
+    }
+    assert(got.toSeq == ref.toSeq,
+      s"engine:\n${got.mkString("\n")}\nreference:\n${ref.mkString("\n")}")
+    // consistency: round 1 must equal q_bpe_pair_counts' argmax row
+    val top = q("q_bpe_pair_counts").collect()(0)
+    assert((got(0)._2, got(0)._3, got(0)._5) ==
+      (top.getString(0), top.getString(1), top.getLong(3)))
+  }
 }
