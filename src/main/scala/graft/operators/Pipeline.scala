@@ -43,6 +43,16 @@ import graft.plans.Deferred
   */
 object Pipeline extends QueryPack {
 
+  /** Distinct word 3-grams per doc (doc_id, g) — the shingle basis of
+    * q_dedup_incremental, shared with the streaming incremental dedup
+    * (streaming.StreamRunner.incrementalDedupVerdicts). */
+  def wordGrams3(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        "transform(sequence(1, size(w)-2), i -> concat_ws(' ', slice(w, i, 3)))")))
+        .as("g"))
+
   /** Distinct lowercase whitespace tokens per doc. */
   private def tokens(docs: DataFrame, cap: Option[Int]): DataFrame = {
     val capped = cap.map(c => docs.filter(col("doc_id") < c)).getOrElse(docs)
@@ -500,12 +510,7 @@ object Pipeline extends QueryPack {
     // map-side. The corpus-side self-dedup ran once, historically,
     // via q_dedup_prefix_join/q_dedup_apply.
     "q_dedup_incremental" -> ((s, d) => {
-      val g = Tables.spread(Tables.t(s, d, "documents"), "doc_id")
-        .select(col("doc_id"), split(col("text"), " ").as("w"))
-        .filter(size(col("w")) >= 3)
-        .select(col("doc_id"), explode(array_distinct(expr(
-          "transform(sequence(1, size(w)-2), i -> concat_ws(' ', slice(w, i, 3)))")))
-          .as("g"))
+      val g = wordGrams3(Tables.spread(Tables.t(s, d, "documents"), "doc_id"))
       val batch = g.filter(col("doc_id") % 10 === 0)
         .select(col("doc_id").as("batch_id"), col("g"))
       val corpus = g.filter(col("doc_id") % 10 =!= 0)

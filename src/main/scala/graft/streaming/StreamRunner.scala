@@ -187,6 +187,66 @@ object StreamRunner {
     spark.table(name)
   }
 
+  /** Document file stream (the "daily crawl" analog of eventsStream —
+    * documents.parquet streamed through the file source with a glob). */
+  def docsStream(spark: SparkSession, dir: String): DataFrame = {
+    val schema = graft.engine.Tables.t(spark, dir, "documents").schema
+    spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+  }
+
+  /** Streaming incremental dedup — the curation member of the
+    * stream-static family: each micro-batch of newly crawled docs
+    * (doc_id % 10 = 0, the batch query's crawl-slice convention) is
+    * near-dup-verdicted AGAINST the standing corpus. Pure batch
+    * function (unit-testable without a stream): exact 3-gram Jaccard
+    * with the ≥ 0.5 threshold in integer arithmetic — semantics
+    * identical to Pipeline's q_dedup_incremental, which the spec uses
+    * as the batch/stream equivalence oracle. Verdicts depend only on
+    * (doc, corpus): no cross-batch state, so micro-batch boundaries
+    * are semantically invisible and the stream needs no watermark. At
+    * scale the corpus gram set is the broadcast side and each
+    * micro-batch is one scan + hash probe. */
+  def incrementalDedupVerdicts(newDocs: DataFrame,
+      corpusDocs: DataFrame): DataFrame = {
+    val batch = graft.operators.Pipeline
+      .wordGrams3(newDocs.filter(col("doc_id") % 10 === 0))
+      .select(col("doc_id").as("batch_id"), col("g"))
+    val corpus = graft.operators.Pipeline
+      .wordGrams3(corpusDocs.filter(col("doc_id") % 10 =!= 0))
+      .select(col("doc_id").as("corpus_id"), col("g"))
+    val nb = batch.groupBy(col("batch_id")).agg(count(lit(1)).as("nb"))
+    val nc = corpus.groupBy(col("corpus_id")).agg(count(lit(1)).as("nc"))
+    corpus.join(broadcast(batch), Seq("g"))
+      .groupBy(col("batch_id"), col("corpus_id"))
+      .agg(count(lit(1)).as("inter_n"))
+      .join(broadcast(nb), Seq("batch_id"))
+      .join(nc, Seq("corpus_id"))
+      .filter(col("inter_n") * 3 >= col("nb") + col("nc"))
+      .select(col("batch_id"), col("corpus_id"), col("inter_n"),
+        (col("nb") + col("nc") - col("inter_n")).as("union_n"),
+        round(col("inter_n").cast("double") /
+          (col("nb") + col("nc") - col("inter_n")), 6).as("jac"))
+  }
+
+  /** Drive the crawl stream through per-micro-batch incremental dedup
+    * into a parquet sink (AvailableNow). */
+  def runIncrementalDedup(spark: SparkSession, dir: String,
+      outDir: String, checkpoint: String): Unit = {
+    val corpus = graft.engine.Tables.t(spark, dir, "documents")
+    val q = docsStream(spark, dir).writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        incrementalDedupVerdicts(batch, corpus)
+          .write.mode("append").parquet(outDir)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** foreachBatch parquet sink (append) — the batch-incremental write
     * path; each micro-batch lands atomically under `outDir`. */
   def runForeachBatchParquet(spark: SparkSession, df: DataFrame,

@@ -247,4 +247,13 @@ class StreamingSpec extends SparkTestBase {
     assert(new java.io.File(s"$work/state").listFiles()
       .count(_.getName.matches("v\\d+")) == versions, "no-op run must not add a version")
   }
+
+  test("streaming incremental dedup == batch q_dedup_incremental") {
+    val work = java.nio.file.Files.createTempDirectory("graft-incdedup").toString
+    StreamRunner.runIncrementalDedup(spark, sf, s"$work/out", s"$work/ckpt")
+    val stream = spark.read.parquet(s"$work/out")
+    val batch = q("q_dedup_incremental")
+    assert(stream.count() == batch.count() && stream.count() > 0)
+    assert(stream.exceptAll(batch).isEmpty && batch.exceptAll(stream).isEmpty)
+  }
 }
