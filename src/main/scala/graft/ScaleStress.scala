@@ -121,6 +121,12 @@ object ScaleStress {
       val fn = SparkEntry.queries(name)
       val walls = Seq(s"${factor}x" -> scaledDir, "1x" -> baseDir).reverse.map {
         case (label, dir) =>
+          // cache hygiene (the Bench phase-boundary lesson): caches from
+          // a previous query/scale evict each other under memory
+          // pressure, so a query's 10× wall could inflate from an
+          // earlier query's recomputes — each (query, scale) cell
+          // measures from a cold cache, min-of-2 reports its own warmth
+          spark.catalog.clearCache()
           var mb = 0.0
           val wall = (1 to 2).map { _ =>
             settle(); val b0 = shuffleBytes.get()
