@@ -185,6 +185,50 @@ object Audits extends QueryPack {
           (call_function("cms_estimate", col("sk"), col("tok")) >=
             col("c_exact")).as("est_ge_exact"))
         .orderBy(desc("c_exact"), col("tok"))
+    }),
+
+    // Exhaustive-slice recall audit of the adaptive-width text LSH
+    // (q_dedup_text_lsh): the TRUE cosine ≥ 0.9 pair set over the
+    // doc_id < 2000 slice by brute force (codegen'd float prefilter,
+    // integer-exact gate — packedVecsF's margin argument), each pair
+    // flagged with whether the banded pipeline surfaced it. The
+    // oracle recomputes BOTH sides — the exhaustive slice AND the
+    // full banded pipeline — so CORRECTNESS itself witnesses the
+    // recall, found-flags included. Not a pigeonhole: per-pair band
+    // miss probability is (1−p1^w)^8 (p1 = 1−θ/π ≈ 0.856 at
+    // cos 0.9), so misses are possible and HONESTLY REPORTED —
+    // deterministic planes make the flag pattern a fixed corpus
+    // property both engines agree on. Scale: the slice brute force is
+    // the audit's cost (2000²/2 float dots, broadcast nested loop);
+    // the production path stays the banded join.
+    "q_audit_text_recall" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val cvf = Retrieval.packedVecsF(s, d).filter(col("doc_id") < 2000)
+      val a = cvf.select(col("doc_id").as("da"), col("cv").as("cva"),
+        col("vf").as("vfa"), col("n2f").as("n2a"))
+      val b = cvf.select(col("doc_id").as("db"), col("cv").as("cvb"),
+        col("vf").as("vfb"), col("n2f").as("n2b"))
+      val fdot = graft.functions.GraftFunctions.dot_d(col("vfa"), col("vfb"))
+      val exh = a.join(broadcast(b), col("da") < col("db") && fdot > 0 &&
+          fdot * fdot >= lit(0.7744) * col("n2a") * col("n2b"))
+        .select(col("da"), col("db"), expr(
+          "aggregate(zip_with(cva, cvb, (x, y) -> x * y), " +
+            "cast(0 as bigint), (acc, x) -> acc + x)").as("dot"),
+          expr("aggregate(cva, cast(0 as bigint), (acc, x) -> acc + x * x)").as("na"),
+          expr("aggregate(cvb, cast(0 as bigint), (acc, x) -> acc + x * x)").as("nb"))
+        .filter(col("dot") > 0 &&
+          col("dot").cast("decimal(38,0)") * col("dot") * 100 >=
+            col("na").cast("decimal(38,0)") * col("nb") * 81)
+        .select(col("da"), col("db"),
+          round(col("dot").cast("double") /
+            sqrt(col("na").cast("double") * col("nb").cast("double")), 6)
+            .as("cos"))
+      val lsh = Retrieval.queries("q_dedup_text_lsh")(s, d)
+        .select(col("da"), col("db")).withColumn("hit", lit(true))
+      exh.join(lsh, Seq("da", "db"), "left")
+        .select(col("da"), col("db"), col("cos"),
+          coalesce(col("hit"), lit(false)).as("found"))
+        .orderBy(col("da"), col("db"))
     })
   )
 
@@ -259,6 +303,59 @@ object Audits extends QueryPack {
         |             FROM documents)
         |SELECT tok, count(*) AS c_exact, TRUE AS est_ge_exact
         |FROM tok WHERE tok <> ''
-        |GROUP BY tok ORDER BY c_exact DESC, tok LIMIT 20""".stripMargin
+        |GROUP BY tok ORDER BY c_exact DESC, tok LIMIT 20""".stripMargin,
+
+    // both sides recomputed: the banded pipeline verbatim (the
+    // q_dedup_text_lsh oracle nested as a CTE) and the exhaustive
+    // exact slice — the found flag is part of the hashed result
+    // __LSH__ is substituted AFTER stripMargin: the nested SQL's own
+    // `||` continuations at line starts would otherwise be eaten as
+    // margin characters
+    "q_audit_text_recall" ->
+      """WITH lsh AS (__LSH__),
+        |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |        FROM documents),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok WHERE tok <> ''
+        |       GROUP BY 1, 2),
+        |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+        |h AS (SELECT tf.doc_id, tf.tf, df.df,
+        |        ('0x' || substr(md5(tf.tok), 1, 15))::BIGINT AS hv
+        |      FROM tf JOIN df USING (tok)),
+        |emb0 AS (SELECT doc_id, CAST(hv % 64 AS INT) AS j,
+        |           SUM((CASE WHEN (hv // 64) % 2 = 0 THEN 1 ELSE -1 END)
+        |               * tf * (100000 // df)) AS v
+        |         FROM h GROUP BY 1, 2),
+        |emb AS (SELECT doc_id, j, CAST(v AS BIGINT) AS v FROM emb0 WHERE v <> 0),
+        |docs_e AS (SELECT doc_id FROM emb GROUP BY 1 HAVING count(*) >= 4),
+        |n_d AS (SELECT count(*) AS nd FROM docs_e),
+        |sj AS (SELECT j, CAST(SUM(v) AS BIGINT) AS sj FROM emb GROUP BY 1),
+        |dense AS (SELECT d.doc_id, g.j,
+        |            ((COALESCE(e.v, 0) * (SELECT nd FROM n_d)
+        |              - COALESCE(s.sj, 0)) >> 12) AS c
+        |          FROM docs_e d CROSS JOIN range(64) g(j)
+        |          LEFT JOIN emb e ON e.doc_id = d.doc_id AND e.j = g.j
+        |          LEFT JOIN sj s ON s.j = g.j),
+        |cvecs AS (SELECT doc_id, list(c ORDER BY j) AS cv
+        |          FROM dense WHERE doc_id < 2000 GROUP BY 1),
+        |nrm AS (SELECT doc_id,
+        |          CAST(list_sum(list_transform(cv, x -> x * x)) AS BIGINT) AS n2
+        |        FROM cvecs),
+        |exh AS (SELECT a.doc_id AS da, b.doc_id AS db,
+        |          CAST(list_sum(list_transform(range(1, 65),
+        |               i -> a.cv[i] * b.cv[i])) AS BIGINT) AS dot
+        |        FROM cvecs a JOIN cvecs b ON a.doc_id < b.doc_id)
+        |SELECT e.da, e.db,
+        |  round(CAST(e.dot AS DOUBLE)
+        |        / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)), 6) AS cos,
+        |  (l.da IS NOT NULL) AS found
+        |FROM exh e
+        |JOIN nrm na ON na.doc_id = e.da
+        |JOIN nrm nb ON nb.doc_id = e.db
+        |LEFT JOIN lsh l ON l.da = e.da AND l.db = e.db
+        |WHERE e.dot > 0
+        |  AND 100 * CAST(e.dot AS HUGEINT) * e.dot
+        |      >= 81 * CAST(na.n2 AS HUGEINT) * nb.n2
+        |ORDER BY e.da, e.db""".stripMargin
+        .replace("__LSH__", Retrieval.oracle("q_dedup_text_lsh"))
   )
 }

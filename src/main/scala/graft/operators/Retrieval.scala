@@ -95,7 +95,7 @@ object Retrieval extends QueryPack {
     * 0.90 margin every caller uses, so no true pair can be lost; the
     * integer cv stays authoritative for the exact gate. Cached: both
     * sides of every candidate join. */
-  private def packedVecsF(s: SparkSession, d: String): DataFrame = {
+  private[operators] def packedVecsF(s: SparkSession, d: String): DataFrame = {
     GraftFunctions.register(s)
     packedVecs(s, d).select(col("doc_id"), col("cv"),
         expr("transform(cv, x -> cast(x as float))").as("vf"))
