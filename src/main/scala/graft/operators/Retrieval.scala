@@ -286,7 +286,8 @@ object Retrieval extends QueryPack {
       // codegen'd dot_d over the float mirror (the interpreted
       // zip_with form measured 8.0 s at sf0.1; this form 2 s)
       val cvf = packedVecsF(s, d)
-      val kCells = math.max(32, (cvf.count() / 160L + 1L).toInt)
+      val nDocs = cvf.count()
+      val kCells = math.max(32, (nDocs / 160L + 1L).toInt)
       val rounds = 2
       def sqDist = col("n2f") - lit(2.0) * GraftFunctions.dot_d(col("vf"), col("cvec")) +
         GraftFunctions.dot_d(col("cvec"), col("cvec"))
@@ -303,9 +304,13 @@ object Retrieval extends QueryPack {
       // cost (production SemDeDup pays it approximately on
       // accelerators); it is map-only over broadcast centroids, so
       // per-executor work scales with its partition share.
-      val fit = cvf.orderBy(xxhash64(col("doc_id")), col("doc_id"))
-        .limit(16384)
-        .select(col("doc_id"), col("vf"), col("n2f")).cache()
+      // (when the corpus already fits the bound, the hash-rank sort
+      // would select everything — skip it and reuse the cached cvf)
+      val fit =
+        if (nDocs <= 16384) cvf.select(col("doc_id"), col("vf"), col("n2f"))
+        else cvf.orderBy(xxhash64(col("doc_id")), col("doc_id"))
+          .limit(16384)
+          .select(col("doc_id"), col("vf"), col("n2f")).cache()
       var cents = fit.orderBy(xxhash64(col("doc_id")), col("doc_id"))
         .limit(kCells)
         .select(col("doc_id").as("cid"), col("vf").as("cvec"))
