@@ -260,13 +260,13 @@ object Bench {
     val effJson = s""""effpar":{"seq":${round3(calSeq)},"conc":[${
       calConc.map(round3).mkString(",")}],"post":${round3(calPost)}},""" +
       s""""cpu_max":"$cpuMaxRaw","cpu_quota_cores":${round3(cpuQuotaCores)},""" +
-      s""""degraded":$degraded"""
+      s""""conc_passes":${walls.length},"degraded":$degraded"""
     spark.sparkContext.setLogLevel("ERROR")
     spark.stop()
     println(s"""{"bench_per_query":$qs,"failed_all":$failedFullJson,"sf":"$sfDir","passes":$passes,"loadavg_start":$load0,"loadavg_end":$load1}""")
     val slowest = seq.toSeq.filter(_._2 >= 0).sortBy(-_._2).take(12)
       .map { case (k, v) => "\"" + k + "\":" + round3(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"wall_${streams}streams_warm","value":${round3(wall)},"unit":"sec","queries":$slowest,"sf":"$sfDir","seq_total":${round3(seqTotal)},"n_queries":${seq.size},"n_failed":${failed.size},"failed":$failedJson,"cpus":$cpus,"passes":$passes,"loadavg":[$load0,$load1],$effJson,"note":"noop-sink; value=min-of-$concPasses ${streams}-stream concurrent wall, warm session; queries=12 slowest per-query MIN-across-$passes-pass secs, full map on the bench_per_query line; effpar=measured effective cores per phase (calibrated CPU spin) - a wall beside effpar<<cpus is box starvation, not a regression"}""")
+    println(s"""{"metric":"wall_${streams}streams_warm","value":${round3(wall)},"unit":"sec","queries":$slowest,"sf":"$sfDir","seq_total":${round3(seqTotal)},"n_queries":${seq.size},"n_failed":${failed.size},"failed":$failedJson,"cpus":$cpus,"passes":$passes,"loadavg":[$load0,$load1],$effJson,"note":"noop-sink; value=min-of-${walls.length} ${streams}-stream concurrent wall (configured $concPasses + ${walls.length - concPasses} degraded-bonus), warm session; queries=12 slowest per-query MIN-across-$passes-pass secs, full map on the bench_per_query line; effpar=measured effective cores per phase (calibrated CPU spin) - a wall beside effpar<<cpus is box starvation, not a regression"}""")
   }
 }

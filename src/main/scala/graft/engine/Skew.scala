@@ -49,13 +49,36 @@ object Skew {
     * reducer absorbs by construction. Columns containing MapType
     * (e.g. events.props) are excluded from the hash — hash() rejects
     * them at analysis — without narrowing which tables the helper
-    * accepts. The salt carries no semantics, only spread. */
+    * accepts. The salt carries no semantics, only spread.
+    *
+    * CONTRACT (enforced, not just documented): partition_id's
+    * row→partition mapping is only stable when the input plan is
+    * deterministic end to end. Behind a nondeterministic operator
+    * (sample, a nondeterministic expression) a shuffle-fetch-failure
+    * recompute can reassign partition ids and re-route rows — the
+    * same SPARK-23207 class this helper guards against. The input
+    * plan is therefore INSPECTED: if any node samples or carries a
+    * nondeterministic expression, the salt falls back to the pure
+    * content hash (identical duplicate rows then share a bucket —
+    * spread degrades, correctness never does). */
+  private[graft] def deterministicPlan(df: DataFrame): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Sample, RebalancePartitions}
+    df.queryExecution.analyzed.collectFirst {
+      case s: Sample => s
+      case r: RebalancePartitions => r
+      case p if p.expressions.exists(e => !e.deterministic) => p
+    }.isEmpty
+  }
+
   def saltedSumCount(df: DataFrame, keyCol: String, valCol: String,
       buckets: Int = 32): DataFrame = {
     val hashCols = df.schema.fields.filter(f => hashable(f.dataType))
       .map(f => col(f.name)).toSeq
+    val spreadCols =
+      if (deterministicPlan(df)) hashCols :+ spark_partition_id()
+      else hashCols
     val salted = df.withColumn("_salt",
-      pmod(hash(hashCols :+ spark_partition_id(): _*), lit(buckets)))
+      pmod(hash(spreadCols: _*), lit(buckets)))
     salted
       .groupBy(col(keyCol), col("_salt"))
       .agg(sum(Tables.dec2(col(valCol))).as("_psum"),

@@ -19,12 +19,18 @@ object Tables {
   // 1-task file-listing/footer job per call, which both violates the
   // lazy-build contract (LazyBuildSpec — building a query must run
   // ZERO jobs) and re-pays schema inference on every plan build. The
-  // map holds analyzed base relations only (no data); sessions per JVM
-  // are few (one in tests, one in Bench/Verify), so no eviction.
+  // map holds analyzed base relations only (no data). Entries for
+  // STOPPED sessions are purged on the next lookup, so suites that
+  // create many sessions per JVM don't pin dead sessions and their
+  // relations forever (ADVICE r6). Caveat: a memoized relation caches
+  // its file listing — a table dir REWRITTEN in-process serves stale
+  // files until the session is stopped (testdata dirs are immutable,
+  // so no in-repo caller hits this; a rewriter must use a new session).
   private val loaded =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
 
-  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    loaded.keySet.removeIf(k => k._1.sparkContext.isStopped)
     loaded.computeIfAbsent((spark, dir, name), _ => {
       // events.ts is parquet TIMESTAMP(NANOS), which Spark's reader
       // rejects; read it as raw nanos and truncate to micros — exactly
@@ -35,6 +41,7 @@ object Tables {
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
       else raw
     })
+  }
 
   /** Spread a small-file scan across the cluster before CPU-heavy
     * per-row fan-out (tokenize / explode / shingle / codec work).

@@ -616,30 +616,54 @@ object Multimodal extends QueryPack {
       throw new java.io.IOException(s"cannot delete $f")
   }
 
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
   private[operators] def mediaBase(s: SparkSession, d: String): String =
     mediaBuilt.computeIfAbsent(d, _ => {
+      // keyed by a collision-resistant digest of the ABSOLUTE path —
+      // String.hashCode can collide two sf dirs into one fixture tree
+      // (ADVICE r6). Cross-process: a complete tree carries parquet's
+      // _SUCCESS marker and is reused as-is; builders write into a
+      // pid-suffixed temp dir and atomically rename it in, so a reader
+      // mid-scan never races a rmTree and the losing builder of a race
+      // discards its copy.
+      val abs = new java.io.File(d).getAbsolutePath
       val dir = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft_media_" + Integer.toHexString(d.hashCode))
-      rmTree(dir) // a partial tree from a killed run must not linger
-      import s.implicits._
-      Tables.t(s, d, "documents").select(col("doc_id"))
-        .transform(Tables.spread(_, "doc_id")) // parallel synthesis
-        .as[Long]
-        .mapPartitions(_.map { id =>
-          val imgFmt = ((id / 3) % 3) match {
-            case 0 => "png"; case 1 => "jpg"; case _ => "gif"
-          }
-          (id,
-            mediaPayload(id),
-            ImageCodec.synthImage(groupSeed(id), (id % 3).toInt * 9 + 1,
-              16, 16, imgFmt),
-            ImageCodec.synthPng(groupSeed(id), (id % 3).toInt * 9 + 1),
-            AudioCodec.synthWav(8000, 1600, 200.0 + (id % 20) * 100.0, 0.5, id),
-            ImageCodec.synthAnimatedGif(groupSeed(id), (id % 5).toInt + 4, 16, 16))
-        })
-        .toDF("doc_id", "media", "img16", "png", "wav", "gif_anim")
-        .write.mode("overwrite").parquet(dir.getAbsolutePath)
-      dir.getAbsolutePath
+        "graft_media_" + md5hex(abs))
+      if (new java.io.File(dir, "_SUCCESS").exists()) dir.getAbsolutePath
+      else {
+        val tmp = new java.io.File(dir.getParentFile,
+          dir.getName + ".tmp." + ProcessHandle.current().pid())
+        rmTree(tmp)
+        import s.implicits._
+        Tables.t(s, d, "documents").select(col("doc_id"))
+          .transform(Tables.spread(_, "doc_id")) // parallel synthesis
+          .as[Long]
+          .mapPartitions(_.map { id =>
+            val imgFmt = ((id / 3) % 3) match {
+              case 0 => "png"; case 1 => "jpg"; case _ => "gif"
+            }
+            (id,
+              mediaPayload(id),
+              ImageCodec.synthImage(groupSeed(id), (id % 3).toInt * 9 + 1,
+                16, 16, imgFmt),
+              ImageCodec.synthPng(groupSeed(id), (id % 3).toInt * 9 + 1),
+              AudioCodec.synthWav(8000, 1600, 200.0 + (id % 20) * 100.0, 0.5, id),
+              ImageCodec.synthAnimatedGif(groupSeed(id), (id % 5).toInt + 4, 16, 16))
+          })
+          .toDF("doc_id", "media", "img16", "png", "wav", "gif_anim")
+          .write.mode("overwrite").parquet(tmp.getAbsolutePath)
+        rmTree(dir) // incomplete tree (no _SUCCESS) from a killed run
+        if (!tmp.renameTo(dir)) {
+          // lost a cross-process race: reuse the winner's complete tree
+          if (!new java.io.File(dir, "_SUCCESS").exists())
+            throw new java.io.IOException(s"cannot install media fixtures at $dir")
+          rmTree(tmp)
+        }
+        dir.getAbsolutePath
+      }
     })
 
   /** One codec family's payloads, column-pruned and spread for decode

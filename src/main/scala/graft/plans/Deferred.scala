@@ -47,8 +47,17 @@ final class DeferredBody(val label: String,
       if (planned == null) {
         val df = body()
         val got = df.schema
+        // names too, not just positional dataTypes: a body whose
+        // same-typed columns come back reordered (a_name/b_name swaps)
+        // would otherwise pass and bind positionally, silently
+        // miswiring columns (ADVICE r6)
+        val cs = df.sparkSession.conf.get("spark.sql.caseSensitive", "false")
+          .toBoolean
+        def nameEq(a: String, b: String) =
+          if (cs) a == b else a.equalsIgnoreCase(b)
         require(got.length == declared.length &&
-          got.zip(declared).forall { case (g, w) => g.dataType == w.dataType },
+          got.zip(declared).forall { case (g, w) =>
+            g.dataType == w.dataType && nameEq(g.name, w.name) },
           s"deferred '$label': built schema ${got.simpleString} does not " +
             s"match declared ${declared.simpleString}")
         planned = df.queryExecution.executedPlan

@@ -53,6 +53,31 @@ class SkewSpec extends SparkTestBase {
     assert(p.contains("spark_partition_id"), p)
   }
 
+  test("nondeterministic input falls back to the content-hash salt (r6 ADVICE)") {
+    import spark.implicits._
+    val base = Tables.t(spark, sf, "events")
+    assert(Skew.deterministicPlan(base))
+    val sampled = base.sample(withReplacement = false, 0.5, seed = 42)
+    assert(!Skew.deterministicPlan(sampled),
+      "Sample must be detected as nondeterministic input")
+    val ndExpr = Seq(("a", 1.0)).toDF("k", "v").withColumn("r", rand(7))
+    assert(!Skew.deterministicPlan(ndExpr))
+    // the fallback salt must not mention partition id — its mapping is
+    // unstable across fetch-failure recomputes for these inputs
+    val p = Skew.saltedSumCount(sampled, "event_type", "value")
+      .queryExecution.analyzed.toString.toLowerCase
+    assert(!p.contains("spark_partition_id"), p)
+    // and the verdict is still exact
+    val got = Skew.saltedSumCount(sampled.cache(), "event_type", "value")
+      .orderBy("event_type").collect()
+    val want = sampled.groupBy(col("event_type"))
+      .agg(sum(Tables.dec2(col("value"))).cast("double").as("sum_value"),
+        count(lit(1)).as("n"))
+      .orderBy("event_type").collect()
+    assert(got.map(_.toSeq).toSeq == want.map(_.toSeq).toSeq)
+    sampled.unpersist()
+  }
+
   test("duplicate-heavy input aggregates exactly (the case the salt exists for)") {
     import spark.implicits._
     val dup = Seq.fill(5000)(("hot", 2.5)).toDF("k", "v")
