@@ -28,18 +28,37 @@ object Tables {
   // so no in-repo caller hits this; a rewriter must use a new session).
   private val loaded =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+  private val rawSchemas =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), org.apache.spark.sql.types.StructType]()
 
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     loaded.keySet.removeIf(k => k._1.sparkContext.isStopped)
     loaded.computeIfAbsent((spark, dir, name), _ => {
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark's reader
-      // rejects; read it as raw nanos and truncate to micros — exactly
-      // what DuckDB does when it loads the same file (micros timestamps).
+      // events.ts has shipped in two parquet generations: TIMESTAMP(NANOS)
+      // (Spark's reader rejects it; the legacy flag surfaces it as raw
+      // nanos LongType, which we truncate to micros — exactly what DuckDB
+      // does on the same file) and plain timestamp[us] NTZ (passed
+      // through). Adapt on the OBSERVED type, never on an assumed file
+      // format — the testdata contract can move between sessions
+      // (SchemaContractSpec guards the types this engine depends on).
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = spark.read.parquet(s"$dir/$name.parquet")
+      rawSchemas.putIfAbsent((spark, dir, name), raw.schema)
       if (name == "events" && raw.schema("ts").dataType == LongType)
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
       else raw
+    })
+  }
+
+  /** Footer schema of the parquet file as stored, BEFORE t()'s
+    * normalization — memoized alongside t. Lets callers (the streaming
+    * reader, the drift guard spec) adapt their conversion to the file
+    * generation actually on disk instead of hard-coding one. */
+  def rawSchema(spark: SparkSession, dir: String, name: String): org.apache.spark.sql.types.StructType = {
+    rawSchemas.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    rawSchemas.computeIfAbsent((spark, dir, name), _ => {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/$name.parquet").schema
     })
   }
 

@@ -187,6 +187,60 @@ object Audits extends QueryPack {
         .orderBy(desc("c_exact"), col("tok"))
     }),
 
+    // Semantic-dedup verdict audit (r7 verdict item 4): re-derive
+    // every q_dedup_semantic verdict FROM ITS OWN CELLS with an
+    // independent in-cell pairwise pass — a drop is consistent iff a
+    // lower-id same-cell doc shadows it at integer-exact cos ≥ 0.9, a
+    // keep iff none does — and count the mismatches. The clustering
+    // itself is float geometry DuckDB can't replay, so (like
+    // q_audit_simhash_lsh's pinned zero) the oracle pins both counts
+    // to 0 while the engine executes the full recheck: any verdict
+    // that disagrees with its cell's exact-cosine structure flips a
+    // count and fails the hash. This moves RetrievalSpec's driver
+    // recheck into CORRECTNESS itself.
+    "q_audit_semantic" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val verdicts = Retrieval.queries("q_dedup_semantic")(s, d)
+        .select(col("doc_id"), col("cid"), col("is_kept"))
+      val cvf = Retrieval.packedVecsF(s, d)
+      val sides = verdicts.join(cvf, Seq("doc_id")).cache()
+      val aa = sides.select(col("cid"), col("doc_id").as("da"),
+        col("vf").as("vfa"), col("n2f").as("n2a"))
+      val bb = sides.select(col("cid").as("cid_b"), col("doc_id").as("db"),
+        col("vf").as("vfb"), col("n2f").as("n2b"))
+      // distinct() barrier between the float prefilter and the exact
+      // gate — same reason as in q_dedup_semantic (the optimizer
+      // otherwise merges the interpreted exact-gate folds into this
+      // join's bound condition, paying them on every same-cell pair)
+      val fdot = graft.functions.GraftFunctions.dot_d(col("vfa"), col("vfb"))
+      val cand = aa.join(bb, col("cid") === col("cid_b") &&
+          col("da") < col("db") && fdot > 0 &&
+          fdot * fdot >= lit(0.7744) * col("n2a") * col("n2b"))
+        .select(col("da"), col("db")).distinct()
+      val va = sides.select(col("doc_id").as("da"), col("cv").as("cva"))
+      val vb = sides.select(col("doc_id").as("db"), col("cv").as("cvb"))
+      val shadowed = cand.join(va, Seq("da")).join(vb, Seq("db"))
+        .select(col("da"), col("db"), expr(
+          "aggregate(zip_with(cva, cvb, (x, y) -> x * y), " +
+            "cast(0 as bigint), (acc, x) -> acc + x)").as("dot"),
+          expr("aggregate(cva, cast(0 as bigint), (acc, x) -> acc + x * x)").as("na"),
+          expr("aggregate(cvb, cast(0 as bigint), (acc, x) -> acc + x * x)").as("nb"))
+        .filter(col("dot") > 0 &&
+          col("dot").cast("decimal(38,0)") * col("dot") * 100 >=
+            col("na").cast("decimal(38,0)") * col("nb") * 81)
+        .select(col("db").as("doc_id")).distinct()
+        .withColumn("shadowed", lit(true))
+      verdicts.join(shadowed, Seq("doc_id"), "left")
+        .select(col("is_kept"),
+          coalesce(col("shadowed"), lit(false)).as("sh"))
+        .agg(
+          sum(when(!col("is_kept") && !col("sh"), 1L).otherwise(0L))
+            .as("n_bad_drops"),
+          sum(when(col("is_kept") && col("sh"), 1L).otherwise(0L))
+            .as("n_bad_keeps"))
+        .orderBy(col("n_bad_drops"))
+    }),
+
     // Exhaustive-slice recall audit of the adaptive-width text LSH
     // (q_dedup_text_lsh): the TRUE cosine ≥ 0.9 pair set over the
     // doc_id < 2000 slice by brute force (codegen'd float prefilter,
@@ -261,6 +315,12 @@ object Audits extends QueryPack {
     // engine side still executes the full exact-vs-LSH anti-join
     "q_audit_simhash_lsh" ->
       "SELECT CAST(0 AS BIGINT) AS n_missed ORDER BY 1",
+
+    // verdict-consistency counts pinned zero — the engine side still
+    // executes the full in-cell exact-cosine recheck of every verdict
+    "q_audit_semantic" ->
+      """SELECT CAST(0 AS BIGINT) AS n_bad_drops,
+        |  CAST(0 AS BIGINT) AS n_bad_keeps ORDER BY 1""".stripMargin,
 
     // independently recomputes the exact shingle-jaccard ≥ 0.9 pair
     // set; equality with the engine's exact∩found ⟺ 100% recall

@@ -253,29 +253,46 @@ object Retrieval extends QueryPack {
         .orderBy(col("da"), col("db"))
     }),
 
-    // SemDeDup-style SEMANTIC dedup (Abbas et al. 2023): k-means
-    // cluster the content-derived text embeddings, then prune within
-    // each cluster — a doc is dropped when a LOWER-ID doc in the SAME
-    // cell has cosine ≥ 0.9 with it. The pairwise pass is
-    // cluster-scoped by construction, and k SCALES WITH THE CORPUS
-    // (k = ⌈n/160⌉, floor 32) so expected cell size stays bounded and
-    // the per-cell pairwise distributes — with fixed k, 10× data
-    // makes each cell 10× bigger and the pairwise 100× (measured: the
-    // fixed-k form did not finish the 10× stress pass that every
-    // other query completes in seconds). Deriving k needs the corpus
+    // SemDeDup-style SEMANTIC dedup (Abbas et al. 2023): quantize the
+    // content-derived text embeddings into cells, then prune within
+    // each cell — a doc is dropped when a LOWER-ID doc in the SAME
+    // cell has cosine ≥ 0.9 with it. Quantization is HIERARCHICAL
+    // (r7 verdict item: the former flat k = ⌈n/160⌉ assignment
+    // crossJoined every doc with k ∝ n broadcast centroids — O(n²/160)
+    // total work and an n-proportional broadcast, a 100 TB killer):
+    //  - COARSE: k_c = ⌈√(n/160)⌉ Lloyd-fitted centroids (fit on a
+    //    16 Ki hash-sample), broadcast to a map-only nearest-centroid
+    //    pass — the broadcast is √-sublinear (~650 KB at 1e9 docs),
+    //    per-doc work k_c dots;
+    //  - FINE: inside each coarse cell of m docs, ⌈m/160⌉ hash-ranked
+    //    member docs seed the fine cells; docs meet their OWN cell's
+    //    seeds in a coarse-cid EQUI-JOIN (co-partitioned shuffle, no
+    //    broadcast) and take the nearest — per-doc work ~m/160 ≈
+    //    √(n/160) dots, fine-seed table n/160 rows but never
+    //    broadcast or crossed corpus-wide.
+    // Total assignment is O(n·√(n/160)) dots with bounded fan-out —
+    // vs O(n²/160) flat — and E[final cell] ≈ 160 docs AT EVERY
+    // SCALE, so the in-cell pairwise stays ~160·n. Fine seeds are
+    // member docs, not Lloyd means: SemDeDup needs deterministic
+    // bounded cells, not optimal quantization — cell quality moves
+    // only recall (rows-only; verdicts are exact-cosine either way),
+    // and skipping the fine Lloyd keeps the level O(n) (a third
+    // level with the same split bounds per-doc work at n^(1/3) if a
+    // corpus ever outgrows this). Deriving k_c needs the corpus
     // count, so the body runs inside plans.Deferred — builds stay
-    // job-free and k is fixed at first execution. Candidates meet in
-    // a cell-id equi-join, never all-pairs. Clustering is
-    // deterministic across runs: seeds are the k hash-ranked docs,
-    // centroid means aggregate as exact decimals (order-independent),
-    // assignment ties break by cell id. The drop verdict uses the
-    // SAME integer-exact cosine gate as q_dedup_text_lsh (dot > 0 ∧
-    // 100·dot² ≥ 81·na·nb in DECIMAL(38)) — assignment geometry is
-    // float (rows-only; clustering is engine-specific) but no verdict
-    // can flip on a borderline cosine. "Min-id wins locally": the
-    // lower-id doc of a dup pair survives unless itself shadowed —
-    // one pass, no iteration (contrast q_dedup_apply's transitive
-    // closure).
+    // job-free and the hierarchy is fixed at first execution.
+    // Candidates meet in a cell-id equi-join, never all-pairs.
+    // Deterministic across runs: coarse seeds and fine seeds are
+    // hash-ranked docs, centroid means aggregate as exact decimals
+    // (order-independent), both assignment levels break distance
+    // ties by cell id. The drop verdict uses the SAME integer-exact
+    // cosine gate as q_dedup_text_lsh (dot > 0 ∧ 100·dot² ≥ 81·na·nb
+    // in DECIMAL(38)) — assignment geometry is float but no verdict
+    // can flip on a borderline cosine; q_audit_semantic re-derives
+    // every verdict from the cells and the driver pins the mismatch
+    // counts to zero. "Min-id wins locally": the lower-id doc of a
+    // dup pair survives unless itself shadowed — one pass, no
+    // iteration (contrast q_dedup_apply's transitive closure).
     "q_dedup_semantic" -> ((s, d) => {
       GraftFunctions.register(s)
       val idT = Tables.t(s, d, "documents").schema("doc_id").dataType
@@ -287,7 +304,9 @@ object Retrieval extends QueryPack {
       // zip_with form measured 8.0 s at sf0.1; this form 2 s)
       val cvf = packedVecsF(s, d)
       val nDocs = cvf.count()
-      val kCells = math.max(32, (nDocs / 160L + 1L).toInt)
+      val targetCell = 160L
+      val kCoarse = math.max(1, math.round(
+        math.sqrt(nDocs.toDouble / targetCell)).toInt)
       val rounds = 2
       def sqDist = col("n2f") - lit(2.0) * GraftFunctions.dot_d(col("vf"), col("cvec")) +
         GraftFunctions.dot_d(col("cvec"), col("cvec"))
@@ -297,13 +316,7 @@ object Retrieval extends QueryPack {
           .agg(min(struct(sqDist.as("dist"), col("cid"))).as("m"))
           .select(col("doc_id"), col("m.cid").as("cid"))
       // quantizer FIT on a bounded hash-sample (16 Ki docs): Lloyd
-      // rounds cost O(sample·k), not O(n·k) — with k ∝ n, fitting on
-      // the full corpus is quadratic (measured: 2.6 s → 15.8 s at 10×
-      // before the sample bound). The one remaining O(n·k) pass is the
-      // final full-corpus assignment — the algorithm's irreducible
-      // cost (production SemDeDup pays it approximately on
-      // accelerators); it is map-only over broadcast centroids, so
-      // per-executor work scales with its partition share.
+      // rounds cost O(sample·k_c), never O(n·k).
       // (when the corpus already fits the bound, the hash-rank sort
       // would select everything — skip it and reuse the cached cvf)
       val fit =
@@ -312,7 +325,7 @@ object Retrieval extends QueryPack {
           .limit(16384)
           .select(col("doc_id"), col("vf"), col("n2f")).cache()
       var cents = fit.orderBy(xxhash64(col("doc_id")), col("doc_id"))
-        .limit(kCells)
+        .limit(kCoarse)
         .select(col("doc_id").as("cid"), col("vf").as("cvec"))
       (1 to rounds).foreach { _ =>
         cents = assignOf(fit, cents)
@@ -324,18 +337,63 @@ object Retrieval extends QueryPack {
           .agg(expr("transform(array_sort(collect_list(struct(pos, mx))), " +
             "s -> cast(s.mx as float))").as("cvec"))
       }
-      val cells = assignOf(cvf, cents.cache()).cache() // both join sides + output
+      // coarse pass: constant-size broadcast, map-only. cents is
+      // localCheckpointed (k_c rows): the Lloyd rounds nest their plan
+      // trees recursively, and the hierarchy below references coarse
+      // several times — without the cut, the executed plan string grows
+      // multiplicatively (OOM'd explainString at sf0.001).
+      val coarse = assignOf(cvf, cents.localCheckpoint())
+        .withColumnRenamed("cid", "ccid")
+      val withC = coarse.join(cvf, Seq("doc_id")).cache() // seeds + fine assign
+      // fine seeds: the ⌈m/160⌉ hash-ranked member docs of each coarse
+      // cell (row_number + count over the cell partition — distributed,
+      // no driver pass)
+      val wRank = Window.partitionBy(col("ccid"))
+        .orderBy(xxhash64(col("doc_id")), col("doc_id"))
+      val fineSeeds = withC
+        .select(col("ccid"), col("doc_id"), col("vf"),
+          row_number().over(wRank).as("rn"),
+          count(lit(1)).over(Window.partitionBy(col("ccid"))).as("m"))
+        .filter(col("rn") <= expr(s"(m + ${targetCell - 1}) div $targetCell"))
+        .select(col("ccid"), col("doc_id").as("fcid"), col("vf").as("fvec"))
+      // fine pass: docs meet ONLY their own coarse cell's seeds — a
+      // coarse-cid equi-join, co-partitioned, nothing broadcast; the
+      // per-doc n2f term is constant under argmin so the distance
+      // drops it (ties still break by fine cell id)
+      val cells = withC.join(fineSeeds, Seq("ccid"))
+        .groupBy(col("doc_id"))
+        .agg(min(struct(
+          (GraftFunctions.dot_d(col("fvec"), col("fvec")) -
+            lit(2.0) * GraftFunctions.dot_d(col("vf"), col("fvec"))).as("dist"),
+          col("fcid"))).as("m"))
+        .select(col("doc_id"), col("m.fcid").as("cid"))
+        // localCheckpoint, not cache: three consumers below (both
+        // shadow-join sides + the output join) would otherwise each
+        // re-render the full two-level assignment tree in the plan
+        .localCheckpoint()
       val sides = cells.join(cvf, Seq("doc_id")).cache()
       val aa = sides.select(col("cid"), col("doc_id").as("da"),
-        col("cv").as("cva"), col("vf").as("vfa"), col("n2f").as("n2a"))
+        col("vf").as("vfa"), col("n2f").as("n2a"))
       val bb = sides.select(col("cid").as("cid_b"), col("doc_id").as("db"),
-        col("cv").as("cvb"), col("vf").as("vfb"), col("n2f").as("n2b"))
-      // float cos ≥ 0.88 prefilter INSIDE the join — survivors (near
-      // dups only) reach the interpreted exact gate
+        col("vf").as("vfb"), col("n2f").as("n2b"))
+      // float cos ≥ 0.88 prefilter INSIDE the join, then a distinct()
+      // BARRIER before the exact gate — without it the optimizer
+      // collapses the gate's filter into this join's bound condition,
+      // and its three INTERPRETED ArrayAggregates lead the conjunction:
+      // every enumerated same-cell pair paid ~25 µs of interpreted
+      // 64-element folds (18 s of single-task CPU at sf0.1,
+      // jstack-confirmed) instead of one codegen'd float dot. With the
+      // barrier only prefilter survivors (true near-dups) reach the
+      // exact arithmetic — the q_dedup_text_lsh lesson re-learned for
+      // the merged-filter case.
       val fdot = GraftFunctions.dot_d(col("vfa"), col("vfb"))
-      val shadowed = aa.join(bb, col("cid") === col("cid_b") &&
+      val cand = aa.join(bb, col("cid") === col("cid_b") &&
           col("da") < col("db") && fdot > 0 &&
           fdot * fdot >= lit(0.7744) * col("n2a") * col("n2b"))
+        .select(col("da"), col("db")).distinct()
+      val va = sides.select(col("doc_id").as("da"), col("cv").as("cva"))
+      val vb = sides.select(col("doc_id").as("db"), col("cv").as("cvb"))
+      val shadowed = cand.join(va, Seq("da")).join(vb, Seq("db"))
         .select(col("da"), col("db"), expr(
           "aggregate(zip_with(cva, cvb, (x, y) -> x * y), " +
             "cast(0 as bigint), (acc, x) -> acc + x)").as("dot"),

@@ -21,23 +21,31 @@ import graft.engine.Tables.dec2
   */
 object StreamRunner {
 
-  /** readStream view of events with the same nanos→micros normalization
-    * as the batch loader (events.parquet is TIMESTAMP(NANOS)). */
+  /** readStream view of events with the same ts normalization as the
+    * batch loader, derived from the OBSERVED footer schema (the testdata
+    * has shipped both TIMESTAMP(NANOS) and timestamp[us] generations —
+    * hard-coding either compresses or inflates event time 1000×).
+    *
+    * Streaming keeps instant-typed timestamps — EventTimeWatermark
+    * rejects TIMESTAMP_NTZ; the batch queries use NTZ (session tz UTC
+    * makes the wall-clock values identical).
+    *
+    * events.parquet is a single file; the streaming file source wants a
+    * directory — stream the SF dir with a glob filter instead. */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = graft.engine.Tables.t(spark, dir, "events").schema
-    val rawSchema = org.apache.spark.sql.types.StructType(schema.map(f =>
-      if (f.name == "ts") f.copy(dataType = org.apache.spark.sql.types.LongType)
-      else f))
-    // NOTE: streaming keeps instant-typed timestamps — EventTimeWatermark
-    // rejects TIMESTAMP_NTZ; the batch queries use NTZ (session tz UTC
-    // makes the wall-clock values identical).
-    // events.parquet is a single file; the streaming file source wants a
-    // directory — stream the SF dir with a glob filter instead.
-    spark.readStream.schema(rawSchema)
+    val raw = graft.engine.Tables.rawSchema(spark, dir, "events")
+    val src = spark.readStream.schema(raw)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    raw("ts").dataType match {
+      // TIMESTAMP(NANOS) generation: legacy flag yields raw nanos Long
+      case org.apache.spark.sql.types.LongType =>
+        src.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      // timestamp[us] generation: already a timestamp; only NTZ→instant
+      case _ =>
+        src.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
 
   /** Tumbling 1-hour counts with a 1-hour watermark. */
