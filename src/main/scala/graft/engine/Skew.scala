@@ -63,7 +63,11 @@ object Skew {
     * spread degrades, correctness never does). */
   private[graft] def deterministicPlan(df: DataFrame): Boolean = {
     import org.apache.spark.sql.catalyst.plans.logical.{Sample, RebalancePartitions}
-    df.queryExecution.analyzed.collectFirst {
+    // collectWithSubqueries, not collectFirst over the outer plan:
+    // SubqueryExpression.deterministic does not reflect its INNER plan,
+    // so a Sample (or nondeterministic expression) inside a scalar/IN
+    // subquery would otherwise evade detection (ADVICE r7)
+    df.queryExecution.analyzed.collectWithSubqueries {
       case s: Sample => s
       case r: RebalancePartitions => r
       case p if p.expressions.exists(e => !e.deterministic) => p

@@ -620,8 +620,13 @@ object Multimodal extends QueryPack {
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
-  private[operators] def mediaBase(s: SparkSession, d: String): String =
-    mediaBuilt.computeIfAbsent(d, _ => {
+  private[operators] def mediaBase(s: SparkSession, d: String): String = {
+    // the map key IS the fixture-dir digest (ADVICE r7): keying by the
+    // raw string would let two spellings of the same dataset dir bypass
+    // computeIfAbsent's mutual exclusion and build into the SAME
+    // pid-suffixed tmp dir concurrently
+    val abs = new java.io.File(d).getAbsolutePath
+    mediaBuilt.computeIfAbsent(md5hex(abs), _ => {
       // keyed by a collision-resistant digest of the ABSOLUTE path —
       // String.hashCode can collide two sf dirs into one fixture tree
       // (ADVICE r6). Cross-process: a complete tree carries parquet's
@@ -629,7 +634,6 @@ object Multimodal extends QueryPack {
       // pid-suffixed temp dir and atomically rename it in, so a reader
       // mid-scan never races a rmTree and the losing builder of a race
       // discards its copy.
-      val abs = new java.io.File(d).getAbsolutePath
       val dir = new java.io.File(sys.props("java.io.tmpdir"),
         "graft_media_" + md5hex(abs))
       if (new java.io.File(dir, "_SUCCESS").exists()) dir.getAbsolutePath
@@ -655,16 +659,25 @@ object Multimodal extends QueryPack {
           })
           .toDF("doc_id", "media", "img16", "png", "wav", "gif_anim")
           .write.mode("overwrite").parquet(tmp.getAbsolutePath)
-        rmTree(dir) // incomplete tree (no _SUCCESS) from a killed run
-        if (!tmp.renameTo(dir)) {
-          // lost a cross-process race: reuse the winner's complete tree
-          if (!new java.io.File(dir, "_SUCCESS").exists())
-            throw new java.io.IOException(s"cannot install media fixtures at $dir")
-          rmTree(tmp)
+        // re-check right before deleting (ADVICE r7): a concurrent
+        // process may have installed a COMPLETE tree during our long
+        // build — deleting it would race ITS readers mid-scan; reuse
+        // it and discard our copy instead. Only a _SUCCESS-less tree
+        // (a killed run's debris) is ever removed.
+        if (new java.io.File(dir, "_SUCCESS").exists()) rmTree(tmp)
+        else {
+          rmTree(dir)
+          if (!tmp.renameTo(dir)) {
+            // lost a cross-process race: reuse the winner's complete tree
+            if (!new java.io.File(dir, "_SUCCESS").exists())
+              throw new java.io.IOException(s"cannot install media fixtures at $dir")
+            rmTree(tmp)
+          }
         }
         dir.getAbsolutePath
       }
     })
+  }
 
   /** One codec family's payloads, column-pruned and spread for decode
     * parallelism. Builds the fixture tree on first call per process —

@@ -101,7 +101,13 @@ object Deferred {
   /** Build a DataFrame with `schema` whose `body` runs only at first
     * execution. `label` names the deferred work in plan strings and
     * error messages (and distinguishes otherwise-identical relations
-    * under canonicalization). */
+    * under canonicalization).
+    *
+    * Contract: the body must return columns whose NAMES (and types)
+    * match `schema` — binding is positional, but name equality is
+    * enforced at first execution to catch reordered same-typed
+    * columns. The check fires at query RUNTIME, not build; alias the
+    * body's output columns to the declared names. */
   def df(spark: SparkSession, label: String, schema: StructType)(
       body: () => DataFrame): DataFrame = {
     val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
