@@ -28,6 +28,10 @@ object ScaleStress {
   private def round2(v: Double): Double = math.rint(v * 100) / 100
 
   def main(args: Array[String]): Unit = {
+    // let a stress run force the non-broadcast LSH verification path
+    // (the size switch won't trip on synthetic ×10 data sizes)
+    sys.env.get("GRAFT_FORCE_BUCKETED").foreach(v =>
+      System.setProperty(graft.operators.Retrieval.forceBucketedProp, v))
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt
     val scaledDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR",

@@ -22,18 +22,56 @@ import graft.functions.GraftFunctions
   */
 object Catalog {
 
+  /** Ticker exchange-suffix split — the reference's open TODO at
+    * vanguard.py:76 ("bloomberg exchange mapping"): a scraped ticker
+    * like "VWCE IM" is symbol + Bloomberg exchange code; a bare ticker
+    * has no exchange. Null-safe: null ticker → (null, null). */
+  def tickerSymbol(t: Column): Column =
+    when(t.isNull, lit(null).cast("string"))
+      .otherwise(split(trim(t), "\\s+").getItem(0))
+
+  def tickerExchange(t: Column): Column =
+    when(t.isNull || size(split(trim(t), "\\s+")) < 2,
+      lit(null).cast("string"))
+      .otherwise(split(trim(t), "\\s+").getItem(1))
+
+  /** Name-derived fund-type classification — the reference's open TODO
+    * at ishares.py:151 (`"fund_type": None  # TODO: find a way to
+    * distinguish between equity bond or multi`), using the Vanguard
+    * vocabulary its own equity/bond/multi_asset tables establish
+    * (vanguard.py:102-104). Keyword tiers: multi-asset brands first
+    * (so "Multi-Asset ... Bond exposure" classifies multi), then
+    * fixed-income vocabulary, else equity — the catalog's dominant
+    * class and the right default for index-equity names that carry no
+    * marker word. */
+  def classifyFundType(name: Column): Column = {
+    val n = lower(name)
+    when(n.contains("multi-asset") || n.contains("multi asset") ||
+        n.contains("lifestrategy"), lit("multi_asset"))
+      .when(n.contains("bond") || n.contains("aggregate") ||
+        n.contains("treasury") || n.contains("gilt") ||
+        n.contains("fixed income") || n.contains("high yield") ||
+        n.contains("corporate"), lit("bond"))
+      .otherwise(lit("equity"))
+  }
+
   /** iShares bronze → silver. Encodings (crocus output_examples/
     * ishares.json): name multi-line (first line wins, ishares.py:150),
     * ter '0,07' (comma decimal, percent, no % sign), price 'USD 632,42'
-    * (ccy prefix), date '28 feb 2025' (Italian month). */
+    * (ccy prefix), date '28 feb 2025' (Italian month). fund_type is
+    * None in the reference's own output (its ishares.py:151 TODO) —
+    * classified here from the name; a future non-null scrape wins. */
   def normalizeIShares(raw: DataFrame): DataFrame = {
     GraftFunctions.register(raw.sparkSession)
     val money = GraftFunctions.parse_locale_money(col("price"))
+    val firstLine = split(col("name"), "\n").getItem(0)
     raw.select(
       col("isin"),
-      split(col("name"), "\n").getItem(0).as("name"),
-      col("fund_type"),
+      firstLine.as("name"),
+      coalesce(col("fund_type"), classifyFundType(firstLine)).as("fund_type"),
       lit(null).cast("string").as("ticker"),
+      lit(null).cast("string").as("ticker_symbol"),
+      lit(null).cast("string").as("exchange"),
       col("currency"),
       GraftFunctions.parse_locale_pct(col("ter")).as("ter"),
       money.getField("amount").as("price"),
@@ -57,6 +95,8 @@ object Catalog {
         regexp_replace(col("name"), "\n", " ")).as("name"),
       col("asset_class").as("fund_type"),
       col("ticker"),
+      tickerSymbol(col("ticker")).as("ticker_symbol"),
+      tickerExchange(col("ticker")).as("exchange"),
       col("currency"),
       GraftFunctions.parse_locale_pct(col("ter")).as("ter"),
       money.getField("amount").as("price"),

@@ -202,6 +202,9 @@ object Audits extends QueryPack {
       graft.functions.GraftFunctions.register(s)
       val verdicts = Retrieval.queries("q_dedup_semantic")(s, d)
         .select(col("doc_id"), col("cid"), col("is_kept"))
+        .cache() // referenced twice (recheck sides + final compare); an
+                 // uncached Deferred would execute its inner pipeline
+                 // once per reference
       val cvf = Retrieval.packedVecsF(s, d)
       val sides = verdicts.join(cvf, Seq("doc_id")).cache()
       val aa = sides.select(col("cid"), col("doc_id").as("da"),

@@ -210,6 +210,38 @@ object Funcs extends QueryPack {
         .orderBy(col("p_partkey"))
     }),
 
+    // Catalog silver enrichment (r7 verdict item 5 — the reference's
+    // two open TODOs as oracled columns): Bloomberg ticker
+    // exchange-suffix split (vanguard.py:76) and name-derived fund-type
+    // classification (ishares.py:151). Raw ticker/name strings are
+    // SYNTHESIZED deterministically from part columns (some rows get a
+    // bare ticker, names carry a class marker word by p_partkey
+    // residue), the Catalog column functions parse/classify them, and
+    // the oracle computes the expected values DIRECTLY from the typed
+    // derivation — never by re-running the parse — so the split and
+    // the classifier are both hash-checked.
+    "q_catalog_silver" -> ((s, d) => {
+      import graft.catalog.Catalog
+      val exch = array(lit("IM"), lit("LN"), lit("GY"), lit("UW"), lit("FP"))
+      val marker = array(lit("Equity Index"), lit("Aggregate Bond"),
+        lit("Multi-Asset Portfolio"))
+      Tables.t(s, d, "part")
+        .withColumn("sym",
+          upper(substring(translate(col("p_name"), " ", ""), 1, 4)))
+        .withColumn("raw_ticker",
+          when(col("p_partkey") % 7 === 0, col("sym"))
+            .otherwise(concat(col("sym"), lit(" "),
+              element_at(exch, (col("p_partkey") % 5 + 1).cast("int")))))
+        .withColumn("fund_name",
+          concat(col("p_type"), lit(" "),
+            element_at(marker, (col("p_partkey") % 3 + 1).cast("int"))))
+        .select(col("p_partkey"),
+          Catalog.tickerSymbol(col("raw_ticker")).as("ticker_symbol"),
+          Catalog.tickerExchange(col("raw_ticker")).as("exchange"),
+          Catalog.classifyFundType(col("fund_name")).as("fund_type"))
+        .orderBy(col("p_partkey"))
+    }),
+
     // Multimodal columns: opaque binary payload + typed metadata struct
     // (north star). Binary plumbing is real; the payload here is the
     // utf-8 text bytes standing in for image/audio blobs.
@@ -348,6 +380,19 @@ object Funcs extends QueryPack {
         |  CAST(o_orderdate AS DATE) AS parsed_date
         |FROM part JOIN orders ON p_partkey = o_orderkey
         |ORDER BY p_partkey""".stripMargin,
+
+    // expected values derived from the TYPED synthesis (key residues),
+    // never by re-running the split/classify — the enrichment logic is
+    // what's under test
+    "q_catalog_silver" ->
+      """SELECT p_partkey,
+        |  upper(substring(replace(p_name, ' ', ''), 1, 4)) AS ticker_symbol,
+        |  CASE WHEN p_partkey % 7 = 0 THEN NULL
+        |       ELSE ['IM','LN','GY','UW','FP'][CAST(p_partkey % 5 + 1 AS INT)]
+        |  END AS exchange,
+        |  CASE CAST(p_partkey % 3 AS INT) WHEN 0 THEN 'equity'
+        |       WHEN 1 THEN 'bond' ELSE 'multi_asset' END AS fund_type
+        |FROM part ORDER BY p_partkey""".stripMargin,
 
     "q_multimodal_cols" ->
       """SELECT doc_id,

@@ -89,6 +89,25 @@ object Retrieval extends QueryPack {
         .as("cv"))
       .cache()
 
+  /** Size switch for the LSH pair-verification join (VERDICT r7 #3).
+    * The broadcast side is the derived vector table at ~850 B/doc; the
+    * probe is the documents parquet byte size (a driver-side file stat
+    * — query builds stay job-free). On this corpus parquet runs ~400
+    * compressed bytes/doc, so the 128 MB file ceiling ≈ 300k docs ≈
+    * 270 MB of broadcast vectors — comfortably under executor budgets;
+    * above it the verification must not pin a docs-sized table in
+    * every executor (nor grow driver collect pressure), so both sides
+    * meet in co-partitioned shuffle joins instead. The sys prop forces
+    * the bucketed path on small data for tests and stress runs. */
+  private[graft] val forceBucketedProp = "graft.lsh.verify.forceBucketed"
+  private def dirBytes(f: java.io.File): Long =
+    if (f.isDirectory)
+      Option(f.listFiles()).map(_.map(dirBytes).sum).getOrElse(0L)
+    else f.length()
+  private[operators] def verifyBroadcastOk(d: String): Boolean =
+    !java.lang.Boolean.getBoolean(forceBucketedProp) &&
+      dirBytes(new java.io.File(s"$d/documents.parquet")) <= 128L * 1024 * 1024
+
   /** packedVecs plus a float mirror (vf) and its float norm (n2f):
     * pairwise PREFILTERS run on the codegen'd dot_d over floats —
     * float error is ~1e-6 relative, three orders below the 0.88-vs-
@@ -222,20 +241,30 @@ object Retrieval extends QueryPack {
       // verification over PACKED per-doc vectors: codegen'd float
       // dot_d ≥ 0.88 prefilter first (margin argument in packedVecsF),
       // the interpreted integer-exact gate only on survivors — the
-      // zip_with-on-everything form measured 43 s at 10×. The vector
-      // table is BROADCAST into both joins: it is docs-sized (~800 B/
-      // doc) while the candidate stream is pairs-sized — shuffling
-      // pairs+arrays measured 1.3 GB at 10× vs ~0 broadcast. Beyond
-      // broadcastable corpus sizes, bucket both sides by doc_id range
-      // instead (Layout.bucketed) — the pair stream still never
-      // re-shuffles with arrays attached.
+      // zip_with-on-everything form measured 43 s at 10×. SIZE-SWITCHED
+      // join shape (r7 verdict item 3): while the docs-sized vector
+      // table (~850 B/doc) fits a broadcast budget it is BROADCAST into
+      // both joins — the candidate stream is pairs-sized and shuffling
+      // pairs+arrays measured 1.3 GB at 10× vs ~0 broadcast. Beyond the
+      // budget (file-length probe — builds stay job-free) the
+      // verification becomes two co-partitioned SHUFFLE equi-joins on
+      // da then db: vectors shuffle once per side keyed by doc_id, the
+      // pair stream carries arrays through exactly one exchange, and
+      // nothing docs-sized is ever collected to one node. Tests force
+      // this path on small data via the sys prop; both shapes are
+      // value-identical (asserted in RetrievalSpec, plan-asserted in
+      // PlanSpec).
       val cvf = packedVecsF(s, d)
+      val sideA = cvf.select(col("doc_id").as("da"), col("cv").as("cva"),
+        col("vf").as("vfa"), col("n2f").as("n2a"))
+      val sideB = cvf.select(col("doc_id").as("db"), col("cv").as("cvb"),
+        col("vf").as("vfb"), col("n2f").as("n2b"))
       val fdot = GraftFunctions.dot_d(col("vfa"), col("vfb"))
-      val dots = cand
-        .join(broadcast(cvf.select(col("doc_id").as("da"), col("cv").as("cva"),
-          col("vf").as("vfa"), col("n2f").as("n2a"))), Seq("da"))
-        .join(broadcast(cvf.select(col("doc_id").as("db"), col("cv").as("cvb"),
-          col("vf").as("vfb"), col("n2f").as("n2b"))), Seq("db"))
+      val dots = (if (verifyBroadcastOk(d))
+          cand.join(broadcast(sideA), Seq("da"))
+            .join(broadcast(sideB), Seq("db"))
+        else
+          cand.join(sideA, Seq("da")).join(sideB, Seq("db")))
         .filter(fdot > 0 && fdot * fdot >= lit(0.7744) * col("n2a") * col("n2b"))
         .select(col("da"), col("db"), expr(
           "aggregate(zip_with(cva, cvb, (x, y) -> x * y), " +

@@ -33,11 +33,37 @@ class CatalogSpec extends SparkTestBase {
   test("iShares normalization types the golden record") {
     val r = Catalog.normalizeIShares(isharesBronze).collect()(0)
     assert(r.getAs[String]("name") == "iShares Core S&P 500 UCITS ETF")
+    // the ishares.py:151 TODO: null fund_type is classified from the
+    // name with the Vanguard vocabulary (S&P 500 → equity)
+    assert(r.getAs[String]("fund_type") == "equity")
+    assert(r.getAs[String]("ticker_symbol") == null)
+    assert(r.getAs[String]("exchange") == null)
     assert(r.getAs[Double]("ter") == 0.07 / 100)
     assert(r.getAs[Double]("price") == 632.42)
     assert(r.getAs[String]("price_ccy") == "USD")
     assert(r.getAs[java.sql.Date]("price_date").toString == "2025-02-28")
     assert(r.getAs[String]("provider") == "ishares")
+  }
+
+  test("iShares fund-type classification covers the Vanguard vocabulary") {
+    val named = Seq(
+      ("B1", "iShares Core Global Aggregate Bond UCITS ETF"),
+      ("B2", "iShares $ Treasury Bd 1-3y UCITS ETF\nIBTS"),
+      ("B3", "iShares Core £ Corporate Bond UCITS ETF"),
+      ("M1", "BlackRock ESG Multi-Asset Growth Portfolio UCITS ETF"),
+      ("E1", "iShares Core MSCI World UCITS ETF"))
+      .toDF("isin", "name")
+      .withColumn("fund_type", lit(null).cast("string"))
+      .withColumn("currency", lit("USD"))
+      .withColumn("ter", lit("0,07")).withColumn("price", lit("USD 10,00"))
+      .withColumn("date", lit("28 feb 2025"))
+      .withColumn("factsheet", lit("f")).withColumn("kid", lit("k"))
+      .withColumn("product_page", lit("p"))
+      .withColumn("holdings_file", lit("h"))
+    val got = Catalog.normalizeIShares(named).collect()
+      .map(r => r.getAs[String]("isin") -> r.getAs[String]("fund_type")).toMap
+    assert(got == Map("B1" -> "bond", "B2" -> "bond", "B3" -> "bond",
+      "M1" -> "multi_asset", "E1" -> "equity"), got.toString)
   }
 
   test("Vanguard normalization types the golden records") {
@@ -53,6 +79,11 @@ class CatalogSpec extends SparkTestBase {
     assert(vuaa.getAs[Double]("price") == 5.66)
     assert(vuaa.getAs[String]("price_ccy") == "EUR")
     assert(vuaa.getAs[java.sql.Date]("price_date").toString == "2025-02-21")
+    // the vanguard.py:76 TODO: "VWCE IM" splits into symbol + exchange
+    assert(vwce.getAs[String]("ticker_symbol") == "VWCE")
+    assert(vwce.getAs[String]("exchange") == "IM")
+    assert(vuaa.getAs[String]("ticker_symbol") == "VUAA")
+    assert(vuaa.getAs[String]("exchange") == "IM")
   }
 
   test("confront: disjoint keys → full-outer null sides") {

@@ -364,6 +364,22 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("q_dedup_text_lsh verification: broadcast under the size switch, none when bucketed") {
+    // the two pair-verification joins carry broadcast hints only below
+    // the corpus-size threshold; forced above it, the SAME query builds
+    // with those two hints gone (co-partitioned shuffle joins) and no
+    // nested-loop fallback anywhere
+    def hints(p: String): Int = "strategy=broadcast".r.findAllIn(p).length
+    val deflt = q("q_dedup_text_lsh").queryExecution.optimizedPlan.toString
+    System.setProperty(graft.operators.Retrieval.forceBucketedProp, "true")
+    val forced =
+      try q("q_dedup_text_lsh").queryExecution.optimizedPlan.toString
+      finally System.clearProperty(graft.operators.Retrieval.forceBucketedProp)
+    assert(hints(deflt) - hints(forced) == 2,
+      s"default=${hints(deflt)} forced=${hints(forced)}\n$forced")
+    assert(!forced.contains("CartesianProduct"), forced)
+  }
+
   test("q_dedup_semantic: pairwise pass meets in a cell-id equi-join, centroids broadcast") {
     // the body is deferred (k is corpus-derived), so the inner plan
     // renders only post-execution

@@ -160,6 +160,19 @@ class RetrievalSpec extends SparkTestBase {
     }
   }
 
+  test("q_dedup_text_lsh: forced bucketed (non-broadcast) verification is value-identical") {
+    // the size switch picks broadcast at test SF; force the shuffle-join
+    // path and pin bit-identity — the production shape above the
+    // 128 MB corpus threshold must change the PLAN, never the pairs
+    val default = q("q_dedup_text_lsh").collect()
+    System.setProperty(graft.operators.Retrieval.forceBucketedProp, "true")
+    val bucketed =
+      try q("q_dedup_text_lsh").collect()
+      finally System.clearProperty(graft.operators.Retrieval.forceBucketedProp)
+    assert(default.nonEmpty && bucketed.sameElements(default),
+      s"bucketed path diverged: ${bucketed.length} vs ${default.length} rows")
+  }
+
   test("q_dedup_semantic: verdicts recompute exactly given the cells; deterministic") {
     val rows = q("q_dedup_semantic").collect()
     val again = q("q_dedup_semantic").collect()
