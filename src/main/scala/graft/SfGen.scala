@@ -1,0 +1,121 @@
+package graft
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** sf1 test-fixture generator (VERDICT r6/r7: "one standing sf1 bench
+  * row"): scales the driver's sf0.1 tables ×N with referential
+  * consistency, so the full surface + DuckDB oracles can run at sf1
+  * without touching the read-only driver data.
+  *
+  * Replication scheme (replica r of N):
+  *  - dims `region`/`nation` are fixed (as in TPC-H — they don't scale);
+  *  - every other table's keys shift by r·(max(key)+1), with FK columns
+  *    shifted by the PARENT's offset, so orders→customer,
+  *    lineitem→{orders,part,supplier} and documents↔embeddings
+  *    (doc_id = vec_id joins, hence one SHARED offset for both) keep
+  *    exactly N× the base match cardinality;
+  *  - `documents.text` tokens get a `_r{r}` suffix for r > 0
+  *    (ScaleStress's scheme): within-replica similarity structure is
+  *    the original's, cross-replica token overlap is zero, so the
+  *    ideal dedup/LSH workload is exactly N× — superlinearity measured
+  *    on top of this is algorithmic, not data artifact;
+  *  - `embeddings.embedding` is rotated by r positions for r > 0:
+  *    norm-preserving and deterministic, so replicas are not exact
+  *    vector duplicates (which would turn every ANN/dedup query into a
+  *    degenerate all-dups run).
+  *
+  * Emits one PLAIN parquet file per table (matching the driver layout,
+  * readable by DuckDB's single-file scan in tools/check.py).
+  */
+object SfGen {
+  def main(args: Array[String]): Unit = {
+    val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_BASE", "/root/testdata/sf0.1")
+    val outDir = sys.env.getOrElse("SPARK_GRAFT_SF_OUT", "/tmp/graft_sf1")
+    val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      // base tables are timestamp[us]; keep the scaled files identical
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val done = new java.io.File(outDir, "_SUCCESS")
+    if (done.exists()) { println(s"[sfgen] $outDir already built"); return }
+    new java.io.File(outDir).mkdirs()
+
+    def base(t: String): DataFrame =
+      spark.read.parquet(s"$baseDir/$t.parquet")
+    def off(df: DataFrame, key: String): Long =
+      df.agg(max(col(key))).head().getLong(0) + 1
+
+    val cOff = off(base("customer"), "c_custkey")
+    val sOff = off(base("supplier"), "s_suppkey")
+    val pOff = off(base("part"), "p_partkey")
+    val oOff = off(base("orders"), "o_orderkey")
+    val eOff = off(base("events"), "event_id")
+    val uOff = off(base("events"), "user_id")
+    // documents.doc_id and embeddings.vec_id share one id space
+    // (q_doc_embed_join etc. join them) → one shared offset
+    val dOff = math.max(off(base("documents"), "doc_id"),
+      off(base("embeddings"), "vec_id"))
+
+    def replicate(t: String)(per: (DataFrame, Int) => DataFrame): Unit = {
+      val b = base(t)
+      val scaled = (0 until factor).map(r => per(b, r)).reduce(_ unionAll _)
+      val tmp = s"$outDir/.tmp_$t"
+      scaled.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no part file for $t"))
+      Files.move(part.toPath, Paths.get(s"$outDir/$t.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+      println(s"[sfgen] $t -> $outDir/$t.parquet")
+    }
+
+    // fixed dims: copy through one replica
+    replicate("region")((b, r) => if (r == 0) b else b.limit(0))
+    replicate("nation")((b, r) => if (r == 0) b else b.limit(0))
+
+    replicate("customer")((b, r) => b.withColumn("c_custkey",
+      col("c_custkey") + lit(r * cOff)))
+    replicate("supplier")((b, r) => b.withColumn("s_suppkey",
+      col("s_suppkey") + lit(r * sOff)))
+    replicate("part")((b, r) => b.withColumn("p_partkey",
+      col("p_partkey") + lit(r * pOff)))
+    replicate("orders")((b, r) => b
+      .withColumn("o_orderkey", col("o_orderkey") + lit(r * oOff))
+      .withColumn("o_custkey", col("o_custkey") + lit(r * cOff)))
+    replicate("lineitem")((b, r) => b
+      .withColumn("l_orderkey", col("l_orderkey") + lit(r * oOff))
+      .withColumn("l_partkey", col("l_partkey") + lit(r * pOff))
+      .withColumn("l_suppkey", col("l_suppkey") + lit(r * sOff)))
+    replicate("events")((b, r) => b
+      .withColumn("event_id", col("event_id") + lit(r * eOff))
+      .withColumn("user_id", col("user_id") + lit(r * uOff)))
+    replicate("documents")((b, r) => b
+      .withColumn("doc_id", col("doc_id") + lit(r * dOff))
+      .withColumn("text",
+        if (r == 0) col("text")
+        else array_join(transform(split(col("text"), " "),
+          t => concat(t, lit(s"_r$r"))), " ")))
+    replicate("embeddings")((b, r) => b
+      .withColumn("vec_id", col("vec_id") + lit(r * dOff))
+      .withColumn("embedding",
+        if (r == 0) col("embedding")
+        else concat(
+          slice(col("embedding"), lit(r + 1), size(col("embedding")) - lit(r)),
+          slice(col("embedding"), lit(1), lit(r))).cast("array<float>")))
+
+    Files.createFile(done.toPath)
+    println(s"[sfgen] done: factor $factor from $baseDir")
+    spark.stop()
+  }
+}
