@@ -113,6 +113,34 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.read.parquet(s"$sfDir/nation.parquet").count()
+
+    // ---- opt-in shuffle accounting (round-8, VERDICT r7 #7) ----
+    // The sf1 PERF row wants walls AND shuffle-write bytes. Stage
+    // metrics arrive on the listener bus asynchronously, so per-query
+    // attribution needs a settle (wait until the counter stops moving)
+    // AFTER the timed region — that wait is excluded from the reported
+    // secs but still serializes queries, so it stays env-gated and off
+    // for driver runs.
+    val trackShuffle = sys.env.get("SPARK_GRAFT_BENCH_SHUFFLE").contains("1")
+    val shuffleWrite = new java.util.concurrent.atomic.AtomicLong()
+    if (trackShuffle)
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onStageCompleted(
+              e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+            shuffleWrite.addAndGet(
+              e.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+        })
+    def settleShuffle(): Long = {
+      var prev = -1L; var cur = shuffleWrite.get()
+      while (cur != prev) { Thread.sleep(200); prev = cur; cur = shuffleWrite.get() }
+      cur
+    }
+    // per-query MAX across passes: memoized/cached subtrees make warm
+    // passes shuffle less, and the cold (first-touch) bytes are the
+    // number that scales with the data
+    val qShuffle = scala.collection.mutable.Map[String, Long]()
+    var inSeqPhase = false
     val unknown = args.toSet -- SparkEntry.queries.keySet
     require(unknown.isEmpty, s"unknown query names: ${unknown.mkString(", ")}")
     val selected =
@@ -121,10 +149,17 @@ object Bench {
 
     def runOne(name: String,
         fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val track = trackShuffle && inSeqPhase
+      val b0 = if (track) settleShuffle() else 0L
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => return -1.0 }
-      (System.nanoTime() - t0) / 1e9
+      val secs = (System.nanoTime() - t0) / 1e9
+      if (track) {
+        val bytes = settleShuffle() - b0
+        qShuffle(name) = math.max(qShuffle.getOrElse(name, 0L), bytes)
+      }
+      secs
     }
 
     def loadavg: Double = math.rint(java.lang.management.ManagementFactory
@@ -141,6 +176,7 @@ object Bench {
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt
     val calSeq = effectiveParallelism(cpus.toInt)
     var seq: Map[String, Double] = Map.empty
+    inSeqPhase = true
     (1 to passes).foreach { _ =>
       val pass = selected.map { case (n, f) => n -> runOne(n, f) }
       seq =
@@ -150,6 +186,7 @@ object Bench {
           n -> (if (v < 0 || prev < 0) -1.0 else math.min(v, prev))
         }
     }
+    inSeqPhase = false
     val seqTotal = seq.values.filter(_ >= 0).sum
 
     // concurrent throughput passes over the warm session; min-of-N
@@ -264,6 +301,11 @@ object Bench {
     spark.sparkContext.setLogLevel("ERROR")
     spark.stop()
     println(s"""{"bench_per_query":$qs,"failed_all":$failedFullJson,"sf":"$sfDir","passes":$passes,"loadavg_start":$load0,"loadavg_end":$load1}""")
+    if (trackShuffle) {
+      val sj = qShuffle.toSeq.sortBy(-_._2)
+        .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+      println(s"""{"bench_shuffle_write_bytes":$sj,"total":${qShuffle.values.sum},"sf":"$sfDir","note":"per-query MAX across $passes sequential passes (cold bytes; warm passes reuse cached subtrees)"}""")
+    }
     val slowest = seq.toSeq.filter(_._2 >= 0).sortBy(-_._2).take(12)
       .map { case (k, v) => "\"" + k + "\":" + round3(v) }
       .mkString("{", ",", "}")

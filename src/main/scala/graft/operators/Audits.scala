@@ -227,11 +227,22 @@ object Audits extends QueryPack {
     // recheck into CORRECTNESS itself.
     "q_audit_semantic" -> ((s, d) => {
       graft.functions.GraftFunctions.register(s)
+      // The audit runs inside its OWN Deferred so the verdicts frame
+      // can be localCheckpointed at execution: without the lineage
+      // cut, every join branch below embeds the clustering pipeline's
+      // whole inner plan — measured at sf0.1 as 109 fragmented stages,
+      // ~25 s of serialized sub-second jobs and GB-scale plan strings
+      // (the event log alone was 1.2 GB), all planning overhead, no
+      // compute. Checkpointed, the verdicts are a 3-column RDD leaf,
+      // the downstream joins plan in milliseconds, and the clustering
+      // executes exactly once (shared with q_dedup_semantic through
+      // Retrieval's session memo).
+      Deferred.df(s, s"audit_semantic:$d", StructType(Seq(
+        StructField("n_bad_drops", LongType),
+        StructField("n_bad_keeps", LongType)))) { () =>
       val verdicts = Retrieval.queries("q_dedup_semantic")(s, d)
         .select(col("doc_id"), col("cid"), col("is_kept"))
-        .cache() // referenced twice (recheck sides + final compare); an
-                 // uncached Deferred would execute its inner pipeline
-                 // once per reference
+        .localCheckpoint()
       val cvf = Retrieval.packedVecsF(s, d)
       val sides = verdicts.join(cvf, Seq("doc_id")).cache()
       val aa = sides.select(col("cid"), col("doc_id").as("da"),
@@ -269,6 +280,7 @@ object Audits extends QueryPack {
           sum(when(col("is_kept") && col("sh"), 1L).otherwise(0L))
             .as("n_bad_keeps"))
         .orderBy(col("n_bad_drops"))
+      }
     }),
 
     // Exhaustive-slice recall audit of the adaptive-width text LSH

@@ -47,6 +47,10 @@ object Retrieval extends QueryPack {
   private val b = 0.75
   private val bm25Terms = Seq("table", "spark", "merge")
 
+  // q_dedup_semantic's session-scoped memo (see the entry's comment)
+  private val semanticMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
   // NOT spread — same small-vocab partial-agg reasoning as
   // Curation.docs (measured regression when spread)
   private def docs(s: SparkSession, d: String): DataFrame =
@@ -322,7 +326,17 @@ object Retrieval extends QueryPack {
     // counts to zero. "Min-id wins locally": the lower-id doc of a
     // dup pair survives unless itself shadowed — one pass, no
     // iteration (contrast q_dedup_apply's transitive closure).
+    // Memoized per (session, dir) — the Tables.t idiom: q_dedup_semantic
+    // AND q_audit_semantic consume the SAME Deferred instance, so within
+    // one session the clustering body builds once and a second consumer
+    // re-executes a warm inner plan (internal caches + localCheckpoints
+    // intact) instead of re-fitting the whole hierarchy from scratch
+    // (measured at sf0.1: the audit's private re-derivation cost ~6 s).
+    // Same staleness caveat as Tables.t (testdata dirs are immutable
+    // in-process).
     "q_dedup_semantic" -> ((s, d) => {
+      semanticMemo.keySet.removeIf(k => k._1.sparkContext.isStopped)
+      semanticMemo.computeIfAbsent((s, d), _ => {
       GraftFunctions.register(s)
       val idT = Tables.t(s, d, "documents").schema("doc_id").dataType
       Deferred.df(s, s"dedup_semantic:$d", StructType(Seq(
@@ -356,15 +370,19 @@ object Retrieval extends QueryPack {
       var cents = fit.orderBy(xxhash64(col("doc_id")), col("doc_id"))
         .limit(kCoarse)
         .select(col("doc_id").as("cid"), col("vf").as("cvec"))
+      // centroid mean as ONE groupBy with 64 per-dim decimal avgs
+      // (order-independent exact sums, same decimal→double→float chain
+      // as the former posexplode form — bit-identical centroids): the
+      // posexplode → (cid,pos) agg → collect_list reassembly form paid
+      // a 64× row blowup and two extra shuffles per Lloyd round, all
+      // serialized inside the deferred body's cold build
       (1 to rounds).foreach { _ =>
         cents = assignOf(fit, cents)
           .join(fit, Seq("doc_id"))
-          .select(col("cid"), posexplode(col("vf")).as(Seq("pos", "x")))
-          .groupBy(col("cid"), col("pos"))
-          .agg(avg(col("x").cast("decimal(28,6)")).cast("double").as("mx"))
           .groupBy(col("cid"))
-          .agg(expr("transform(array_sort(collect_list(struct(pos, mx))), " +
-            "s -> cast(s.mx as float))").as("cvec"))
+          .agg(array((0 until 64).map(i =>
+            avg(element_at(col("vf"), i + 1).cast("decimal(28,6)"))
+              .cast("double").cast("float")): _*).as("cvec"))
       }
       // coarse pass: constant-size broadcast, map-only. cents is
       // localCheckpointed (k_c rows): the Lloyd rounds nest their plan
@@ -437,6 +455,7 @@ object Retrieval extends QueryPack {
           coalesce(!col("shadowed"), lit(true)).as("is_kept"))
         .orderBy(col("doc_id"))
       }
+      })
     }),
 
     // TF-IDF: tf(doc,term) × ln(N/df(term)), top 100 scored pairs.
