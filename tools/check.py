@@ -6,25 +6,38 @@ at the Arrow level (types + exact values).
 Usage: python3 tools/check.py <sfDir> <outDir> [query ...]
 (outDir must already contain graft.Verify output.)
 """
-import json, sys
+import json, os, sys
 import duckdb
 import pyarrow as pa
 import pyarrow.parquet as pq
 import pyarrow.compute as pc
 
+def fresh_con(sf_dir):
+    # one connection PER QUERY: at sf1 a single shared connection's
+    # buffer pool accumulated across 118 heavy oracles until trivial
+    # filters OOM'd (and starved pyarrow's own allocations); a bounded
+    # memory_limit + disk spill + reconnect keeps each oracle honest
+    con = duckdb.connect()
+    con.execute(f"SET memory_limit TO '{os.environ.get('DUCK_MEM', '24GB')}'")
+    # per-PROCESS spill dir: two concurrent checks sharing one spill
+    # path delete each other's temp storage mid-query
+    con.execute(f"SET temp_directory TO '/tmp/duck_spill_{os.getpid()}'")
+    for t in ["region","nation","customer","supplier","part","orders",
+              "lineitem","events","documents","embeddings"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
-    con = duckdb.connect()
-    for t in ["region","nation","customer","supplier","part","orders",
-              "lineitem","events","documents","embeddings"]:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         if only and name not in only: continue
         try:
+            con = fresh_con(sf_dir)
             exp = con.execute(sql).arrow()
+            con.close()
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}"); n_fail += 1; continue
         try:
