@@ -436,7 +436,8 @@ object Audits extends QueryPack {
         |dense AS (SELECT d.doc_id, g.j,
         |            ((COALESCE(e.v, 0) * (SELECT nd FROM n_d)
         |              - COALESCE(s.sj, 0)) >> 12) AS c
-        |          FROM docs_e d CROSS JOIN range(64) g(j)
+        |          FROM (SELECT doc_id FROM docs_e WHERE doc_id < 2000) d
+        |          CROSS JOIN range(64) g(j)
         |          LEFT JOIN emb e ON e.doc_id = d.doc_id AND e.j = g.j
         |          LEFT JOIN sj s ON s.j = g.j),
         |cvecs AS (SELECT doc_id, list(c ORDER BY j) AS cv
@@ -460,6 +461,25 @@ object Audits extends QueryPack {
         |  AND 100 * CAST(e.dot AS HUGEINT) * e.dot
         |      >= 81 * CAST(na.n2 AS HUGEINT) * nb.n2
         |ORDER BY e.da, e.db""".stripMargin
-        .replace("__LSH__", Retrieval.oracle("q_dedup_text_lsh"))
+        .replace("__LSH__", sliceRestrictedLshOracle)
   )
+
+  /** The nested q_dedup_text_lsh oracle with its `dense` CTE restricted
+    * to the audited doc_id < 2000 slice. Output-equivalent: the audit's
+    * final LEFT JOIN observes only lsh pairs with BOTH ids inside the
+    * slice, bucketing is per-doc (a pair shares a band value or not
+    * regardless of other docs), and every global statistic the
+    * projection depends on (df, nd, sj, the adaptive width w) is
+    * computed from CTEs upstream of `dense`, which stay corpus-wide.
+    * Restricting `dense` makes proj/bands/sigs/keyed/cand/cvecs/dots
+    * slice-sized transitively. Without this, the nested copy enumerated
+    * 23.4M full-corpus candidate pairs at sf1 and spilled DuckDB past
+    * this box's disk budget — for rows the audit provably never reads. */
+  private lazy val sliceRestrictedLshOracle: String = {
+    val lsh = Retrieval.oracle("q_dedup_text_lsh")
+    val from = "FROM docs_e d CROSS JOIN range(64) g(j)"
+    require(lsh.contains(from), "nested lsh oracle drifted: dense FROM not found")
+    lsh.replace(from,
+      "FROM (SELECT doc_id FROM docs_e WHERE doc_id < 2000) d CROSS JOIN range(64) g(j)")
+  }
 }

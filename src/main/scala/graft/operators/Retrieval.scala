@@ -789,7 +789,12 @@ object Retrieval extends QueryPack {
     // end-to-end (not an approximation audit). DuckDB's >> is
     // arithmetic shift like Spark's shiftright (both floor, verified
     // on negatives); SUMs widen to HUGEINT, hence the BIGINT casts at
-    // each fragment boundary.
+    // each fragment boundary. The multiply-referenced CTEs carry
+    // AS MATERIALIZED (a plan hint, results identical): DuckDB 1.0
+    // otherwise re-inlines each reference and decorrelates the
+    // (SELECT w FROM wsel) scalar subqueries into join plans that
+    // spilled past this box's 79 GB disk at sf1; materialized, the
+    // same oracle completes there (133,519 pairs).
     "q_dedup_text_lsh" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
         |             FROM documents),
@@ -807,7 +812,7 @@ object Retrieval extends QueryPack {
         |docs_e AS (SELECT doc_id FROM emb GROUP BY 1 HAVING count(*) >= 4),
         |n_d AS (SELECT count(*) AS nd FROM docs_e),
         |sj AS (SELECT j, CAST(SUM(v) AS BIGINT) AS sj FROM emb GROUP BY 1),
-        |dense AS (SELECT d.doc_id, g.j,
+        |dense AS MATERIALIZED (SELECT d.doc_id, g.j,
         |            ((COALESCE(e.v, 0) * (SELECT nd FROM n_d)
         |              - COALESCE(s.sj, 0)) >> 12) AS c
         |          FROM docs_e d CROSS JOIN range(64) g(j)
@@ -821,29 +826,29 @@ object Retrieval extends QueryPack {
         |                      || t2.range::VARCHAR), 1, 15))::BIGINT % 2 = 0
         |                THEN 1::BIGINT ELSE (-1)::BIGINT END AS r
         |         FROM range(128) t1 CROSS JOIN range(64) t2),
-        |proj AS (SELECT d.doc_id, r.k, SUM(r.r * d.c) AS p
+        |proj AS MATERIALIZED (SELECT d.doc_id, r.k, SUM(r.r * d.c) AS p
         |         FROM dense d JOIN rmat r ON r.j = d.j
         |         WHERE r.k < 8 * (SELECT w FROM wsel) GROUP BY 1, 2),
-        |bands AS (SELECT doc_id, k // (SELECT w FROM wsel) AS band,
+        |bands AS MATERIALIZED (SELECT doc_id, k // (SELECT w FROM wsel) AS band,
         |            CAST(SUM(CASE WHEN p >= 0
         |                          THEN (1::BIGINT << CAST(k % (SELECT w FROM wsel) AS INT))
         |                          ELSE 0 END) AS BIGINT) AS bkt
         |          FROM proj GROUP BY 1, 2),
-        |sigs AS (SELECT doc_id,
+        |sigs AS MATERIALIZED (SELECT doc_id,
         |           CAST(SUM(CASE WHEN p >= 0 AND k < 63
         |                         THEN (1::BIGINT << CAST(k AS INT))
         |                         ELSE 0 END) AS BIGINT) AS sig
         |         FROM proj GROUP BY 1),
-        |keyed AS (SELECT b.doc_id, b.band, b.bkt, s.sig
+        |keyed AS MATERIALIZED (SELECT b.doc_id, b.band, b.bkt, s.sig
         |          FROM bands b JOIN sigs s USING (doc_id)),
-        |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+        |cand AS MATERIALIZED (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
         |         FROM keyed a JOIN keyed b
         |           ON a.band = b.band AND a.bkt = b.bkt
         |          AND a.doc_id < b.doc_id
         |          AND bit_count(xor(a.sig, b.sig)) <= 16),
-        |cvecs AS (SELECT doc_id, list(c ORDER BY j) AS cv
+        |cvecs AS MATERIALIZED (SELECT doc_id, list(c ORDER BY j) AS cv
         |          FROM dense GROUP BY 1),
-        |nrm AS (SELECT doc_id,
+        |nrm AS MATERIALIZED (SELECT doc_id,
         |          CAST(list_sum(list_transform(cv, x -> x * x)) AS BIGINT) AS n2
         |        FROM cvecs),
         |dots AS (SELECT c2.da, c2.db,

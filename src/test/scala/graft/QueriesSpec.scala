@@ -45,7 +45,7 @@ class QueriesSpec extends SparkTestBase {
     SparkEntry.oracleSql.foreach { case (name, sql) =>
       val cites = tablePattern.findAllMatchIn(sql).map(_.group(1).toLowerCase)
         .toSet -- Set("r", "null") // CTE self-ref; "FROM NULL" in IS NOT DISTINCT FROM NULL
-      val ctes = "(?i)([a-z_][a-z0-9_]*)\\s+AS\\s*\\(".r
+      val ctes = "(?i)([a-z_][a-z0-9_]*)\\s+AS\\s*(?:MATERIALIZED\\s*)?\\(".r
         .findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
       val unknown = cites -- known -- ctes
       assert(unknown.isEmpty, s"$name references unknown tables: $unknown")
