@@ -4,7 +4,9 @@ run every oracle SQL from a graft.Verify dump against the same parquet
 tables, 32 threads, N sequential passes, report per-query MIN across
 passes and their sum — the same discipline Bench applies to graft.
 
-Usage: python3 tools/duckbench.py <sfDir> <verifyOutDir> [passes=3]
+Usage: python3 tools/duckbench.py <sfDir> <verifyOutDir> [passes=3] [query ...]
+(DUCK_MEM bounds the buffer pool — at sf1 the unbounded default let one
+heavy oracle starve the rest; spill goes to a per-process temp dir.)
 """
 import json, os, sys, time
 
@@ -14,9 +16,14 @@ import duckdb
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     passes = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+    only = set(sys.argv[4:])
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    if only:
+        oracle = {k: v for k, v in oracle.items() if k in only}
     con = duckdb.connect()
     con.execute(f"SET threads TO {os.environ.get('DUCK_THREADS', '32')}")
+    con.execute(f"SET memory_limit TO '{os.environ.get('DUCK_MEM', '48GB')}'")
+    con.execute(f"SET temp_directory TO '/tmp/duck_spill_{os.getpid()}'")
     for t in ["region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"]:
         con.execute(
