@@ -30,8 +30,13 @@ object ScaleStress {
   def main(args: Array[String]): Unit = {
     // let a stress run force the non-broadcast LSH verification path
     // (the size switch won't trip on synthetic ×10 data sizes)
+    // normalize to Boolean.getBoolean's literal-"true" contract: the
+    // repo's env convention is "=1", which the raw copy silently
+    // no-op'd (the stress pass then measured the broadcast path while
+    // claiming the bucketed one)
     sys.env.get("GRAFT_FORCE_BUCKETED").foreach(v =>
-      System.setProperty(graft.operators.Retrieval.forceBucketedProp, v))
+      System.setProperty(graft.operators.Retrieval.forceBucketedProp,
+        (v == "1" || v.equalsIgnoreCase("true")).toString))
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt
     val scaledDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR",
@@ -52,12 +57,9 @@ object ScaleStress {
       val docs = spark.read.parquet(s"$baseDir/documents.parquet")
       val maxId = docs.agg(max(col("doc_id"))).head().getLong(0) + 1
       val reps = (0 until factor).map { r =>
-        val text =
-          if (r == 0) col("text")
-          else array_join(transform(split(col("text"), " "),
-            t => concat(t, lit(s"_r$r"))), " ")
-        docs.select((col("doc_id") + lit(r * maxId)).as("doc_id"),
-          text.as("text"), col("lang"), col("source"), col("n_chars"))
+        graft.engine.Replica.docText(docs, r)
+          .select((col("doc_id") + lit(r * maxId)).as("doc_id"),
+            col("text"), col("lang"), col("source"), col("n_chars"))
       }
       reps.reduce(_ unionByName _).repartition(cpus.toInt)
         .write.mode("overwrite").parquet(s"$scaledDir/documents.parquet")

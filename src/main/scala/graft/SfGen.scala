@@ -50,8 +50,15 @@ object SfGen {
     if (done.exists()) { println(s"[sfgen] $outDir already built"); return }
     new java.io.File(outDir).mkdirs()
 
+    // events goes through Tables.t: its ts footer type has drifted
+    // between driver generations (TIMESTAMP(NANOS) vs timestamp[us]),
+    // and Tables.t adapts on the observed type — a raw read would
+    // crash on the nanos generation, exactly when the drift guard
+    // fires. The written file is normalized micros either way
+    // (outputTimestampType above).
     def base(t: String): DataFrame =
-      spark.read.parquet(s"$baseDir/$t.parquet")
+      if (t == "events") graft.engine.Tables.t(spark, baseDir, t)
+      else spark.read.parquet(s"$baseDir/$t.parquet")
     def off(df: DataFrame, key: String): Long =
       df.agg(max(col(key))).head().getLong(0) + 1
 
@@ -100,12 +107,8 @@ object SfGen {
     replicate("events")((b, r) => b
       .withColumn("event_id", col("event_id") + lit(r * eOff))
       .withColumn("user_id", col("user_id") + lit(r * uOff)))
-    replicate("documents")((b, r) => b
-      .withColumn("doc_id", col("doc_id") + lit(r * dOff))
-      .withColumn("text",
-        if (r == 0) col("text")
-        else array_join(transform(split(col("text"), " "),
-          t => concat(t, lit(s"_r$r"))), " ")))
+    replicate("documents")((b, r) => graft.engine.Replica.docText(b, r)
+      .withColumn("doc_id", col("doc_id") + lit(r * dOff)))
     replicate("embeddings")((b, r) => b
       .withColumn("vec_id", col("vec_id") + lit(r * dOff))
       .withColumn("embedding",

@@ -83,7 +83,9 @@ object Audits extends QueryPack {
     "q_audit_embed_recall" -> ((s, d) => {
       graft.functions.GraftFunctions.register(s)
       Deferred.df(s, "audit_embed_recall", StructType(Seq(
-        StructField("n_missed", LongType, nullable = false)))) { () =>
+        StructField("n_missed", LongType, nullable = true),
+        StructField("exact_nonempty", org.apache.spark.sql.types.BooleanType,
+          nullable = false)))) { () =>
         val emb = Multimodal.realEmbeddings(s, d) // cached; shared with LSH side
         val a = emb.select(col("doc_id").as("da"), col("emb").as("ea"))
         val b = emb.select(col("doc_id").as("db"), col("emb").as("eb"))
@@ -92,9 +94,16 @@ object Audits extends QueryPack {
               graft.functions.GraftFunctions.dot_d(col("ea"), col("eb")) >= 0.9)
           .select(col("da"), col("db"))
         val found = Multimodal.queries("q_embed_real")(s, d)
-          .select(col("da"), col("db"))
-        exact.join(found, Seq("da", "db"), "left_anti")
-          .agg(count(lit(1)).as("n_missed"))
+          .select(col("da"), col("db")).withColumn("hit", lit(true))
+        // exact_nonempty guards against a vacuous pass: if the decode/
+        // embedding pipeline degraded until NO planted pair cleared the
+        // 0.9 exact gate, n_missed would read 0 with zero recall
+        // actually witnessed. A dead exact side now returns
+        // (null, false) and the pinned (0, TRUE) oracle fails loudly.
+        exact.join(found, Seq("da", "db"), "left")
+          .agg(
+            sum(when(col("hit").isNull, 1L).otherwise(0L)).as("n_missed"),
+            (count(lit(1)) > 0).as("exact_nonempty"))
           .orderBy(col("n_missed"))
       }
     }),
@@ -347,13 +356,15 @@ object Audits extends QueryPack {
         |  ON a.doc_id // 3 = b.doc_id // 3 AND a.doc_id < b.doc_id
         |ORDER BY 1""".stripMargin,
 
-    // pinned zero — the engine side executes the full exact-cosine
+    // pinned (0, TRUE) — the engine side executes the full exact-cosine
     // planted-pair recheck against the LSH pair set (the exact side
     // needs the decoded image embeddings, which SQL cannot recompute;
     // the CLAIM "LSH missed nothing the exact gate accepts" is what
-    // the driver hash-checks)
+    // the driver hash-checks). exact_nonempty makes the claim
+    // non-vacuous: a degraded embedding pipeline with an EMPTY exact
+    // side returns (null, false) and this row mismatches.
     "q_audit_embed_recall" ->
-      "SELECT CAST(0 AS BIGINT) AS n_missed ORDER BY 1",
+      "SELECT CAST(0 AS BIGINT) AS n_missed, TRUE AS exact_nonempty ORDER BY 1",
 
     // the claim is literally "nothing missed": pinned zero — the
     // engine side still executes the full exact-vs-LSH anti-join

@@ -49,8 +49,12 @@ class AuditsSpec extends SparkTestBase {
     // the audit's exact side recomputes planted-pair cosines from the
     // decoded embeddings in-plan (not from a fixture assumption — at
     // sf1 two planted groups legitimately fall below the 0.9 gate);
-    // with hamming-1 multiprobe banding the miss count is pinned zero
-    val embed = q("q_audit_embed_recall").collect().head.getLong(0)
+    // with hamming-1 multiprobe banding the miss count is pinned zero.
+    // exact_nonempty rules out the vacuous form of that pin (a dead
+    // embedding pipeline accepts no pairs and misses none of them).
+    val row = q("q_audit_embed_recall").collect().head
+    assert(row.getBoolean(1), "exact side empty — recall claim vacuous")
+    val embed = row.getLong(0)
     assert(embed == 0L, s"LSH missed $embed exact-gate planted pairs")
   }
 
