@@ -29,7 +29,20 @@ object Replica {
     * across replicas — a data artifact in selectivity that the
     * N×-workload claim forbids. */
   def docText(df: DataFrame, r: Int): DataFrame =
-    if (r == 0) df
+    if (r == 0) assertCharsInvariant(df)
     else df.withColumn("text", suffixTokens(col("text"), r))
       .withColumn("n_chars", length(col("text")).cast("bigint"))
+
+  /** The base replica passes through un-recomputed, which is only
+    * sound while n_chars == length(text) holds corpus-wide. Assert it
+    * per row (codegen'd raise_error, no extra pass) so a future
+    * testdata generation that breaks the invariant fails loudly here
+    * instead of silently skewing replica-0 char-derived selectivity
+    * vs replicas 1..N (ADVICE r8). */
+  private def assertCharsInvariant(df: DataFrame): DataFrame =
+    df.withColumn("n_chars",
+      when(col("n_chars") === length(col("text")).cast("bigint"), col("n_chars"))
+        .otherwise(raise_error(concat(
+          lit("Replica.docText: base corpus violates n_chars == length(text) at doc_id="),
+          col("doc_id").cast("string")))))
 }

@@ -109,7 +109,7 @@ object Audits extends QueryPack {
     }),
 
     // Exact-slice simhash pairs the banded full-corpus LSH missed:
-    // pigeonhole (8×8-bit bands, threshold hamming ≤ 4 < 8) says
+    // pigeonhole (6×10-bit bands, threshold hamming ≤ 4 < 6) says
     // ZERO, at any scale, on any data.
     "q_audit_simhash_lsh" -> ((s, d) => {
       val exact = Pipeline.queries("q_dedup_simhash")(s, d)

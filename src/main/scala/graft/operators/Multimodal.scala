@@ -620,7 +620,7 @@ object Multimodal extends QueryPack {
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
-  private[operators] def mediaBase(s: SparkSession, d: String): String = {
+  private[graft] def mediaBase(s: SparkSession, d: String): String = {
     // the map key IS the fixture-dir digest (ADVICE r7): keying by the
     // raw string would let two spellings of the same dataset dir bypass
     // computeIfAbsent's mutual exclusion and build into the SAME

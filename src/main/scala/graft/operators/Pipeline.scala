@@ -66,16 +66,50 @@ object Pipeline extends QueryPack {
   private val nSig = 32   // minhash signature length
   private val nBands = 8  // 8 bands x 4 rows
 
-  /** 64-bit simhash per doc: per-bit vote sum over token hashes
-    * (+1 if bit set, -1 otherwise), sign of the sum is the bit. */
+  /** Engine-portable 60-bit hash: first 15 hex chars of md5 as BIGINT
+    * (DuckDB mirror: ('0x' || substr(md5(x), 1, 15))::BIGINT) — the
+    * q_embed_text technique, reused so the minhash / simhash outputs
+    * can be hash-oracled instead of rows-only (VERDICT r8 #1). */
+  private def hv60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("bigint")
+
+  /** Driver-side twin of hv60 for deriving the fixed permutation
+    * constants below (plan-build time only, never on data). */
+  private def hv60Const(s: String): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.take(15), 16)
+  }
+
+  /** nSig universal-hash permutations h_i(b) = (a_i·b + c_i) mod p over
+    * the 30-bit shingle base, p = 2^31−1. All operands stay under 2^60,
+    * so the arithmetic is exact BIGINT in BOTH engines (DuckDB raises
+    * on 64-bit overflow — this parameterization never triggers it).
+    * a_i forced odd (never ≡ 0 mod p); constants are md5-derived at
+    * plan-build time and interpolated as literals into the Spark plan
+    * AND the oracle SQL, so equality holds by construction. */
+  private[operators] val permConsts: IndexedSeq[(Long, Long)] =
+    (0 until nSig).map { i =>
+      (2L * (hv60Const(s"a_$i") % 536870912L) + 1L,
+        hv60Const(s"c_$i") % 1073741824L)
+    }
+
+  private val simBits = 60 // md5 yields 60 portable bits (see hv60)
+
+  /** 60-bit simhash per doc: per-bit vote sum over md5-derived token
+    * hashes (+1 if bit set, -1 otherwise), sign of the sum is the bit.
+    * 60 bits, not 64: DuckDB BIGINT has no wrap-around (1<<63 raises),
+    * so the portable width is what 15 md5 hex chars give — recall
+    * properties are unchanged (bands become 6×10, pigeonhole below). */
   private def simhashOf(tok: DataFrame): DataFrame = {
-    val bitCols = (0 until 64).map { b =>
-      sum(when(shiftright(xxhash64(col("token")), b).bitwiseAND(1) === 1, 1)
+    val th = tok.select(col("doc_id"), hv60(col("token")).as("th"))
+    val bitCols = (0 until simBits).map { b =>
+      sum(when(shiftright(col("th"), b).bitwiseAND(1) === 1, 1)
         .otherwise(-1)).as(s"b$b")
     }
-    tok.groupBy(col("doc_id")).agg(bitCols.head, bitCols.tail: _*)
+    th.groupBy(col("doc_id")).agg(bitCols.head, bitCols.tail: _*)
       .select(col("doc_id"),
-        (0 until 64).map(b => when(col(s"b$b") > 0, shiftleft(lit(1L), b))
+        (0 until simBits).map(b => when(col(s"b$b") > 0, shiftleft(lit(1L), b))
           .otherwise(0L)).reduce((a, c) => a.bitwiseOR(c)).as("simhash"))
   }
 
@@ -109,9 +143,16 @@ object Pipeline extends QueryPack {
       sqrt(GraftFunctions.dot_d(col("embedding"), col("embedding"))).as("nrm"))
 
   /** doc_id + h0..h{nSig-1} minhash signature columns.
-    * Each 3-word shingle is string-hashed ONCE to a 64-bit base; the
-    * nSig permutation hashes re-hash that fixed-width base (cheap) —
-    * ~nSig× less string hashing than hashing (seed, shingle) pairs.
+    * Each 3-word shingle is string-hashed ONCE to a 30-bit base; the
+    * nSig permutations are multiply-mod integer hashes of that base
+    * (permConsts) — cheaper than nSig string hashes AND exactly
+    * reproducible in DuckDB, which is what upgrades q_dedup_minhash /
+    * q_dedup_cluster / q_graph_pagerank from rows-only to hash-oracled.
+    * The 30-bit base space admits rare shingle collisions (~n²/2³¹
+    * pairs corpus-wide); a collision merges two shingle identities in
+    * BOTH engines identically, and the recall audit
+    * (q_audit_minhash_recall) pins that the estimator still surfaces
+    * every true j ≥ 0.9 pair at every shipped SF.
     * No distinct() on shingles: min-aggregation is duplicate-idempotent,
     * so the dedup shuffle is pure waste. */
   private def minhashSig(docs: DataFrame): DataFrame = {
@@ -120,10 +161,12 @@ object Pipeline extends QueryPack {
       .select(col("doc_id"), explode(expr(
         "transform(sequence(0, size(toks)-3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"))
         .as("sh"))
-      .select(col("doc_id"), xxhash64(col("sh")).as("base"))
+      .select(col("doc_id"), (hv60(col("sh")) % 1073741824L).as("b"))
+    def h(i: Int): Column =
+      (lit(permConsts(i)._1) * col("b") + lit(permConsts(i)._2)) % 2147483647L
     base.groupBy(col("doc_id"))
-      .agg(min(xxhash64(lit(0), col("base"))).as("h0"),
-        (1 until nSig).map(i => min(xxhash64(lit(i), col("base"))).as(s"h$i")): _*)
+      .agg(min(h(0)).as("h0"),
+        (1 until nSig).map(i => min(h(i)).as(s"h$i")): _*)
   }
 
   /** Connected components over an undirected pair list (da, db) by
@@ -531,16 +574,18 @@ object Pipeline extends QueryPack {
     }),
 
     // MinHash + LSH banding: near-dup candidate pairs + estimated
-    // jaccard from signature agreement. Deterministic seeds via
-    // xxhash64(i, shingle). Rows-only check; ground-truthed against
-    // q_dedup_ngram in the test suite.
+    // jaccard from signature agreement. Deterministic md5-derived
+    // seeds (permConsts) make the whole pipeline — signatures, band
+    // buckets, est filter — bit-reproducible in DuckDB, so this is
+    // hash-oracled end-to-end (was rows-only through round 8).
     "q_dedup_minhash" -> ((s, d) => {
       val sig = minhashSig(Tables.t(s, d, "documents")).cache()
       val bands = sig.select(col("doc_id"), explode(array(
         (0 until nBands).map { j =>
           struct(lit(j).as("band"),
-            xxhash64((Seq(lit(1000 + j)) ++
-              (0 until 4).map(r => col(s"h${j * 4 + r}"))): _*).as("bucket"))
+            hv60(concat_ws("_", (Seq(lit((1000 + j).toString)) ++
+              (0 until 4).map(r => col(s"h${j * 4 + r}").cast("string"))): _*))
+              .as("bucket"))
         }: _*)).as("bb"))
         .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
       val cand = bands.as("x").join(bands.as("y"),
@@ -559,7 +604,8 @@ object Pipeline extends QueryPack {
     }),
 
     // SimHash fingerprint + near-pairs by hamming distance on an audit
-    // slice. Deterministic (xxhash64 token hashes). Rows-only check.
+    // slice. Deterministic md5-derived token hashes → hash-oracled
+    // (the DuckDB mirror recomputes the fingerprints bit-exactly).
     "q_dedup_simhash" -> ((s, d) => {
       // cache: the self-join would otherwise compute the token agg twice
       val sim = simhashOf(tokens(Tables.t(s, d, "documents"), None)).cache()
@@ -571,21 +617,21 @@ object Pipeline extends QueryPack {
         .orderBy(col("da"), col("db"))
     }),
 
-    // Banded simhash over the FULL corpus (no audit cap): the 64-bit
-    // fingerprint splits into 8 bands of 8 bits; docs join on exact
+    // Banded simhash over the FULL corpus (no audit cap): the 60-bit
+    // fingerprint splits into 6 bands of 10 bits; docs join on exact
     // band equality, then the hamming filter re-checks candidates. By
-    // pigeonhole any pair within hamming ≤ 7 agrees on at least one
+    // pigeonhole any pair within hamming ≤ 5 agrees on at least one
     // band, so recall vs `hamming <= 4` is exact (superset of the
     // capped all-pairs query on its slice — asserted in tests). At
     // scale this is one shuffle keyed by (band, value) — candidate
-    // volume ~ Σ bucket² over near-uniform 256-way buckets per band,
+    // volume ~ Σ bucket² over near-uniform 1024-way buckets per band,
     // never all-pairs.
     "q_dedup_simhash_lsh" -> ((s, d) => {
       // cache: one token agg feeds both sides of the band self-join
       val sim = simhashOf(tokens(Tables.t(s, d, "documents"), None)).cache()
       val bands = sim.select(col("doc_id"), col("simhash"),
-        posexplode(array((0 until 8).map(j =>
-          shiftright(col("simhash"), j * 8).bitwiseAND(lit(255L))): _*))
+        posexplode(array((0 until 6).map(j =>
+          shiftright(col("simhash"), j * 10).bitwiseAND(lit(1023L))): _*))
           .as(Seq("band", "bval")))
       // hamming predicate lives IN the join: hot buckets (templated
       // corpora collapse whole bands onto one value — measured 2467
@@ -891,7 +937,111 @@ object Pipeline extends QueryPack {
     })
   )
 
+  /** DuckDB mirror of minhashSig + banding + est filter, as WITH-body
+    * CTEs ending in mh_pairs(da, db, est_jac). The permutation
+    * constants are interpolated from the SAME permConsts the Spark
+    * plan uses, so both engines run identical integer arithmetic.
+    * Shared by the q_dedup_minhash / q_dedup_cluster (Pipeline) and
+    * q_graph_pagerank (Curation) oracles. */
+  private[operators] val minhashPairsCtes: String = {
+    val sigCols = (0 until nSig).map { i =>
+      val (a, c) = permConsts(i)
+      s"min(($a * b + $c) % 2147483647) AS h$i"
+    }.mkString(",\n    ")
+    val bandSelects = (0 until nBands).map { j =>
+      val hs = (0 until 4).map(r => s"h${j * 4 + r}::VARCHAR").mkString(", ")
+      s"SELECT doc_id, $j AS band, concat_ws('_', '${1000 + j}', $hs) AS bs FROM sig"
+    }.mkString("\n    UNION ALL ")
+    val agree = (0 until nSig)
+      .map(i => s"CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END").mkString(" + ")
+    s"""mt AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+       |shg AS (SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
+       |       FROM mt, LATERAL (SELECT unnest(generate_series(1, len(w)-2)) AS i) u
+       |       WHERE len(w) >= 3),
+       |bh AS (SELECT doc_id,
+       |         ('0x' || substr(md5(sh), 1, 15))::BIGINT % 1073741824 AS b
+       |       FROM shg),
+       |sig AS (SELECT doc_id,
+       |    $sigCols
+       |  FROM bh GROUP BY doc_id),
+       |bnd AS (SELECT doc_id, band,
+       |         ('0x' || substr(md5(bs), 1, 15))::BIGINT AS bucket FROM (
+       |    $bandSelects)),
+       |cand AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+       |        FROM bnd x JOIN bnd y ON x.band = y.band AND x.bucket = y.bucket
+       |         AND x.doc_id < y.doc_id),
+       |mh_pairs AS (SELECT da, db, CAST($agree AS DOUBLE) / 32 AS est_jac
+       |        FROM cand JOIN sig sa ON cand.da = sa.doc_id
+       |        JOIN sig sb ON cand.db = sb.doc_id
+       |        WHERE ($agree) * 2 >= 32)""".stripMargin
+  }
+
+  /** DuckDB mirror of tokens() + simhashOf as WITH-body CTEs ending in
+    * sim(doc_id, simhash); cap mirrors the Spark-side audit slice. */
+  private def simhashCtes(cap: Option[Int]): String = {
+    val capSql = cap.map(c => s" WHERE doc_id < $c").getOrElse("")
+    val votes = (0 until simBits)
+      .map(b => s"SUM(CASE WHEN ((h >> $b) & 1) = 1 THEN 1 ELSE -1 END) AS b$b")
+      .mkString(",\n    ")
+    val assemble = (0 until simBits)
+      .map(b => s"(CASE WHEN b$b > 0 THEN 1::BIGINT << $b ELSE 0::BIGINT END)")
+      .mkString(" + ")
+    s"""stok AS (SELECT DISTINCT doc_id, token FROM (
+       |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+       |    FROM documents$capSql) t
+       |  WHERE token <> ''),
+       |sth AS (SELECT doc_id, ('0x' || substr(md5(token), 1, 15))::BIGINT AS h
+       |       FROM stok),
+       |sv AS (SELECT doc_id,
+       |    $votes
+       |  FROM sth GROUP BY doc_id),
+       |sim AS (SELECT doc_id, $assemble AS simhash FROM sv)""".stripMargin
+  }
+
   override def oracle: Map[String, String] = Map(
+    // the FULL minhash pipeline mirrored — 30-bit md5 shingle base,
+    // multiply-mod permutations, md5 band buckets, est ≥ 0.5 — shared
+    // CTE fragment with the cluster / pagerank oracles
+    "q_dedup_minhash" ->
+      s"""WITH $minhashPairsCtes
+         |SELECT da, db, est_jac FROM mh_pairs ORDER BY da, db""".stripMargin,
+
+    // transitive closure over the minhash pairs (recursive CTE — the
+    // q_dedup_apply recipe), min reachable node = cluster label
+    "q_dedup_cluster" ->
+      s"""WITH RECURSIVE $minhashPairsCtes,
+         |edges AS (SELECT da AS a, db AS b FROM mh_pairs
+         |          UNION ALL SELECT db, da FROM mh_pairs),
+         |reach AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         |lbl AS (SELECT a AS node, least(a, min(b)) AS cluster_id
+         |        FROM reach GROUP BY a)
+         |SELECT node AS doc_id, cluster_id FROM lbl ORDER BY doc_id""".stripMargin,
+
+    // 60-bit simhash recomputed bit-exactly; audit slice all-pairs
+    "q_dedup_simhash" ->
+      s"""WITH ${simhashCtes(Some(100))}
+         |SELECT x.doc_id AS da, y.doc_id AS db,
+         |  CAST(bit_count(xor(x.simhash, y.simhash)) AS INT) AS hamming
+         |FROM sim x JOIN sim y ON x.doc_id < y.doc_id
+         |WHERE bit_count(xor(x.simhash, y.simhash)) <= 4
+         |ORDER BY da, db""".stripMargin,
+
+    // banded (6×10-bit) simhash over the full corpus
+    "q_dedup_simhash_lsh" ->
+      s"""WITH ${simhashCtes(None)},
+         |bnd6 AS (SELECT doc_id, simhash, j AS band,
+         |           (simhash >> CAST(j * 10 AS INT)) & 1023 AS bval
+         |         FROM sim CROSS JOIN range(6) r(j))
+         |SELECT DISTINCT x.doc_id AS da, y.doc_id AS db,
+         |  CAST(bit_count(xor(x.simhash, y.simhash)) AS INT) AS hamming
+         |FROM bnd6 x JOIN bnd6 y
+         |  ON x.band = y.band AND x.bval = y.bval AND x.doc_id < y.doc_id
+         | AND bit_count(xor(x.simhash, y.simhash)) <= 4
+         |ORDER BY da, db""".stripMargin,
+
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, COUNT(*) AS n_copies,
         |  md5(lower(trim(text))) AS norm_hash

@@ -93,7 +93,8 @@ object Retrieval extends QueryPack {
         .as("cv"))
       .cache()
 
-  /** Size switch for the LSH pair-verification join (VERDICT r7 #3).
+  /** Size switch for the LSH pair-verification join (VERDICT r7 #3;
+    * SCALING.md §2).
     * The broadcast side is the derived vector table at ~850 B/doc; the
     * probe is the documents parquet byte size (a driver-side file stat
     * — query builds stay job-free). On this corpus parquet runs ~400
@@ -194,7 +195,7 @@ object Retrieval extends QueryPack {
     "q_dedup_text_lsh" -> ((s, d) => {
       GraftFunctions.register(s)
       val dense = centeredDense(s, d)
-      // ADAPTIVE band width (round-6 10× lesson): with a FIXED 8-bit
+      // ADAPTIVE band width (round-6 10× lesson; SCALING.md §1): with a FIXED 8-bit
       // bucket, same-bucket pairs grow quadratically in the corpus
       // (measured: 103M enumerated pairs / 1.9 GB shuffle / 35 s at
       // 10× vs 1M / 3 s at 1×). w = the smallest width in 8..16 with
@@ -292,7 +293,8 @@ object Retrieval extends QueryPack {
     // cell has cosine ≥ 0.9 with it. Quantization is HIERARCHICAL
     // (r7 verdict item: the former flat k = ⌈n/160⌉ assignment
     // crossJoined every doc with k ∝ n broadcast centroids — O(n²/160)
-    // total work and an n-proportional broadcast, a 100 TB killer):
+    // total work and an n-proportional broadcast, a 100 TB killer;
+    // SCALING.md §3):
     //  - COARSE: k_c = ⌈√(n/160)⌉ Lloyd-fitted centroids (fit on a
     //    16 Ki hash-sample), broadcast to a map-only nearest-centroid
     //    pass — the broadcast is √-sublinear (~650 KB at 1e9 docs),

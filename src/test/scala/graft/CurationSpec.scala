@@ -128,19 +128,24 @@ class CurationSpec extends SparkTestBase {
     val nodes = edges.map(_._1).distinct.sorted
     if (nodes.isEmpty) assert(spRanks.isEmpty)
     else {
+      // mirror of the engine's 1e15 integer fixed point — floor
+      // divisions make the ground truth EXACT, not tolerance-based
       val n = nodes.length
-      val deg = edges.groupBy(_._1).view.mapValues(_.length).toMap
-      var rank = nodes.map(_ -> 1.0 / n).toMap
+      val deg = edges.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+      var rank = nodes.map(_ -> 1000000000000000L / n).toMap
       (1 to 5).foreach { _ =>
         val in = edges.groupBy(_._2).view.mapValues(
           _.map(e => rank(e._1) / deg(e._1)).sum).toMap
-        rank = nodes.map(v => v -> (0.15 / n + 0.85 * in.getOrElse(v, 0.0))).toMap
+        rank = nodes.map(v =>
+          v -> (150000000000000L / n + 85L * in.getOrElse(v, 0L) / 100L)).toMap
       }
       assert(spRanks.keySet == rank.keySet)
       spRanks.foreach { case (doc, r) =>
-        assert(math.abs(r - rank(doc)) < 1e-9, s"doc $doc: $r vs ${rank(doc)}")
+        val want = rank(doc).toDouble / 1e15
+        assert(r == want, s"doc $doc: $r vs $want")
       }
-      // undirected graph, no dangling nodes: total rank stays 1
+      // undirected graph, no dangling nodes: total rank stays ~1
+      // (floor divisions shave < 1e-12 per node per round)
       assert(math.abs(spRanks.values.sum - 1.0) < 1e-6)
     }
   }

@@ -97,7 +97,7 @@ class DedupSimilaritySpec extends SparkTestBase {
       assert(r.getLong(0) < r.getLong(1))
       assert(r.getInt(2) >= 0 && r.getInt(2) <= 4)
     }
-    // 8 bands × 8 bits: any pair within hamming ≤ 7 shares a band, so
+    // 6 bands × 10 bits: any pair within hamming ≤ 5 shares a band, so
     // for the hamming ≤ 4 predicate recall is exact — the uncapped
     // query restricted to the audit slice must EQUAL the capped one.
     val onSlice = banded.map(r => (r.getLong(0), r.getLong(1)))

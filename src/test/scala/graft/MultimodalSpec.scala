@@ -358,4 +358,65 @@ class MultimodalSpec extends SparkTestBase {
       rs.foreach(r => assert(r.getDouble(3) > 0 && r.getDouble(3) < 255))
     }
   }
+
+  // ---- fixture-installer cross-process contract (VERDICT r8 #6) ----
+  // The in-flight rename race needs two JVMs and is argued in the
+  // mediaBase scaladoc (pid-suffixed tmp + atomic rename + _SUCCESS
+  // re-check); what IS observable single-JVM is the filesystem
+  // protocol another process relies on: a COMPLETE tree (_SUCCESS)
+  // is reused untouched, a _SUCCESS-less debris tree is replaced.
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private def freshDocsDir(tag: String): java.io.File = {
+    val dir = java.nio.file.Files.createTempDirectory(s"graft_media_$tag").toFile
+    spark.read.parquet(s"$sf/documents.parquet").limit(20).coalesce(1)
+      .write.parquet(new java.io.File(dir, "documents.parquet").getAbsolutePath)
+    dir
+  }
+
+  private def fixtureDirFor(docsDir: java.io.File): java.io.File =
+    new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_media_" + md5hex(docsDir.getAbsolutePath))
+
+  private def copyTree(src: java.io.File, dst: java.io.File): Unit = {
+    dst.mkdirs()
+    src.listFiles().foreach { f =>
+      val t = new java.io.File(dst, f.getName)
+      if (f.isDirectory) copyTree(f, t)
+      else java.nio.file.Files.copy(f.toPath, t.toPath)
+    }
+  }
+
+  test("media installer reuses a complete (_SUCCESS) tree from another process untouched") {
+    val dirA = freshDocsDir("a")
+    val builtA = new java.io.File(Multimodal.mediaBase(spark, dirA.getAbsolutePath))
+    assert(new java.io.File(builtA, "_SUCCESS").exists())
+    // stage dirB whose fixture tree was "installed by another process"
+    // (a copy of A's complete tree — same 20 docs) plus a sentinel
+    val dirB = freshDocsDir("b")
+    val fixB = fixtureDirFor(dirB)
+    copyTree(builtA, fixB)
+    val sentinel = new java.io.File(fixB, "sentinel_from_other_process")
+    assert(sentinel.createNewFile())
+    val builtB = new java.io.File(Multimodal.mediaBase(spark, dirB.getAbsolutePath))
+    assert(builtB.getAbsolutePath == fixB.getAbsolutePath)
+    assert(sentinel.exists(), "complete tree must be reused as-is, not rebuilt")
+    assert(spark.read.parquet(builtB.getAbsolutePath).count() == 20)
+  }
+
+  test("media installer replaces a _SUCCESS-less debris tree") {
+    val dirC = freshDocsDir("c")
+    val fixC = fixtureDirFor(dirC)
+    fixC.mkdirs()
+    val debris = new java.io.File(fixC, "debris_of_killed_run")
+    assert(debris.createNewFile()) // no _SUCCESS => incomplete
+    val builtC = new java.io.File(Multimodal.mediaBase(spark, dirC.getAbsolutePath))
+    assert(builtC.getAbsolutePath == fixC.getAbsolutePath)
+    assert(!debris.exists(), "debris must be removed by the install rename")
+    assert(new java.io.File(builtC, "_SUCCESS").exists())
+    assert(spark.read.parquet(builtC.getAbsolutePath).count() == 20)
+  }
 }

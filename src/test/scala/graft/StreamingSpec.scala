@@ -256,4 +256,60 @@ class StreamingSpec extends SparkTestBase {
     assert(stream.count() == batch.count() && stream.count() > 0)
     assert(stream.exceptAll(batch).isEmpty && batch.exceptAll(stream).isEmpty)
   }
+
+  test("incremental dedup verdicts compose across >=3 micro-batches " +
+      "(maxFilesPerTrigger=1)") {
+    val work = java.nio.file.Files
+      .createTempDirectory("graft-incdedup-multi").toString
+    val docs = graft.engine.Tables.t(spark, sf, "documents")
+    // land the crawl as three separate files => three one-file triggers
+    (0 until 3).foreach { i =>
+      docs.filter(col("doc_id") % 3 === i).coalesce(1)
+        .write.mode("append").parquet(s"$work/crawl")
+    }
+    val n = StreamRunner.runIncrementalDedupChunked(spark, sf,
+      s"$work/crawl", s"$work/out", s"$work/ckpt")
+    assert(n >= 3, s"expected >=3 micro-batches, got $n")
+    // stateless per-doc verdicts: the union of per-batch outputs must
+    // EQUAL the all-at-once batch query — micro-batch boundaries are
+    // semantically invisible
+    val stream = spark.read.parquet(s"$work/out")
+    val batch = q("q_dedup_incremental")
+    assert(stream.count() == batch.count() && stream.count() > 0)
+    assert(stream.exceptAll(batch).isEmpty && batch.exceptAll(stream).isEmpty)
+  }
+
+  test("snapshot SCD2 ingest folds >=3 one-day micro-batches to the " +
+      "single-batch state (maxFilesPerTrigger=1)") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("snapscd2multi").toString
+    def snap(rows: Seq[(Long, String, Double)]) =
+      rows.toDF("p_partkey", "name", "price")
+        .withColumn("provider", lit("pX")).coalesce(1) // one file per day
+    val days = Seq(
+      "2025-06-01" -> Seq((1L, "one", 10.0), (2L, "two", 20.0), (3L, "three", 30.0)),
+      "2025-06-02" -> Seq((1L, "one", 10.0), (2L, "two", 25.0), (4L, "four", 40.0)),
+      "2025-06-03" -> Seq((1L, "one", 11.0), (2L, "two", 25.0), (4L, "four", 40.0)))
+    def ingest(work: String, fpt: Option[Int]): Set[(Long, String, Double, String, Option[String])] = {
+      StreamRunner.snapshotScd2Ingest(spark, s"$tmp/base", work, fpt)
+      StreamRunner.readScd2State(spark, s"$work/state", snap(Nil))
+        .select(col("p_partkey"), col("name"), col("price"),
+          col("valid_from").cast("string"), col("valid_to").cast("string"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+          r.getString(3), Option(r.getString(4)))).toSet
+    }
+    days.foreach { case (d, rows) =>
+      graft.catalog.Catalog.writeSnapshot(snap(rows), s"$tmp/base", d)
+    }
+    // chunked: three days drain as three one-file micro-batches in ONE
+    // AvailableNow run; state folds per batch, dates stay ordered
+    val chunked = ingest(s"$tmp/chunked", Some(1))
+    val single = ingest(s"$tmp/single", None)
+    assert(chunked == single, "per-batch folds must compose to the single-batch state")
+    assert(chunked.nonEmpty && chunked.exists(_._5.isDefined), "some interval closed")
+    // the chunked run committed one state version PER DAY
+    val versions = new java.io.File(s"$tmp/chunked/state").listFiles()
+      .count(_.getName.matches("v\\d+"))
+    assert(versions == days.length, s"expected ${days.length} state versions, got $versions")
+  }
 }

@@ -6,11 +6,16 @@ at the Arrow level (types + exact values).
 Usage: python3 tools/check.py <sfDir> <outDir> [query ...]
 (outDir must already contain graft.Verify output.)
 """
-import json, os, sys
+import json, os, sys, tempfile
 import duckdb
 import pyarrow as pa
 import pyarrow.parquet as pq
 import pyarrow.compute as pc
+
+# unique auto-named spill dir, removed on interpreter exit — a fixed
+# /tmp/duck_spill_{pid} leaked stale spill from crashed runs and could
+# collide with a leftover dir after pid reuse
+_SPILL = tempfile.TemporaryDirectory(prefix="duck_spill_")
 
 def fresh_con(sf_dir):
     # one connection PER QUERY: at sf1 a single shared connection's
@@ -19,9 +24,7 @@ def fresh_con(sf_dir):
     # memory_limit + disk spill + reconnect keeps each oracle honest
     con = duckdb.connect()
     con.execute(f"SET memory_limit TO '{os.environ.get('DUCK_MEM', '24GB')}'")
-    # per-PROCESS spill dir: two concurrent checks sharing one spill
-    # path delete each other's temp storage mid-query
-    con.execute(f"SET temp_directory TO '/tmp/duck_spill_{os.getpid()}'")
+    con.execute(f"SET temp_directory TO '{_SPILL.name}'")
     for t in ["region","nation","customer","supplier","part","orders",
               "lineitem","events","documents","embeddings"]:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
@@ -34,12 +37,17 @@ def main():
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         if only and name not in only: continue
+        con = None
         try:
             con = fresh_con(sf_dir)
             exp = con.execute(sql).arrow()
-            con.close()
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}"); n_fail += 1; continue
+        finally:
+            # close on the error path too — releasing the buffer pool is
+            # the point of per-query connections; GC is not prompt
+            if con is not None:
+                con.close()
         try:
             got = pq.read_table(f"{out_dir}/{name}")
         except Exception as e:

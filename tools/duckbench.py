@@ -8,22 +8,29 @@ Usage: python3 tools/duckbench.py <sfDir> <verifyOutDir> [passes=3] [query ...]
 (DUCK_MEM bounds the buffer pool — at sf1 the unbounded default let one
 heavy oracle starve the rest; spill goes to a per-process temp dir.)
 """
-import json, os, sys, time
+import json, os, sys, tempfile, time
 
 import duckdb
 
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
-    passes = int(sys.argv[3]) if len(sys.argv) > 3 else 3
-    only = set(sys.argv[4:])
+    rest = sys.argv[3:]
+    try:
+        passes = int(rest[0]) if rest else 3
+        only = set(rest[1:])
+    except ValueError:
+        # a query name in the passes slot: default passes, filter on all
+        passes, only = 3, set(rest)
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     if only:
         oracle = {k: v for k, v in oracle.items() if k in only}
+    # unique auto-named spill dir, removed on exit (no stale /tmp spill)
+    spill = tempfile.TemporaryDirectory(prefix="duck_spill_")
     con = duckdb.connect()
     con.execute(f"SET threads TO {os.environ.get('DUCK_THREADS', '32')}")
     con.execute(f"SET memory_limit TO '{os.environ.get('DUCK_MEM', '48GB')}'")
-    con.execute(f"SET temp_directory TO '/tmp/duck_spill_{os.getpid()}'")
+    con.execute(f"SET temp_directory TO '{spill.name}'")
     for t in ["region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"]:
         con.execute(
