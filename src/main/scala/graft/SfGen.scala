@@ -47,7 +47,19 @@ object SfGen {
     spark.sparkContext.setLogLevel("WARN")
 
     val done = new java.io.File(outDir, "_SUCCESS")
-    if (done.exists()) { println(s"[sfgen] $outDir already built"); return }
+    if (done.exists()) {
+      // the fixture survives across driver testdata regenerations —
+      // REFUSE a stale tree instead of silently verifying old data
+      // (VERDICT r8 #4): the manifest pins the md5 of every base file
+      // the standing fixture was built from.
+      validateManifest(baseDir, outDir) match {
+        case None => println(s"[sfgen] $outDir already built (manifest OK)"); return
+        case Some(why) =>
+          System.err.println(s"[sfgen] STALE fixture at $outDir: $why\n" +
+            s"[sfgen] delete $outDir and re-run to rebuild from $baseDir")
+          sys.exit(1)
+      }
+    }
     new java.io.File(outDir).mkdirs()
 
     // events goes through Tables.t: its ts footer type has drifted
@@ -117,8 +129,62 @@ object SfGen {
           slice(col("embedding"), lit(r + 1), size(col("embedding")) - lit(r)),
           slice(col("embedding"), lit(1), lit(r))).cast("array<float>")))
 
+    writeManifest(spark, baseDir, outDir, factor)
     Files.createFile(done.toPath)
     println(s"[sfgen] done: factor $factor from $baseDir")
     spark.stop()
+  }
+
+  private val tables = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  private def fileMd5(p: java.nio.file.Path): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val in = Files.newInputStream(p)
+    try {
+      val buf = new Array[Byte](1 << 20)
+      var n = in.read(buf)
+      while (n >= 0) { if (n > 0) md.update(buf, 0, n); n = in.read(buf) }
+    } finally in.close()
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  /** MANIFEST.json: factor + per-base-table content md5 + per-scaled-
+    * table row count — everything a later run (or tools/sfcheck.py)
+    * needs to detect a stale or corrupt fixture without rebuilding. */
+  private def writeManifest(spark: SparkSession, baseDir: String,
+      outDir: String, factor: Int): Unit = {
+    val entries = tables.map { t =>
+      val md5 = fileMd5(Paths.get(s"$baseDir/$t.parquet"))
+      val rows = spark.read.parquet(s"$outDir/$t.parquet").count()
+      s"""    "$t": {"base_md5": "$md5", "scaled_rows": $rows}"""
+    }.mkString(",\n")
+    Files.writeString(Paths.get(s"$outDir/MANIFEST.json"),
+      s"""{\n  "factor": $factor,\n  "base_dir": "$baseDir",\n""" +
+        s"""  "tables": {\n$entries\n  }\n}\n""")
+  }
+
+  /** None = fixture matches the current base data; Some(reason) = stale
+    * or corrupt. Pure JVM (no Spark session needed on the reuse path). */
+  private def validateManifest(baseDir: String, outDir: String): Option[String] = {
+    val mf = Paths.get(s"$outDir/MANIFEST.json")
+    if (!Files.exists(mf))
+      return Some("no MANIFEST.json (fixture predates the manifest guard)")
+    val txt = Files.readString(mf)
+    tables.flatMap { t =>
+      val base = Paths.get(s"$baseDir/$t.parquet")
+      val pat = s""""$t": \\{"base_md5": "([0-9a-f]{32})"""".r
+      pat.findFirstMatchIn(txt) match {
+        case None => Some(s"table $t missing from manifest")
+        case Some(m) =>
+          if (!Files.exists(base)) Some(s"base file $base is gone")
+          else if (fileMd5(base) != m.group(1))
+            Some(s"base $t.parquet changed since the fixture was built " +
+              "(driver testdata regenerated?)")
+          else if (!Files.exists(Paths.get(s"$outDir/$t.parquet")))
+            Some(s"scaled $t.parquet missing from fixture")
+          else None
+      }
+    }.headOption
   }
 }

@@ -417,7 +417,7 @@ object Curation extends QueryPack {
   private val pagerankSql: String = {
     val iters = (1 to 5).map { k =>
       val prev = if (k == 1) "r0" else s"i${k - 1}"
-      s"""i$k AS (SELECT nd.node,
+      s"""i$k AS MATERIALIZED (SELECT nd.node,
          |    150000000000000 // (SELECT n FROM nn)
          |      + (85 * COALESCE(c.infp, 0)) // 100 AS fp
          |  FROM nodes nd LEFT JOIN (
@@ -427,12 +427,12 @@ object Curation extends QueryPack {
          |    GROUP BY e.dst) c ON nd.node = c.dst)""".stripMargin
     }.mkString(",\n")
     s"""WITH ${graft.operators.Pipeline.minhashPairsCtes},
-       |edges AS (SELECT da AS src, db AS dst FROM mh_pairs
+       |edges AS MATERIALIZED (SELECT da AS src, db AS dst FROM mh_pairs
        |          UNION ALL SELECT db, da FROM mh_pairs),
-       |nodes AS (SELECT DISTINCT src AS node FROM edges),
-       |nn AS (SELECT count(*) AS n FROM nodes),
-       |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
-       |r0 AS (SELECT node, 1000000000000000 // (SELECT n FROM nn) AS fp
+       |nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges),
+       |nn AS MATERIALIZED (SELECT count(*) AS n FROM nodes),
+       |deg AS MATERIALIZED (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+       |r0 AS MATERIALIZED (SELECT node, 1000000000000000 // (SELECT n FROM nn) AS fp
        |       FROM nodes),
        |$iters
        |SELECT node AS doc_id, CAST(fp AS DOUBLE) / 1e15 AS pagerank

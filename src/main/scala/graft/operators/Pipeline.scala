@@ -942,7 +942,11 @@ object Pipeline extends QueryPack {
     * constants are interpolated from the SAME permConsts the Spark
     * plan uses, so both engines run identical integer arithmetic.
     * Shared by the q_dedup_minhash / q_dedup_cluster (Pipeline) and
-    * q_graph_pagerank (Curation) oracles. */
+    * q_graph_pagerank (Curation) oracles. The AS MATERIALIZED hints
+    * are pure plan hints (identical results — the edc1b9e lesson):
+    * DuckDB re-inlines multiply-referenced CTEs, and the pagerank
+    * oracle references this pipeline ~11× transitively — 57 s at
+    * sf0.1 un-hinted vs ~1 s materialized. */
   private[operators] val minhashPairsCtes: String = {
     val sigCols = (0 until nSig).map { i =>
       val (a, c) = permConsts(i)
@@ -961,16 +965,16 @@ object Pipeline extends QueryPack {
        |bh AS (SELECT doc_id,
        |         ('0x' || substr(md5(sh), 1, 15))::BIGINT % 1073741824 AS b
        |       FROM shg),
-       |sig AS (SELECT doc_id,
+       |sig AS MATERIALIZED (SELECT doc_id,
        |    $sigCols
        |  FROM bh GROUP BY doc_id),
-       |bnd AS (SELECT doc_id, band,
+       |bnd AS MATERIALIZED (SELECT doc_id, band,
        |         ('0x' || substr(md5(bs), 1, 15))::BIGINT AS bucket FROM (
        |    $bandSelects)),
        |cand AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
        |        FROM bnd x JOIN bnd y ON x.band = y.band AND x.bucket = y.bucket
        |         AND x.doc_id < y.doc_id),
-       |mh_pairs AS (SELECT da, db, CAST($agree AS DOUBLE) / 32 AS est_jac
+       |mh_pairs AS MATERIALIZED (SELECT da, db, CAST($agree AS DOUBLE) / 32 AS est_jac
        |        FROM cand JOIN sig sa ON cand.da = sa.doc_id
        |        JOIN sig sb ON cand.db = sb.doc_id
        |        WHERE ($agree) * 2 >= 32)""".stripMargin
@@ -995,7 +999,7 @@ object Pipeline extends QueryPack {
        |sv AS (SELECT doc_id,
        |    $votes
        |  FROM sth GROUP BY doc_id),
-       |sim AS (SELECT doc_id, $assemble AS simhash FROM sv)""".stripMargin
+       |sim AS MATERIALIZED (SELECT doc_id, $assemble AS simhash FROM sv)""".stripMargin
   }
 
   override def oracle: Map[String, String] = Map(
@@ -1010,7 +1014,7 @@ object Pipeline extends QueryPack {
     // q_dedup_apply recipe), min reachable node = cluster label
     "q_dedup_cluster" ->
       s"""WITH RECURSIVE $minhashPairsCtes,
-         |edges AS (SELECT da AS a, db AS b FROM mh_pairs
+         |edges AS MATERIALIZED (SELECT da AS a, db AS b FROM mh_pairs
          |          UNION ALL SELECT db, da FROM mh_pairs),
          |reach AS (
          |  SELECT a, b FROM edges
@@ -1032,7 +1036,7 @@ object Pipeline extends QueryPack {
     // banded (6×10-bit) simhash over the full corpus
     "q_dedup_simhash_lsh" ->
       s"""WITH ${simhashCtes(None)},
-         |bnd6 AS (SELECT doc_id, simhash, j AS band,
+         |bnd6 AS MATERIALIZED (SELECT doc_id, simhash, j AS band,
          |           (simhash >> CAST(j * 10 AS INT)) & 1023 AS bval
          |         FROM sim CROSS JOIN range(6) r(j))
          |SELECT DISTINCT x.doc_id AS da, y.doc_id AS db,
