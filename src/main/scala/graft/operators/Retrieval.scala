@@ -689,6 +689,10 @@ object Retrieval extends QueryPack {
     // ONCE (word-count aggregation, map-side combinable); every round
     // after that is vocab-sized — pair counts, argmax, and the
     // rewrite all scale with distinct words, not corpus bytes.
+    // Hash-oracled since round 9 (bpeApplySql mirrors all 10 rounds
+    // in DuckDB via the |-sentinel string encoding); the driver-side
+    // replay spec and the q_bpe_pair_counts round-1 pin stand as
+    // independent ground truths.
     // The per-round argmax stays IN the plan (VERDICT r6 #7 / r7 #8):
     // it is a one-row localCheckpointed frame, broadcast-joined into
     // the rewrite (the fold lambda references the joined m1/m2
@@ -768,7 +772,49 @@ object Retrieval extends QueryPack {
     }),
   )
 
+  /** DuckDB mirror of the FULL 10-round BPE learner (round 9 — was
+    * rows-only). The symbol sequence of each word is encoded as a
+    * string `|s1||s2||...|`: the greedy left-to-right non-overlapping
+    * merge is then exactly one `replace('|m1||m2|' → '|m1m2|')` —
+    * replace() consumes matches left-to-right without overlap, the
+    * same order the Spark fold applies merges, and the per-side `|`
+    * sentinels stop cross-symbol-boundary matches. The encoding is
+    * unambiguous while no token contains '|' and text is single-
+    * code-point chars — both verified corpus-wide at every shipped SF
+    * (and the hash compare fails loudly if a future corpus breaks
+    * either). Every vN/tN is MATERIALIZED: each is referenced twice
+    * downstream, and un-hinted re-inlining would double work per
+    * round (2^10 by round 10 — the pagerank-oracle lesson). */
+  private val bpeApplySql: String = {
+    val rounds = (1 to 10).map { k =>
+      val prev = s"v${k - 1}"
+      s"""p$k AS (SELECT l[i] AS s1, l[i + 1] AS s2, CAST(sum(wc) AS BIGINT) AS cnt
+         |  FROM (SELECT string_split(trim(str, '|'), '||') AS l, wc FROM $prev) t,
+         |       LATERAL (SELECT unnest(generate_series(1, len(l) - 1)) AS i) u
+         |  GROUP BY 1, 2),
+         |t$k AS MATERIALIZED (SELECT $k AS round, s1, s2, s1 || s2 AS merged, cnt
+         |  FROM p$k ORDER BY cnt DESC, s1, s2 LIMIT 1),
+         |v$k AS MATERIALIZED (SELECT
+         |    replace(str, '|' || t.s1 || '||' || t.s2 || '|',
+         |                 '|' || t.s1 || t.s2 || '|') AS str, wc
+         |  FROM $prev, t$k t)""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to 10).map(k => s"SELECT * FROM t$k").mkString("\n  UNION ALL ")
+    s"""WITH w0 AS (SELECT w, count(*) AS wc FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+       |  WHERE w <> '' GROUP BY w),
+       |v0 AS MATERIALIZED (SELECT
+       |    '|' || array_to_string(string_split(w, ''), '||') || '|' AS str, wc
+       |  FROM w0),
+       |$rounds
+       |SELECT round, s1, s2, merged, cnt FROM (
+       |  $union)
+       |ORDER BY round""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q_bpe_apply" -> bpeApplySql,
+
     // integer-exact hashed projection: md5 hex and all arithmetic are
     // engine-portable; DuckDB SUM(BIGINT) widens to HUGEINT, so the
     // final CAST pins the schema to Spark's BIGINT

@@ -24,7 +24,7 @@ class QueriesSpec extends SparkTestBase {
     assert(unoracled == Set("q_agg_approx_distinct", "q_agg_approx_percentile",
       "q_dedup_embedding_lsh", "q_similarity_ann", "q_similarity_batch_ann",
       "q_similarity_ivf", "q_multimodal_decode",
-      "q_dedup_semantic", "q_bpe_apply",
+      "q_dedup_semantic",
       "q_decontaminate_bloom",
       "q_image_features", "q_image_dedup_phash", "q_audio_features",
       "q_embed_real", "q_frame_sample", "q_image_resize"))
