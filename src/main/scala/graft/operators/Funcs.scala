@@ -88,11 +88,15 @@ object Funcs extends QueryPack {
     "q_json_corrupt" -> ((s, d) => {
       val raw = when(col("event_id") % 5 === 0,
         concat(lit("corrupt::"), col("props"))).otherwise(col("props"))
+      // one from_json parse (round 9, the q_json_funcs lesson): a
+      // mangled payload parses to a null struct — k_val null,
+      // is_valid 0 — identical to get_json_object's null semantics
       Tables.t(s, d, "events")
-        .withColumn("raw", raw)
+        .withColumn("p", from_json(raw,
+          org.apache.spark.sql.types.StructType.fromDDL("k int")))
         .select(col("event_id"),
-          get_json_object(col("raw"), "$.k").cast("int").as("k_val"),
-          get_json_object(col("raw"), "$.k").isNotNull.cast("int").as("is_valid"))
+          col("p.k").as("k_val"),
+          col("p.k").isNotNull.cast("int").as("is_valid"))
         .orderBy(col("event_id"))
     }),
 

@@ -392,4 +392,27 @@ class PlanSpec extends SparkTestBase {
       .findFirstIn(p).isDefined, p)
     assert(p.contains("BroadcastExchange"), p) // centroid fan-out is broadcast
   }
+
+  test("q_dedup_minhash: candidates meet on (band,bucket) equality, est " +
+      "verification on doc_id — no nested loop anywhere (round-9 md5 hashes)") {
+    val p = plan("q_dedup_minhash")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    // band self-join keyed by the (band, bucket) pair
+    assert("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \\[band".r
+      .findFirstIn(p).isDefined, p)
+  }
+
+  test("q_graph_pagerank: integer fixed point — no decimal or double " +
+      "arithmetic in the rank columns") {
+    // the loop runs inside Deferred; the FINAL frame's schema is the
+    // contract — fp math must have produced an exact bigint before the
+    // single terminal double division
+    val df = q("q_graph_pagerank")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+    import org.apache.spark.sql.types._
+    assert(df.schema("pagerank").dataType == DoubleType)
+    assert(df.schema("doc_id").dataType == LongType)
+  }
 }
