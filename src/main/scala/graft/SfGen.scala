@@ -166,7 +166,7 @@ object SfGen {
 
   /** None = fixture matches the current base data; Some(reason) = stale
     * or corrupt. Pure JVM (no Spark session needed on the reuse path). */
-  private def validateManifest(baseDir: String, outDir: String): Option[String] = {
+  private[graft] def validateManifest(baseDir: String, outDir: String): Option[String] = {
     val mf = Paths.get(s"$outDir/MANIFEST.json")
     if (!Files.exists(mf))
       return Some("no MANIFEST.json (fixture predates the manifest guard)")

@@ -251,4 +251,34 @@ class RetrievalSpec extends SparkTestBase {
     assert((got(0)._2, got(0)._3, got(0)._5) ==
       (top.getString(0), top.getString(1), top.getLong(3)))
   }
+
+  test("BPE fold-rewrite equals string-replace on the |-sentinel encoding " +
+      "(property behind the round-9 DuckDB oracle)") {
+    // the oracle rewrites '|s1||s2||...|' with one non-overlapping
+    // left-to-right replace per round — Java's String.replace has the
+    // SAME semantics as DuckDB's replace(), so proving fold ≡ replace
+    // here proves the oracle's rewrite step on arbitrary vocabularies,
+    // not just the shipped corpus
+    def foldMerge(syms: List[String], m1: String, m2: String): List[String] =
+      syms.foldLeft(List.empty[String]) { (acc, x) =>
+        if (acc.nonEmpty && acc.last == m1 && x == m2) acc.init :+ (m1 + m2)
+        else acc :+ x
+      }
+    def encode(syms: List[String]): String = syms.mkString("|", "||", "|")
+    def replaceMerge(enc: String, m1: String, m2: String): String =
+      enc.replace(s"|$m1||$m2|", s"|$m1$m2|")
+    val rnd = new scala.util.Random(9)
+    val alphabet = Vector("a", "b", "c")
+    (1 to 500).foreach { _ =>
+      // random symbol sequence incl. already-merged multi-char symbols
+      val syms = List.fill(1 + rnd.nextInt(10))(
+        List.fill(1 + rnd.nextInt(3))(alphabet(rnd.nextInt(3))).mkString)
+      val m1 = List.fill(1 + rnd.nextInt(2))(alphabet(rnd.nextInt(3))).mkString
+      val m2 = List.fill(1 + rnd.nextInt(2))(alphabet(rnd.nextInt(3))).mkString
+      val viaFold = encode(foldMerge(syms, m1, m2))
+      val viaReplace = replaceMerge(encode(syms), m1, m2)
+      assert(viaFold == viaReplace,
+        s"syms=$syms merge=($m1,$m2): fold=$viaFold replace=$viaReplace")
+    }
+  }
 }
