@@ -665,14 +665,23 @@ object Retrieval extends QueryPack {
     // subsequent merge round is the same shape over the rewritten
     // symbol stream.
     "q_bpe_pair_counts" -> ((s, d) => {
+      // The corpus is touched ONCE for the word-frequency dict
+      // (map-side combinable count); the pair explode then runs over
+      // DISTINCT words weighted by wc — vocab-sized, not corpus-sized
+      // (round 9: ~25M token occurrences vs ~600k distinct words at
+      // sf1 — the q_bpe_apply round-0 shape applied here too; 10.9 s
+      // in two full-run sf1 benches → 0.86 s even in subset mode,
+      // which reads 1.5–2× HIGH). Σ wc over a word's pairs equals
+      // the per-occurrence count exactly, so the oracle is unchanged.
       docs(s, d)
         .select(explode(split(col("text"), " ")).as("w"))
         .filter(length(col("w")) >= 2)
-        .select(explode(expr(
+        .groupBy(col("w")).agg(count(lit(1)).as("wc"))
+        .select(col("wc"), explode(expr(
           "transform(sequence(1, length(w)-1), i -> struct(substring(w, i, 1) AS c1, substring(w, i+1, 1) AS c2))"))
           .as("p"))
         .groupBy(col("p.c1").as("c1"), col("p.c2").as("c2"))
-        .agg(count(lit(1)).as("cnt"))
+        .agg(sum(col("wc")).as("cnt"))
         .select(col("c1"), col("c2"), concat(col("c1"), col("c2")).as("merged"),
           col("cnt"))
         .orderBy(desc("cnt"), col("c1"), col("c2"))
