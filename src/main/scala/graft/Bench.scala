@@ -31,8 +31,12 @@ import org.apache.spark.sql.SparkSession
   * Round-6: every phase carries a CPU calibration (`effpar` fields) +
   * the cgroup quota, so a starved box (BENCH_r05: 158.7 s that
   * reproduced at 11.9 s under control) is distinguishable from a code
-  * regression from the artifact alone; `degraded:true` flags any
-  * phase measured at < half the advertised cores.
+  * regression from the artifact alone. Round-10: the bench ACTS on
+  * that diagnosis — while no concurrent pass has started on a healthy
+  * box (pass calibration ≥ cpus/2), it sleeps and retries (bounded),
+  * and the reported wall is the min over non-degraded passes;
+  * `degraded:true` now means even the retries never found a healthy
+  * window (or the seq phase was starved).
   *
   * Optional args: query names to restrict to (local profiling).
   */
@@ -229,21 +233,35 @@ object Bench {
         sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTS",
           math.max(4, cpus.toInt * 4 / streams).toString)))
     val calConc = scala.collection.mutable.ArrayBuffer[Double]()
-    // one bonus pass if any measured pass began degraded (< half the
-    // advertised cores): a starved window then still yields one wall
-    // measured under disclosed-healthy conditions when the starvation
-    // is transient. Bounded at +1 — a persistently starved box just
-    // reports degraded:true and the judge discounts the number.
-    var extraGranted = false
-    def passBudget: Int = concPasses + (if (extraGranted) 1 else 0)
+    // Degraded-window retry (round 10, VERDICT r9 #3): BENCH_r09
+    // shipped a degraded:true wall while the true number lived only in
+    // PERF.md. The bench now ACTS on its own diagnosis — as long as NO
+    // pass has run on a healthy box (pass-start calibration ≥ half the
+    // advertised cores), it sleeps and re-runs the concurrent phase,
+    // up to SPARK_GRAFT_BENCH_DEGRADED_RETRIES extra passes. The
+    // reported wall is the min over NON-degraded passes when any
+    // exists; every pass's wall + calibration stays in the artifact
+    // for honesty. A persistently starved box exhausts the retries and
+    // reports degraded:true with all observations attached.
+    val maxRetries =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_DEGRADED_RETRIES", "3").toInt
+    val retrySleepMs =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_RETRY_SLEEP_MS", "45000").toLong
+    val passDegraded = scala.collection.mutable.ArrayBuffer[Boolean]()
+    var retries = 0
     var passNo = 0
     val walls = scala.collection.mutable.ArrayBuffer[Double]()
-    while (passNo < passBudget) {
+    def halfCores = cpus.toInt / 2.0
+    def needAnotherPass: Boolean =
+      passNo < concPasses ||
+        (!passDegraded.contains(false) && retries < maxRetries)
+    while (needAnotherPass) {
+      if (passNo >= concPasses) { retries += 1; Thread.sleep(retrySleepMs) }
       passNo += 1
       val cal = effectiveParallelism(cpus.toInt) // per-pass: a starved
       // pass sits NEXT TO its own degraded calibration in the artifact
       calConc += cal
-      if (cal < cpus.toInt / 2.0 && !extraGranted) extraGranted = true
+      passDegraded += cal < halfCores
       val w0 = System.nanoTime()
       val futs = byCost.map { case (n, f) =>
         scala.concurrent.Future {
@@ -266,7 +284,8 @@ object Bench {
       }
       walls += (System.nanoTime() - w0) / 1e9
     }
-    val wall = walls.min
+    val cleanWalls = walls.zip(passDegraded).collect { case (w, false) => w }
+    val wall = if (cleanWalls.nonEmpty) cleanWalls.min else walls.min
     pool.shutdown()
     val failed =
       (seq.collect { case (n, v) if v < 0 => n }.toSet ++ concFailed).toSeq.sorted
@@ -291,13 +310,18 @@ object Bench {
     val load1 = loadavg
     val calPost = effectiveParallelism(cpus.toInt)
     val (cpuMaxRaw, cpuQuotaCores) = cpuMax
-    // a wall measured while the box delivered < half its advertised
-    // cores is an environment artifact — flag it machine-readably
-    val degraded = (calSeq +: calPost +: calConc).min < cpus.toInt / 2.0
+    // degraded now means "the REPORTED NUMBERS are starved": the wall
+    // only when zero non-degraded conc passes existed after retries,
+    // plus the seq phase (whose per-query mins have no retry path).
+    // Every per-pass wall + calibration is attached either way.
+    val degraded = cleanWalls.isEmpty || calSeq < halfCores
     val effJson = s""""effpar":{"seq":${round3(calSeq)},"conc":[${
       calConc.map(round3).mkString(",")}],"post":${round3(calPost)}},""" +
       s""""cpu_max":"$cpuMaxRaw","cpu_quota_cores":${round3(cpuQuotaCores)},""" +
-      s""""conc_passes":${walls.length},"degraded":$degraded"""
+      s""""conc_passes":${walls.length},"conc_walls":[${
+        walls.map(round3).mkString(",")}],"conc_degraded":[${
+        passDegraded.mkString(",")}],"degraded_retries":$retries,""" +
+      s""""degraded":$degraded"""
     spark.sparkContext.setLogLevel("ERROR")
     spark.stop()
     println(s"""{"bench_per_query":$qs,"failed_all":$failedFullJson,"sf":"$sfDir","passes":$passes,"loadavg_start":$load0,"loadavg_end":$load1}""")
@@ -309,6 +333,6 @@ object Bench {
     val slowest = seq.toSeq.filter(_._2 >= 0).sortBy(-_._2).take(12)
       .map { case (k, v) => "\"" + k + "\":" + round3(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"wall_${streams}streams_warm","value":${round3(wall)},"unit":"sec","queries":$slowest,"sf":"$sfDir","seq_total":${round3(seqTotal)},"n_queries":${seq.size},"n_failed":${failed.size},"failed":$failedJson,"cpus":$cpus,"passes":$passes,"loadavg":[$load0,$load1],$effJson,"note":"noop-sink; value=min-of-${walls.length} ${streams}-stream concurrent wall (configured $concPasses + ${walls.length - concPasses} degraded-bonus), warm session; queries=12 slowest per-query MIN-across-$passes-pass secs, full map on the bench_per_query line; effpar=measured effective cores per phase (calibrated CPU spin) - a wall beside effpar<<cpus is box starvation, not a regression"}""")
+    println(s"""{"metric":"wall_${streams}streams_warm","value":${round3(wall)},"unit":"sec","queries":$slowest,"sf":"$sfDir","seq_total":${round3(seqTotal)},"n_queries":${seq.size},"n_failed":${failed.size},"failed":$failedJson,"cpus":$cpus,"passes":$passes,"loadavg":[$load0,$load1],$effJson,"note":"noop-sink; value=min over NON-degraded ${streams}-stream concurrent walls (configured $concPasses passes + ${walls.length - concPasses} degraded-window retries with ${retrySleepMs / 1000}s backoff; all walls in conc_walls); queries=12 slowest per-query MIN-across-$passes-pass secs, full map on the bench_per_query line; effpar=measured effective cores per phase (calibrated CPU spin); degraded:true means even the retries never saw a healthy box (or the seq phase was starved) - the wall is then an environment artifact, not a regression"}""")
   }
 }

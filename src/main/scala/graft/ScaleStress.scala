@@ -37,6 +37,12 @@ object ScaleStress {
     sys.env.get("GRAFT_FORCE_BUCKETED").foreach(v =>
       System.setProperty(graft.operators.Retrieval.forceBucketedProp,
         (v == "1" || v.equalsIgnoreCase("true")).toString))
+    // fresh-fit mode (VERDICT r9 #5): stress passes must pay the full
+    // hierarchy fit every time — the (session, dir) memo otherwise
+    // turns min-of-2 into a warm re-execute and under-measures
+    // q_dedup_semantic. Unconditional here: a scale measurement that
+    // reuses a memo is measuring the memo.
+    System.setProperty(graft.operators.Retrieval.freshFitProp, "true")
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt
     val scaledDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR",

@@ -52,7 +52,7 @@ object SfGen {
       // REFUSE a stale tree instead of silently verifying old data
       // (VERDICT r8 #4): the manifest pins the md5 of every base file
       // the standing fixture was built from.
-      validateManifest(baseDir, outDir) match {
+      validateManifest(baseDir, outDir, factor) match {
         case None => println(s"[sfgen] $outDir already built (manifest OK)"); return
         case Some(why) =>
           System.err.println(s"[sfgen] STALE fixture at $outDir: $why\n" +
@@ -164,13 +164,28 @@ object SfGen {
         s"""  "tables": {\n$entries\n  }\n}\n""")
   }
 
-  /** None = fixture matches the current base data; Some(reason) = stale
-    * or corrupt. Pure JVM (no Spark session needed on the reuse path). */
-  private[graft] def validateManifest(baseDir: String, outDir: String): Option[String] = {
+  /** None = fixture matches the current base data AND the requested
+    * factor; Some(reason) = stale, corrupt, or built at a different
+    * scale. Pure JVM (no Spark session needed on the reuse path).
+    * The factor check matters (ADVICE r9): without it, invoking SfGen
+    * with SPARK_GRAFT_SCALE_FACTOR=30 against a standing ×10 tree
+    * printed "already built (manifest OK)" and silently reused the
+    * wrong-scale fixture — the exact silent-wrong-data class this
+    * guard exists to refuse. */
+  private[graft] def validateManifest(baseDir: String, outDir: String,
+      requestedFactor: Int): Option[String] = {
     val mf = Paths.get(s"$outDir/MANIFEST.json")
     if (!Files.exists(mf))
       return Some("no MANIFEST.json (fixture predates the manifest guard)")
     val txt = Files.readString(mf)
+    val factorPat = """"factor":\s*(\d+)""".r
+    factorPat.findFirstMatchIn(txt) match {
+      case None => return Some("manifest has no \"factor\" field")
+      case Some(m) if m.group(1).toInt != requestedFactor =>
+        return Some(s"fixture built at factor ${m.group(1)}, " +
+          s"this run requests factor $requestedFactor")
+      case _ =>
+    }
     tables.flatMap { t =>
       val base = Paths.get(s"$baseDir/$t.parquet")
       val pat = s""""$t": \\{"base_md5": "([0-9a-f]{32})"""".r

@@ -69,8 +69,12 @@ object Funcs extends QueryPack {
     // ONE from_json parse feeds all three projections (three
     // get_json_object calls each re-parsed the payload per row — 3×
     // CPU on the hot column at corpus scale; VERDICT r8 weak #1).
-    // Null semantics match get_json_object: an absent path and an
-    // unparsable payload both yield NULL.
+    // Null semantics match get_json_object FOR THIS CORPUS: an absent
+    // path and an unparsable payload both yield NULL. The equivalence
+    // is data-conditional — a non-integer k would null the whole
+    // struct here while get_json_object (and the DuckDB oracle)
+    // extracts paths independently — so the k-is-integer generator
+    // invariant is spec-pinned corpus-wide (SchemaContractSpec).
     "q_json_funcs" -> ((s, d) => {
       Tables.t(s, d, "events")
         .withColumn("p", from_json(col("props"),

@@ -118,12 +118,20 @@ object Pipeline extends QueryPack {
   private val annTables = 4
   private val annBits = 8
 
-  private def annPlanes: IndexedSeq[Column] = {
+  /** The raw plane constants (float), shared by the Spark plan and —
+    * via double-exact literal interpolation — the DuckDB oracle SQL
+    * (round 10: upgrades q_similarity_ann / q_similarity_batch_ann
+    * from rows-only to oracled, the integer-family recipe applied to
+    * float sign-LSH). */
+  private[operators] val annPlaneVals: IndexedSeq[Array[Float]] = {
     val rnd = new scala.util.Random(42)
     (0 until annTables * annBits).map { _ =>
-      typedLit((0 until 64).map(_ => rnd.nextGaussian().toFloat).toArray)
+      (0 until 64).map(_ => rnd.nextGaussian().toFloat).toArray
     }
   }
+
+  private def annPlanes: IndexedSeq[Column] =
+    annPlaneVals.map(typedLit(_))
 
   /** Per-table sign bucket of vector v: bit i = sign(v · plane_i). */
   private def signBuckets(v: Column): Column = {
@@ -716,7 +724,9 @@ object Pipeline extends QueryPack {
     // bucket plus all hamming-distance-1 buckets (9 probes/table) —
     // the standard recall fix when neighbors are not near-duplicates.
     // Candidates = union over tables/probes, then exact cosine re-rank.
-    // Rows-only check (consistency vs brute force asserted in tests).
+    // Fully DuckDB-oracled since round 10 (plane constants interpolated
+    // into both engines — see annBucketCtes); consistency vs brute
+    // force additionally asserted in tests.
     // At scale: the bucket join shuffles by (table, bucket) — candidate
     // volume ~ n·L·(b+1)/2^b, never all-pairs.
     "q_similarity_ann" -> ((s, d) => {
@@ -827,8 +837,9 @@ object Pipeline extends QueryPack {
     // Batch similarity via LSH buckets on BOTH sides: query vectors
     // multiprobe (bucket + single-bit flips), corpus joins on
     // (table, bucket) — an equi-join shuffle either side can be huge
-    // under — then exact cosine re-ranks top-3 per query. Rows-only
-    // check; recall vs q_similarity_batch measured in tests.
+    // under — then exact cosine re-ranks top-3 per query. Fully
+    // DuckDB-oracled since round 10 (annBucketCtes); recall vs
+    // q_similarity_batch additionally measured in tests.
     "q_similarity_batch_ann" -> ((s, d) => {
       GraftFunctions.register(s)
       val e = bucketedEmbeddings(Tables.t(s, d, "embeddings"))
@@ -1002,7 +1013,70 @@ object Pipeline extends QueryPack {
        |sim AS MATERIALIZED (SELECT doc_id, $assemble AS simhash FROM sv)""".stripMargin
   }
 
+  /** DuckDB mirror of bucketedEmbeddings as WITH-body CTEs ending in
+    * eb(vec_id, v, nrm, tbl, bkt). The hyperplanes are interpolated
+    * from the SAME annPlaneVals the Spark plan uses — each float
+    * widened to double and emitted as its shortest round-tripping
+    * decimal, so both engines dot the identical IEEE doubles in the
+    * identical left-to-right order (dot_d ≡ list_inner_product on
+    * DOUBLE lists, the equivalence q_similarity_topk's oracle already
+    * proves). Sign buckets are then bit-equal BY CONSTRUCTION — the
+    * float-LSH analogue of the integer permConsts recipe. A dot
+    * landing EXACTLY on 0.0 falls to `> 0` false in both engines. */
+  private val annBucketCtes: String = {
+    def planeSql(p: Array[Float]): String =
+      p.map(f => f.toDouble.toString).mkString("[", ", ", "]::DOUBLE[]")
+    val tableSelects = (0 until annTables).map { t =>
+      val bits = (0 until annBits).map { i =>
+        s"(CASE WHEN list_inner_product(v, ${planeSql(annPlaneVals(t * annBits + i))}) > 0 THEN ${1 << i} ELSE 0 END)"
+      }.mkString("\n      + ")
+      s"SELECT vec_id, v, nrm, $t AS tbl,\n      $bits AS bkt FROM en"
+    }.mkString("\n    UNION ALL ")
+    s"""ev AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |      FROM embeddings),
+       |en AS MATERIALIZED (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm
+       |      FROM ev),
+       |eb AS MATERIALIZED (
+       |    $tableSelects)""".stripMargin
+  }
+
+  /** Multiprobe list for one (tbl, bkt) row: the exact bucket plus
+    * every hamming-1 neighbor — mirrors the Spark side's
+    * explode(bkt +: (0 until annBits).map(bkt ^ (1<<b))). */
+  private val annProbesSql: String =
+    (Seq("bkt") ++ (0 until annBits).map(b => s"xor(bkt, ${1 << b})"))
+      .mkString("[", ", ", "]")
+
   override def oracle: Map[String, String] = Map(
+    // FULL sign-LSH ANN mirrored: plane dots, sign buckets, hamming-1
+    // multiprobe, candidate equi-join, exact cosine re-rank (round 10;
+    // was rows-only through round 9)
+    "q_similarity_ann" ->
+      s"""WITH $annBucketCtes,
+         |q AS (SELECT tbl AS q_tbl, unnest($annProbesSql) AS q_bkt,
+         |        v AS qv, nrm AS q_nrm
+         |      FROM eb WHERE vec_id = 0)
+         |SELECT DISTINCT e.vec_id,
+         |  list_inner_product(e.v, q.qv) / (e.nrm * q.q_nrm) AS cos_sim
+         |FROM eb e JOIN q ON e.tbl = q.q_tbl AND e.bkt = q.q_bkt
+         |  AND e.vec_id <> 0
+         |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
+
+    "q_similarity_batch_ann" ->
+      s"""WITH $annBucketCtes,
+         |qb AS (SELECT vec_id AS q_id, tbl AS q_tbl,
+         |         unnest($annProbesSql) AS q_bkt, v AS qv, nrm AS q_nrm
+         |       FROM eb WHERE vec_id < 10),
+         |sc AS (SELECT DISTINCT q_id, e.vec_id,
+         |         list_inner_product(e.v, qb.qv) / (e.nrm * qb.q_nrm) AS cos_sim
+         |       FROM eb e JOIN qb ON e.tbl = qb.q_tbl AND e.bkt = qb.q_bkt
+         |       WHERE e.vec_id >= 10),
+         |r AS (SELECT q_id, vec_id, cos_sim, CAST(row_number() OVER (
+         |        PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS INT) AS rnk
+         |      FROM sc)
+         |SELECT q_id, vec_id, cos_sim, rnk FROM r
+         |WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin,
+
     // the FULL minhash pipeline mirrored — 30-bit md5 shingle base,
     // multiply-mod permutations, md5 band buckets, est ≥ 0.5 — shared
     // CTE fragment with the cluster / pagerank oracles

@@ -238,31 +238,45 @@ object StreamRunner {
           (col("nb") + col("nc") - col("inter_n")), 6).as("jac"))
   }
 
+  /** Replay-idempotent per-batch verdict write: each micro-batch lands
+    * in its own `micro_batch_id=N` partition directory with overwrite,
+    * so an at-least-once foreachBatch retry (failure mid-commit,
+    * checkpoint replay after restart) REPLACES the batch's rows instead
+    * of duplicating them (ADVICE r9). Readers get the extra
+    * `micro_batch_id` partition column via discovery — drop it for
+    * verdict comparisons. (NOT named batch_id: the verdict schema
+    * already uses that for the batch-side doc id.) */
+  def writeVerdictBatch(verdicts: DataFrame, outDir: String,
+      batchId: Long): Unit =
+    verdicts.write.mode("overwrite")
+      .parquet(s"$outDir/micro_batch_id=$batchId")
+
   /** Multi-micro-batch variant of runIncrementalDedup (VERDICT r8 #7):
     * streams an arbitrary parquet directory of crawled docs ONE FILE
     * PER TRIGGER, verdicting each micro-batch against the standing
-    * corpus. Returns the number of micro-batches processed. Verdicts
-    * depend only on (doc, corpus) — no cross-batch state — so the
-    * per-batch outputs compose exactly to the single-batch result;
-    * StreamingSpec asserts that across ≥ 3 batches. */
+    * corpus. Returns the number of DISTINCT micro-batch ids processed
+    * (a retried batch neither double-writes — see writeVerdictBatch —
+    * nor double-counts). Verdicts depend only on (doc, corpus) — no
+    * cross-batch state — so the per-batch outputs compose exactly to
+    * the single-batch result; StreamingSpec asserts that across ≥ 3
+    * batches. */
   def runIncrementalDedupChunked(spark: SparkSession, corpusDir: String,
       streamDir: String, outDir: String, checkpoint: String): Int = {
     val corpus = graft.engine.Tables.t(spark, corpusDir, "documents")
-    val nBatches = new java.util.concurrent.atomic.AtomicInteger(0)
+    val seen = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
     val q = spark.readStream.schema(corpus.schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(streamDir)
       .writeStream.outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        nBatches.incrementAndGet()
-        incrementalDedupVerdicts(batch, corpus)
-          .write.mode("append").parquet(outDir)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        seen.add(id)
+        writeVerdictBatch(incrementalDedupVerdicts(batch, corpus), outDir, id)
       }
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    nBatches.get()
+    seen.size()
   }
 
   /** Drive the crawl stream through per-micro-batch incremental dedup

@@ -21,8 +21,14 @@ class QueriesSpec extends SparkTestBase {
 
   test("non-oracled queries are the expected sketch/stub set") {
     val unoracled = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    // round 10: q_similarity_ann / q_similarity_batch_ann left this set
+    // (sign-LSH planes interpolated into the DuckDB mirror — see
+    // Pipeline.annBucketCtes). The 13 remaining are engine-internal
+    // sketches (HLL/KLL/bloom), real codecs, and float-geometry
+    // clustering (k-means/√-hierarchy) — each with an oracled audit
+    // twin or exact-replay spec.
     assert(unoracled == Set("q_agg_approx_distinct", "q_agg_approx_percentile",
-      "q_dedup_embedding_lsh", "q_similarity_ann", "q_similarity_batch_ann",
+      "q_dedup_embedding_lsh",
       "q_similarity_ivf", "q_multimodal_decode",
       "q_dedup_semantic",
       "q_decontaminate_bloom",

@@ -59,6 +59,29 @@ class SchemaContractSpec extends SparkTestBase {
     }
   }
 
+  test("events.props `k` is always a JSON integer, corpus-wide (ADVICE r9)") {
+    // q_json_funcs/q_json_corrupt parse props with `k int` via from_json;
+    // their DuckDB oracles extract k as text and CAST. The two engines
+    // agree ONLY while k is an integer literal: for k="x", from_json's
+    // PERMISSIVE mode nulls the struct (is_valid=0) while DuckDB's
+    // json_extract_string IS NOT NULL yields 1 (and the CAST hard-errors).
+    // This pins the generator invariant the equivalence rests on, so a
+    // testdata regeneration that ships non-integer k fails HERE by name,
+    // not as an obscure oracle hash mismatch.
+    import org.apache.spark.sql.functions._
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val k = Tables.t(spark, dir, "events")
+        .select(get_json_object(col("props"), "$.k").as("k"))
+      val bad = k.filter(col("k").isNotNull && !col("k").rlike("^-?[0-9]+$"))
+        .limit(5).collect()
+      assert(bad.isEmpty,
+        s"TESTDATA DRIFT in $dir: events.props.k is no longer always a " +
+          s"JSON integer (samples: ${bad.mkString(", ")}); q_json_funcs/" +
+          "q_json_corrupt's from_json(k int) plan and their DuckDB oracles " +
+          "now DIVERGE on null semantics — rework both together.")
+    }
+  }
+
   test("events.ts raw footer type is a known generation (nanos-long or timestamp)") {
     val raw = Tables.rawSchema(spark, sf, "events")("ts").dataType
     assert(raw == LongType || raw == TimestampNTZType || raw == TimestampType,

@@ -272,11 +272,24 @@ class StreamingSpec extends SparkTestBase {
     assert(n >= 3, s"expected >=3 micro-batches, got $n")
     // stateless per-doc verdicts: the union of per-batch outputs must
     // EQUAL the all-at-once batch query — micro-batch boundaries are
-    // semantically invisible
-    val stream = spark.read.parquet(s"$work/out")
+    // semantically invisible (micro_batch_id is the replay-idempotence
+    // partition column, not part of the verdict)
+    val stream = spark.read.parquet(s"$work/out").drop("micro_batch_id")
     val batch = q("q_dedup_incremental")
     assert(stream.count() == batch.count() && stream.count() > 0)
     assert(stream.exceptAll(batch).isEmpty && batch.exceptAll(stream).isEmpty)
+
+    // at-least-once replay (ADVICE r9): re-writing a micro-batch's
+    // verdicts under the same id must REPLACE its partition, not append
+    // a duplicate copy — foreachBatch retries are exactly this
+    val verdicts = StreamRunner.incrementalDedupVerdicts(
+      docs.filter(col("doc_id") % 3 === 0), docs)
+    val replayDir = s"$work/replay"
+    StreamRunner.writeVerdictBatch(verdicts, replayDir, 7L)
+    val once = spark.read.parquet(replayDir).count()
+    StreamRunner.writeVerdictBatch(verdicts, replayDir, 7L) // the retry
+    assert(spark.read.parquet(replayDir).count() == once && once > 0,
+      "foreachBatch replay duplicated verdict rows")
   }
 
   test("snapshot SCD2 ingest folds >=3 one-day micro-batches to the " +
