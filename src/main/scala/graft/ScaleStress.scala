@@ -59,7 +59,16 @@ object ScaleStress {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    if (!new java.io.File(scaledDir, "documents.parquet").exists()) {
+    // GRAFT_SCALE_TABLES (csv) restricts which fact families generate:
+    // the ×100 flagship run needs only `documents` (500k docs), and
+    // events/lineitem at ×100 would cost minutes + GBs for queries the
+    // run never touches. Default: all (the ×10/×30 standing behavior).
+    val genTables = sys.env.get("GRAFT_SCALE_TABLES")
+      .map(_.split(",").map(_.trim).toSet)
+      .getOrElse(Set("documents", "events", "lineitem"))
+
+    if (genTables("documents") &&
+        !new java.io.File(scaledDir, "documents.parquet").exists()) {
       val docs = spark.read.parquet(s"$baseDir/documents.parquet")
       val maxId = docs.agg(max(col("doc_id"))).head().getLong(0) + 1
       val reps = (0 until factor).map { r =>
@@ -76,7 +85,8 @@ object ScaleStress {
     // so the ideal sessionization/SCD2 workload is N× the base; hourly
     // totals grow N× in lockstep, so relative thresholds
     // (q_join_interval_overlap's 1.5×-mean) select the same hours.
-    if (!new java.io.File(scaledDir, "events.parquet").exists()) {
+    if (genTables("events") &&
+        !new java.io.File(scaledDir, "events.parquet").exists()) {
       val ev = graft.engine.Tables.t(spark, baseDir, "events")
       val maxU = ev.agg(max(col("user_id"))).head().getLong(0) + 1
       val maxE = ev.agg(max(col("event_id"))).head().getLong(0) + 1
@@ -95,7 +105,8 @@ object ScaleStress {
     // per-dimension fan-out grows N× (more orders per customer), which
     // is how a warehouse actually scales. Dim tables are symlinked
     // unscaled so every query resolves against the one scaled dir.
-    if (!new java.io.File(scaledDir, "lineitem.parquet").exists()) {
+    if (genTables("lineitem") &&
+        !new java.io.File(scaledDir, "lineitem.parquet").exists()) {
       val ord = spark.read.parquet(s"$baseDir/orders.parquet")
       val li = spark.read.parquet(s"$baseDir/lineitem.parquet")
       val maxOk =
