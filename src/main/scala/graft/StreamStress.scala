@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.streaming.StreamRunner
+
+/** Streaming-at-scale harness (VERDICT r9 #7): all streaming evidence
+  * through round 9 ran at sf0.001/sf0.01. This main drives the two
+  * production streaming paths against a LARGE fixture (normally the
+  * SfGen sf1 tree, 50k docs / 200k parts) and asserts the same
+  * batch-equivalences the unit specs pin at toy scale:
+  *
+  *  1. incremental dedup: the crawl corpus lands as K files → K
+  *     one-file micro-batches (maxFilesPerTrigger=1), each verdicted
+  *     against the standing corpus; the union of per-batch outputs
+  *     must EQUAL the all-at-once batch query (q_dedup_incremental) —
+  *     exactAll both directions, not just counts;
+  *  2. SCD2 snapshot ingest: the two-day tree folds through
+  *     foreachBatch + versioned state one file per trigger; the final
+  *     interval table must equal the drain-all-at-once ingest of the
+  *     same tree (fresh state dirs both sides).
+  *
+  * One JSON line per scenario: wall seconds, batch counts, output /
+  * state rows, and on-disk state+checkpoint bytes (the stream's
+  * durable footprint — what a 100 TB deployment pays per day of
+  * history). Usage: SPARK_GRAFT_SF_DIR=/tmp/graft_sf1
+  * `sbt "runMain graft.StreamStress"`. */
+object StreamStress {
+  private def round2(v: Double): Double = math.rint(v * 100) / 100
+
+  private def dirBytes(f: java.io.File): Long =
+    if (f.isFile) f.length()
+    else Option(f.listFiles()).getOrElse(Array.empty).map(dirBytes).sum
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/graft_sf1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val work = java.nio.file.Files.createTempDirectory("graft_streamstress")
+      .toString
+
+    // ---- 1. incremental dedup, K one-file micro-batches ----
+    val docs = graft.engine.Tables.t(spark, sfDir, "documents")
+    val nFiles = 5
+    (0 until nFiles).foreach { i =>
+      docs.filter(col("doc_id") % nFiles === i).coalesce(1)
+        .write.mode("append").parquet(s"$work/crawl")
+    }
+    val t0 = System.nanoTime()
+    val nBatches = StreamRunner.runIncrementalDedupChunked(spark, sfDir,
+      s"$work/crawl", s"$work/dedup_out", s"$work/dedup_ckpt")
+    val dedupWall = (System.nanoTime() - t0) / 1e9
+    val streamed = spark.read.parquet(s"$work/dedup_out")
+      .drop("micro_batch_id")
+    val batch = SparkEntry.queries("q_dedup_incremental")(spark, sfDir)
+    val nStream = streamed.count()
+    val nBatchRows = batch.count()
+    val diff = streamed.exceptAll(batch).count() +
+      batch.exceptAll(streamed).count()
+    require(nBatches >= nFiles, s"expected >= $nFiles micro-batches, got $nBatches")
+    require(diff == 0 && nStream == nBatchRows && nStream > 0,
+      s"stream/batch divergence: stream=$nStream batch=$nBatchRows diff=$diff")
+    println(s"""{"scenario":"incremental_dedup","sf":"$sfDir","wall_sec":${
+      round2(dedupWall)},"micro_batches":$nBatches,"verdict_rows":$nStream,""" +
+      s""""batch_equal":true,"ckpt_bytes":${
+        dirBytes(new java.io.File(s"$work/dedup_ckpt"))},"out_bytes":${
+        dirBytes(new java.io.File(s"$work/dedup_out"))}}""")
+
+    // ---- 2. SCD2 snapshot ingest, one file per trigger vs drain-all ----
+    val base = graft.operators.Snapshots.snapshotBase(spark, sfDir)
+    def ingest(tag: String, fpt: Option[Int]): (String, Double) = {
+      val dir = s"$work/scd2_$tag"
+      val t = System.nanoTime()
+      val state = StreamRunner.snapshotScd2Ingest(spark, base, dir, fpt)
+      (state, (System.nanoTime() - t) / 1e9)
+    }
+    val (stateMulti, wallMulti) = ingest("multi", Some(1))
+    val (stateOnce, wallOnce) = ingest("once", None)
+    val like = spark.read.parquet(base)
+      .select(col("p_partkey"), col("provider"), col("name"), col("price"))
+    val m = StreamRunner.readScd2State(spark, stateMulti, like)
+    val o = StreamRunner.readScd2State(spark, stateOnce, like)
+    val nM = m.count()
+    val scdDiff = m.exceptAll(o).count() + o.exceptAll(m).count()
+    require(scdDiff == 0 && nM > 0 && nM == o.count(),
+      s"SCD2 multi-batch vs drain-all divergence: $nM vs ${o.count()} diff=$scdDiff")
+    println(s"""{"scenario":"scd2_ingest","sf":"$sfDir","wall_sec_multi":${
+      round2(wallMulti)},"wall_sec_drain_all":${round2(wallOnce)},""" +
+      s""""state_rows":$nM,"multi_equals_drain_all":true,"state_bytes":${
+        dirBytes(new java.io.File(s"$work/scd2_multi/state"))},"ckpt_bytes":${
+        dirBytes(new java.io.File(s"$work/scd2_multi/ckpt"))}}""")
+    spark.stop()
+  }
+}

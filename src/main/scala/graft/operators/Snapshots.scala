@@ -72,7 +72,7 @@ object Snapshots extends QueryPack {
     * the writes (round-5 verdict nit — the lazy-bloom fix pattern,
     * lifted to relations). computeIfAbsent makes the build atomic
     * against concurrent bench streams. */
-  private[operators] def snapshotBase(s: SparkSession, d: String): String =
+  private[graft] def snapshotBase(s: SparkSession, d: String): String =
     built.computeIfAbsent(d, _ => {
       val dir = new java.io.File(sys.props("java.io.tmpdir"),
         "graft_snapdiff_" + Integer.toHexString(d.hashCode))
