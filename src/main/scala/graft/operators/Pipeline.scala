@@ -681,7 +681,8 @@ object Pipeline extends QueryPack {
     // nested loop — then exact cosine re-ranks. Top pairs by cosine
     // land in the same bucket in ≥1 of 4 tables with high probability;
     // recall vs the exact slice is measured in DedupSimilaritySpec.
-    // Rows-only check (bucketing is engine-specific).
+    // Fully DuckDB-oracled since round 10 (annBucketCtes — the same
+    // plane mirror as the q_similarity ANN pair).
     "q_dedup_embedding_lsh" -> ((s, d) => {
       GraftFunctions.register(s)
       val e = Tables.t(s, d, "embeddings")
@@ -1061,6 +1062,18 @@ object Pipeline extends QueryPack {
          |FROM eb e JOIN q ON e.tbl = q.q_tbl AND e.bkt = q.q_bkt
          |  AND e.vec_id <> 0
          |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
+
+    // same-bucket pair enumeration + exact cosine re-rank — the
+    // uncapped scale twin of q_dedup_embedding's exact slice
+    "q_dedup_embedding_lsh" ->
+      s"""WITH $annBucketCtes,
+         |cand AS (SELECT DISTINCT x.vec_id AS va, y.vec_id AS vb
+         |         FROM eb x JOIN eb y ON x.tbl = y.tbl AND x.bkt = y.bkt
+         |          AND x.vec_id < y.vec_id)
+         |SELECT va, vb,
+         |  list_inner_product(a.v, b.v) / (a.nrm * b.nrm) AS cos_sim
+         |FROM cand JOIN en a ON va = a.vec_id JOIN en b ON vb = b.vec_id
+         |ORDER BY cos_sim DESC, va, vb LIMIT 50""".stripMargin,
 
     "q_similarity_batch_ann" ->
       s"""WITH $annBucketCtes,

@@ -28,7 +28,6 @@ class QueriesSpec extends SparkTestBase {
     // clustering (k-means/√-hierarchy) — each with an oracled audit
     // twin or exact-replay spec.
     assert(unoracled == Set("q_agg_approx_distinct", "q_agg_approx_percentile",
-      "q_dedup_embedding_lsh",
       "q_similarity_ivf", "q_multimodal_decode",
       "q_dedup_semantic",
       "q_decontaminate_bloom",
