@@ -755,40 +755,54 @@ object Pipeline extends QueryPack {
     // rounds) fit in-plan, then the query probes its nprobe=4 nearest
     // cells and candidates arrive through an equi-join on cell id —
     // the partition-pruning ANN family, complementary to the sign-LSH
-    // tables above. Everything is deterministic: seeds are hash-ranked
-    // vectors, cell means aggregate as exact decimals (order-
-    // independent), distance ties break by cell id. At 100 TB the
-    // quantizer would fit on a hash-sample and the corpus would be
-    // written bucketed by cell id (Layout.bucketed) so probes prune
-    // files; the in-plan fit keeps the query self-contained here.
-    // Rows-only (clustering is engine-specific); exactness of the
-    // re-rank + determinism + planted-dup recall in ScalaTest.
+    // tables above. PORTABLE GEOMETRY since round 10 (upgrades this
+    // from rows-only to DuckDB-oracled): vectors quantize to integer
+    // fixed point q_i = floor(v_i · 2^20) — the power-of-two multiply
+    // is rounding-free in IEEE and floor is engine-identical, so both
+    // engines hold the same exact integers (< 2^24, float-exact);
+    // every dot/distance in the fit is then an exact-integer-valued
+    // double (all magnitudes < 2^53), centroid components are
+    // floor(sum/count) (count ≤ 5·10^5 keeps the correctly-rounded
+    // double division > 10^4 ulps away from the floor boundary, so
+    // both engines floor identically), and seeds are md5-hash-ranked
+    // (the hv60 recipe — xxhash64 has no DuckDB twin). Distance ties
+    // break by cell id; the final re-rank is exact float cosine on
+    // the ORIGINAL vectors (dot_d ≡ list_inner_product). At 100 TB
+    // the quantizer would fit on a hash-sample and the corpus would
+    // be written bucketed by cell id (Layout.bucketed) so probes
+    // prune files; the in-plan fit keeps the query self-contained.
     "q_similarity_ivf" -> ((s, d) => {
       GraftFunctions.register(s)
       val k = 16; val nprobe = 4; val rounds = 2
       val e = Tables.t(s, d, "embeddings")
         .select(col("vec_id"), col("embedding"),
-          sqrt(GraftFunctions.dot_d(col("embedding"), col("embedding"))).as("nrm"))
+          sqrt(GraftFunctions.dot_d(col("embedding"), col("embedding"))).as("nrm"),
+          transform(col("embedding"),
+            x => floor(x.cast("double") * lit(1048576.0)).cast("float")).as("qv"))
         .cache()
-      def sqDist = GraftFunctions.dot_d(col("embedding"), col("embedding")) -
-        lit(2.0) * GraftFunctions.dot_d(col("embedding"), col("cvec")) +
-        GraftFunctions.dot_d(col("cvec"), col("cvec"))
+      val hRank =
+        conv(substring(md5(col("vec_id").cast("string")), 1, 15), 16, 10)
+          .cast("bigint")
+      // |qv|² is constant under per-vector argmin — dropped on BOTH
+      // engines (constant shift preserves order and ties)
+      def dQ = GraftFunctions.dot_d(col("cvec"), col("cvec")) -
+        lit(2.0) * GraftFunctions.dot_d(col("qv"), col("cvec"))
       def assign(cents: DataFrame): DataFrame =
         e.crossJoin(broadcast(cents))
           .groupBy(col("vec_id").as("a_vid"))
-          .agg(min(struct(sqDist.as("dist"), col("cid"))).as("m"))
+          .agg(min(struct(dQ.as("dist"), col("cid"))).as("m"))
           .select(col("a_vid").as("vec_id"), col("m.cid").as("cid"))
-      var cents = e.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(k)
-        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      var cents = e.orderBy(hRank, col("vec_id")).limit(k)
+        .select(col("vec_id").as("cid"), col("qv").as("cvec"))
       (1 to rounds).foreach { _ =>
         cents = assign(cents)
           .join(e, Seq("vec_id"))
-          .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "v")))
-          .groupBy(col("cid"), col("pos"))
-          .agg(avg(col("v").cast("decimal(28,10)")).cast("double").as("mv"))
           .groupBy(col("cid"))
-          .agg(transform(array_sort(collect_list(struct(col("pos"), col("mv")))),
-            x => x.getField("mv").cast("float")).as("cvec"))
+          .agg(count(lit(1)).as("n"),
+            (0 until 64).map(i =>
+              sum(element_at(col("qv"), i + 1)).as(s"s$i")): _*)
+          .select(col("cid"), array((0 until 64).map(i =>
+            floor(col(s"s$i") / col("n")).cast("float")): _*).as("cvec"))
       }
       // the k-row centroid table feeds BOTH the corpus assignment and
       // the query-probe ranking — cache it so the 2-round Lloyd
@@ -796,7 +810,7 @@ object Pipeline extends QueryPack {
       cents = cents.cache()
       val cells = assign(cents)
       val qCells = e.filter(col("vec_id") === 0).crossJoin(broadcast(cents))
-        .orderBy(sqDist, col("cid")).limit(nprobe)
+        .orderBy(dQ, col("cid")).limit(nprobe)
         .select(col("cid"))
       val qv = e.filter(col("vec_id") === 0)
         .select(col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
@@ -1048,6 +1062,47 @@ object Pipeline extends QueryPack {
     (Seq("bkt") ++ (0 until annBits).map(b => s"xor(bkt, ${1 << b})"))
       .mkString("[", ", ", "]")
 
+  /** DuckDB mirror of q_similarity_ivf's PORTABLE integer quantizer
+    * (see the query's comment for why every step is engine-exact):
+    * fixed-point vectors, md5-ranked seeds, two unrolled Lloyd rounds
+    * with floor(sum/count) centroids, 4-cell probe, exact float cosine
+    * re-rank. Ends in CTEs ivq / ivf_cells / ivf_probes. */
+  private val ivfCtes: String = {
+    def assignSql(out: String, cents: String) =
+      s"""$out AS (SELECT vec_id, cid FROM (
+         |  SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id
+         |    ORDER BY list_inner_product(c.cq, c.cq)
+         |      - 2 * list_inner_product(e.q, c.cq), c.cid) AS rn
+         |  FROM ivq e CROSS JOIN $cents c) WHERE rn = 1)""".stripMargin
+    def centSql(out: String, asg: String) =
+      s"""$out AS MATERIALIZED (SELECT cid, list(m ORDER BY i) AS cq FROM (
+         |  SELECT a.cid, u.i, floor(sum(e.q[u.i]) / count(*)) AS m
+         |  FROM $asg a JOIN ivq e USING (vec_id),
+         |       LATERAL (SELECT unnest(generate_series(1, 64)) AS i) u
+         |  GROUP BY a.cid, u.i) GROUP BY cid)""".stripMargin
+    s"""ivv AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |      FROM embeddings),
+       |ivn AS MATERIALIZED (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm
+       |      FROM ivv),
+       |ivq AS MATERIALIZED (SELECT vec_id, v, nrm,
+       |        list_transform(v, x -> floor(x * 1048576.0)) AS q
+       |      FROM ivn),
+       |ivf_seeds AS (SELECT vec_id AS cid, q AS cq FROM ivq
+       |      ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT,
+       |        vec_id LIMIT 16),
+       |${assignSql("ivf_a1", "ivf_seeds")},
+       |${centSql("ivf_c1", "ivf_a1")},
+       |${assignSql("ivf_a2", "ivf_c1")},
+       |${centSql("ivf_c2", "ivf_a2")},
+       |${assignSql("ivf_cells", "ivf_c2")},
+       |ivf_probes AS (SELECT cid FROM (
+       |  SELECT c.cid, row_number() OVER (
+       |    ORDER BY list_inner_product(c.cq, c.cq)
+       |      - 2 * list_inner_product(q0.q, c.cq), c.cid) AS rn
+       |  FROM ivf_c2 c CROSS JOIN (SELECT q FROM ivq WHERE vec_id = 0) q0)
+       |  WHERE rn <= 4)""".stripMargin
+  }
+
   override def oracle: Map[String, String] = Map(
     // FULL sign-LSH ANN mirrored: plane dots, sign buckets, hamming-1
     // multiprobe, candidate equi-join, exact cosine re-rank (round 10;
@@ -1061,6 +1116,17 @@ object Pipeline extends QueryPack {
          |  list_inner_product(e.v, q.qv) / (e.nrm * q.q_nrm) AS cos_sim
          |FROM eb e JOIN q ON e.tbl = q.q_tbl AND e.bkt = q.q_bkt
          |  AND e.vec_id <> 0
+         |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
+
+    // the full portable-quantizer IVF mirrored: fixed-point fit,
+    // md5-ranked seeds, 2 Lloyd rounds, 4-probe, exact cosine re-rank
+    "q_similarity_ivf" ->
+      s"""WITH $ivfCtes
+         |SELECT e.vec_id,
+         |  list_inner_product(e.v, q0.v) / (e.nrm * q0.nrm) AS cos_sim
+         |FROM ivq e JOIN ivf_cells USING (vec_id) JOIN ivf_probes USING (cid)
+         |CROSS JOIN (SELECT v, nrm FROM ivn WHERE vec_id = 0) q0
+         |WHERE e.vec_id <> 0
          |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
 
     // same-bucket pair enumeration + exact cosine re-rank — the

@@ -28,7 +28,7 @@ class QueriesSpec extends SparkTestBase {
     // clustering (k-means/√-hierarchy) — each with an oracled audit
     // twin or exact-replay spec.
     assert(unoracled == Set("q_agg_approx_distinct", "q_agg_approx_percentile",
-      "q_similarity_ivf", "q_multimodal_decode",
+      "q_multimodal_decode",
       "q_dedup_semantic",
       "q_decontaminate_bloom",
       "q_image_features", "q_image_dedup_phash", "q_audio_features",
