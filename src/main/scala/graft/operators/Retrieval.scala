@@ -322,10 +322,12 @@ object Retrieval extends QueryPack {
     // count, so the body runs inside plans.Deferred — builds stay
     // job-free and the hierarchy is fixed at first execution.
     // Candidates meet in a cell-id equi-join, never all-pairs.
-    // Deterministic across runs: coarse seeds and fine seeds are
-    // hash-ranked docs, centroid means aggregate as exact decimals
-    // (order-independent), both assignment levels break distance
-    // ties by cell id. The drop verdict uses the SAME integer-exact
+    // Deterministic across runs AND across engines: coarse seeds and
+    // fine seeds are md5-hash-ranked docs, centroid components are
+    // the portable floor(sum/count) (see the geometry note in the
+    // body), both assignment levels break distance ties by cell id —
+    // since round 10 the ENTIRE query (cells included) is
+    // DuckDB-oracled. The drop verdict uses the SAME integer-exact
     // cosine gate as q_dedup_text_lsh (dot > 0 ∧ 100·dot² ≥ 81·na·nb
     // in DECIMAL(38)) — assignment geometry is float but no verdict
     // can flip on a borderline cosine; q_audit_semantic re-derives
@@ -358,8 +360,28 @@ object Retrieval extends QueryPack {
       val kCoarse = math.max(1, math.round(
         math.sqrt(nDocs.toDouble / targetCell)).toInt)
       val rounds = 2
-      def sqDist = col("n2f") - lit(2.0) * GraftFunctions.dot_d(col("vf"), col("cvec")) +
-        GraftFunctions.dot_d(col("cvec"), col("cvec"))
+      // PORTABLE GEOMETRY (round 10 — upgrades this query from
+      // rows-only to DuckDB-oracled, the q_similarity_ivf recipe):
+      //  - ranks are md5-derived (hv60) instead of xxhash64, which has
+      //    no DuckDB twin;
+      //  - the per-doc |vf|² term is dropped from the assignment
+      //    distance (constant under argmin — order and ties preserved)
+      //    so the expression is exactly mirrorable;
+      //  - centroid components are floor(sum/count) of the float
+      //    mirror's exact-integer values (sums < 2^53 stay exact;
+      //    count bounds keep the double division away from the floor
+      //    boundary), then one float rounding — every step engine-
+      //    identical, unlike the decimal avg it replaces (DuckDB's
+      //    avg(DECIMAL) returns DOUBLE, the one true portability
+      //    wall of the old form).
+      // dot_d's left-to-right double accumulation ≡ DuckDB's
+      // list_inner_product, so even the rounding of large float dots
+      // is identical in both engines.
+      val hRank =
+        conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+          .cast("bigint")
+      def sqDist = GraftFunctions.dot_d(col("cvec"), col("cvec")) -
+        lit(2.0) * GraftFunctions.dot_d(col("vf"), col("cvec"))
       def assignOf(docsV: DataFrame, cents: DataFrame): DataFrame =
         docsV.crossJoin(broadcast(cents))
           .groupBy(col("doc_id"))
@@ -371,25 +393,23 @@ object Retrieval extends QueryPack {
       // would select everything — skip it and reuse the cached cvf)
       val fit =
         if (nDocs <= 16384) cvf.select(col("doc_id"), col("vf"), col("n2f"))
-        else cvf.orderBy(xxhash64(col("doc_id")), col("doc_id"))
+        else cvf.orderBy(hRank, col("doc_id"))
           .limit(16384)
           .select(col("doc_id"), col("vf"), col("n2f")).cache()
-      var cents = fit.orderBy(xxhash64(col("doc_id")), col("doc_id"))
+      var cents = fit.orderBy(hRank, col("doc_id"))
         .limit(kCoarse)
         .select(col("doc_id").as("cid"), col("vf").as("cvec"))
-      // centroid mean as ONE groupBy with 64 per-dim decimal avgs
-      // (order-independent exact sums, same decimal→double→float chain
-      // as the former posexplode form — bit-identical centroids): the
-      // posexplode → (cid,pos) agg → collect_list reassembly form paid
-      // a 64× row blowup and two extra shuffles per Lloyd round, all
-      // serialized inside the deferred body's cold build
+      // centroid mean as ONE groupBy: count + 64 exact double sums,
+      // then the portable floor division (see the geometry note above)
       (1 to rounds).foreach { _ =>
         cents = assignOf(fit, cents)
           .join(fit, Seq("doc_id"))
           .groupBy(col("cid"))
-          .agg(array((0 until 64).map(i =>
-            avg(element_at(col("vf"), i + 1).cast("decimal(28,6)"))
-              .cast("double").cast("float")): _*).as("cvec"))
+          .agg(count(lit(1)).as("n"),
+            (0 until 64).map(i =>
+              sum(element_at(col("vf"), i + 1)).as(s"s$i")): _*)
+          .select(col("cid"), array((0 until 64).map(i =>
+            floor(col(s"s$i") / col("n")).cast("float")): _*).as("cvec"))
       }
       // coarse pass: constant-size broadcast, map-only. cents is
       // localCheckpointed (k_c rows): the Lloyd rounds nest their plan
@@ -403,7 +423,7 @@ object Retrieval extends QueryPack {
       // cell (row_number + count over the cell partition — distributed,
       // no driver pass)
       val wRank = Window.partitionBy(col("ccid"))
-        .orderBy(xxhash64(col("doc_id")), col("doc_id"))
+        .orderBy(hRank, col("doc_id"))
       val fineSeeds = withC
         .select(col("ccid"), col("doc_id"), col("vf"),
           row_number().over(wRank).as("rn"),
@@ -832,8 +852,105 @@ object Retrieval extends QueryPack {
        |ORDER BY round""".stripMargin
   }
 
+  /** DuckDB mirror of q_dedup_semantic's portable √-hierarchy (round
+    * 10): centered integer vectors (the q_dedup_text_lsh prefix), the
+    * deterministic float mirror vf = double(float(c)), md5-ranked
+    * 16 Ki fit sample + kc seeds, two Lloyd rounds with portable
+    * floor(sum/count) centroids, coarse assignment, per-cell
+    * ⌈m/160⌉ fine seeds, fine assignment, then the integer-exact
+    * shadow gate on same-cell pairs. The float 0.88 PREFILTER is
+    * deliberately absent: exact-gate winners (cos ≥ 0.9) always pass
+    * it (float error ~1e-6 relative vs the 0.02 margin — the
+    * q_audit_text_recall oracle's established argument), so the final
+    * verdicts are identical without mirroring the shortcut. */
+  private val semanticOracleSql: String = {
+    def assignSql(out: String, docs: String, cents: String) =
+      s"""$out AS MATERIALIZED (SELECT doc_id, cid FROM (
+         |  SELECT d.doc_id, c.cid, row_number() OVER (PARTITION BY d.doc_id
+         |    ORDER BY list_inner_product(c.cvec, c.cvec)
+         |      - 2 * list_inner_product(d.vf, c.cvec), c.cid) AS rn
+         |  FROM $docs d CROSS JOIN $cents c) WHERE rn = 1)""".stripMargin
+    def centSql(out: String, asg: String) =
+      s"""$out AS MATERIALIZED (SELECT cid, list(m ORDER BY i) AS cvec FROM (
+         |  SELECT a.cid, u.i,
+         |    CAST(CAST(floor(sum(d.vf[u.i]) / count(*)) AS FLOAT) AS DOUBLE) AS m
+         |  FROM $asg a JOIN sem_fit d USING (doc_id),
+         |       LATERAL (SELECT unnest(generate_series(1, 64)) AS i) u
+         |  GROUP BY a.cid, u.i) GROUP BY cid)""".stripMargin
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+       |             FROM documents),
+       |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok WHERE tok <> ''
+       |       GROUP BY 1, 2),
+       |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+       |h AS (SELECT tf.doc_id, tf.tf, df.df,
+       |        ('0x' || substr(md5(tf.tok), 1, 15))::BIGINT AS hv
+       |      FROM tf JOIN df USING (tok)),
+       |emb0 AS (SELECT doc_id, CAST(hv % 64 AS INT) AS j,
+       |           SUM((CASE WHEN (hv // 64) % 2 = 0 THEN 1 ELSE -1 END)
+       |               * tf * (100000 // df)) AS v
+       |         FROM h GROUP BY 1, 2),
+       |emb AS (SELECT doc_id, j, CAST(v AS BIGINT) AS v FROM emb0 WHERE v <> 0),
+       |docs_e AS (SELECT doc_id FROM emb GROUP BY 1 HAVING count(*) >= 4),
+       |n_d AS (SELECT count(*) AS nd FROM docs_e),
+       |sj AS (SELECT j, CAST(SUM(v) AS BIGINT) AS sj FROM emb GROUP BY 1),
+       |dense AS MATERIALIZED (SELECT d.doc_id, g.j,
+       |            ((COALESCE(e.v, 0) * (SELECT nd FROM n_d)
+       |              - COALESCE(s.sj, 0)) >> 12) AS c
+       |          FROM docs_e d CROSS JOIN range(64) g(j)
+       |          LEFT JOIN emb e ON e.doc_id = d.doc_id AND e.j = g.j
+       |          LEFT JOIN sj s ON s.j = g.j),
+       |cvecs AS MATERIALIZED (SELECT doc_id, list(c ORDER BY j) AS cv
+       |          FROM dense GROUP BY 1),
+       |sem_v AS MATERIALIZED (SELECT doc_id, cv,
+       |          list_transform(cv, x -> CAST(CAST(x AS FLOAT) AS DOUBLE)) AS vf,
+       |          ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS hr
+       |        FROM cvecs),
+       |sem_k AS (SELECT GREATEST(1,
+       |            CAST(floor(sqrt(count(*) / 160.0) + 0.5) AS INT)) AS kc
+       |          FROM sem_v),
+       |sem_fit AS MATERIALIZED (SELECT doc_id, vf, rnk FROM (
+       |          SELECT doc_id, vf, row_number() OVER (ORDER BY hr, doc_id) AS rnk
+       |          FROM sem_v) WHERE rnk <= 16384),
+       |sem_c0 AS (SELECT doc_id AS cid, vf AS cvec FROM sem_fit
+       |           WHERE rnk <= (SELECT kc FROM sem_k)),
+       |${assignSql("sem_a1", "sem_fit", "sem_c0")},
+       |${centSql("sem_c1", "sem_a1")},
+       |${assignSql("sem_a2", "sem_fit", "sem_c1")},
+       |${centSql("sem_c2", "sem_a2")},
+       |${assignSql("sem_coarse", "sem_v", "sem_c2")},
+       |sem_fseeds AS MATERIALIZED (SELECT ccid, doc_id AS fcid, vf AS fvec FROM (
+       |    SELECT c.cid AS ccid, v.doc_id, v.vf,
+       |      row_number() OVER (PARTITION BY c.cid ORDER BY v.hr, v.doc_id) AS rn,
+       |      count(*) OVER (PARTITION BY c.cid) AS m
+       |    FROM sem_coarse c JOIN sem_v v USING (doc_id))
+       |  WHERE rn <= (m + 159) // 160),
+       |sem_cells AS MATERIALIZED (SELECT doc_id, cid FROM (
+       |    SELECT v.doc_id, f.fcid AS cid, row_number() OVER (
+       |      PARTITION BY v.doc_id ORDER BY
+       |        list_inner_product(f.fvec, f.fvec)
+       |        - 2 * list_inner_product(v.vf, f.fvec), f.fcid) AS rn
+       |    FROM sem_coarse c JOIN sem_v v USING (doc_id)
+       |    JOIN sem_fseeds f ON f.ccid = c.cid) WHERE rn = 1),
+       |sem_sh AS (SELECT DISTINCT db FROM (
+       |    SELECT b.doc_id AS db,
+       |      CAST(list_sum(list_transform(range(1, 65),
+       |           i -> a.cv[i] * b.cv[i])) AS BIGINT) AS dot,
+       |      CAST(list_sum(list_transform(a.cv, x -> x * x)) AS BIGINT) AS na,
+       |      CAST(list_sum(list_transform(b.cv, x -> x * x)) AS BIGINT) AS nb
+       |    FROM sem_cells ca JOIN sem_v a ON ca.doc_id = a.doc_id
+       |    JOIN sem_cells cb ON ca.cid = cb.cid AND ca.doc_id < cb.doc_id
+       |    JOIN sem_v b ON cb.doc_id = b.doc_id)
+       |  WHERE dot > 0
+       |    AND 100 * CAST(dot AS HUGEINT) * dot >= 81 * CAST(na AS HUGEINT) * nb)
+       |SELECT c.doc_id, c.cid, (s.db IS NULL) AS is_kept
+       |FROM sem_cells c LEFT JOIN sem_sh s ON c.doc_id = s.db
+       |ORDER BY c.doc_id""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "q_bpe_apply" -> bpeApplySql,
+
+    "q_dedup_semantic" -> semanticOracleSql,
 
     // integer-exact hashed projection: md5 hex and all arithmetic are
     // engine-portable; DuckDB SUM(BIGINT) widens to HUGEINT, so the

@@ -29,7 +29,6 @@ class QueriesSpec extends SparkTestBase {
     // twin or exact-replay spec.
     assert(unoracled == Set("q_agg_approx_distinct", "q_agg_approx_percentile",
       "q_multimodal_decode",
-      "q_dedup_semantic",
       "q_decontaminate_bloom",
       "q_image_features", "q_image_dedup_phash", "q_audio_features",
       "q_embed_real", "q_frame_sample", "q_image_resize"))
