@@ -43,6 +43,30 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   private def round3(v: Double): Double = math.rint(v * 1000) / 1000
 
+  // ---- degraded-retry policy (round 10, VERDICT r9 #3) ----
+  // Pure functions so the selection semantics are spec-testable
+  // (BenchRetrySpec) without running a bench.
+
+  /** Another concurrent pass should run while the configured budget
+    * is unspent, or — once spent — while NO pass has yet started on a
+    * healthy box and retries remain. A single healthy pass ends the
+    * retrying: the wall it produced is already measured under
+    * disclosed-good conditions. */
+  private[graft] def needAnotherPass(passesDone: Int, configured: Int,
+      passDegraded: Seq[Boolean], retries: Int, maxRetries: Int): Boolean =
+    passesDone < configured ||
+      (!passDegraded.contains(false) && retries < maxRetries)
+
+  /** The reported wall: min over NON-degraded passes when any exists
+    * (second = false), else min over everything with the degraded
+    * marker (second = true) — a persistently starved box still
+    * reports a number, flagged. */
+  private[graft] def pickWall(walls: Seq[Double],
+      passDegraded: Seq[Boolean]): (Double, Boolean) = {
+    val clean = walls.zip(passDegraded).collect { case (w, false) => w }
+    if (clean.nonEmpty) (clean.min, false) else (walls.min, true)
+  }
+
   // ---- environment self-diagnosis (round-6, VERDICT r5 #1) ----
   // BENCH_r05 recorded a 158.7 s wall that was pure co-tenant/cgroup
   // starvation (the same binary measured 11.9 s an hour later), and
@@ -252,10 +276,8 @@ object Bench {
     var passNo = 0
     val walls = scala.collection.mutable.ArrayBuffer[Double]()
     def halfCores = cpus.toInt / 2.0
-    def needAnotherPass: Boolean =
-      passNo < concPasses ||
-        (!passDegraded.contains(false) && retries < maxRetries)
-    while (needAnotherPass) {
+    while (needAnotherPass(passNo, concPasses, passDegraded.toSeq,
+        retries, maxRetries)) {
       if (passNo >= concPasses) { retries += 1; Thread.sleep(retrySleepMs) }
       passNo += 1
       val cal = effectiveParallelism(cpus.toInt) // per-pass: a starved
@@ -284,8 +306,7 @@ object Bench {
       }
       walls += (System.nanoTime() - w0) / 1e9
     }
-    val cleanWalls = walls.zip(passDegraded).collect { case (w, false) => w }
-    val wall = if (cleanWalls.nonEmpty) cleanWalls.min else walls.min
+    val (wall, wallDegraded) = pickWall(walls.toSeq, passDegraded.toSeq)
     pool.shutdown()
     val failed =
       (seq.collect { case (n, v) if v < 0 => n }.toSet ++ concFailed).toSeq.sorted
@@ -314,7 +335,7 @@ object Bench {
     // only when zero non-degraded conc passes existed after retries,
     // plus the seq phase (whose per-query mins have no retry path).
     // Every per-pass wall + calibration is attached either way.
-    val degraded = cleanWalls.isEmpty || calSeq < halfCores
+    val degraded = wallDegraded || calSeq < halfCores
     val effJson = s""""effpar":{"seq":${round3(calSeq)},"conc":[${
       calConc.map(round3).mkString(",")}],"post":${round3(calPost)}},""" +
       s""""cpu_max":"$cpuMaxRaw","cpu_quota_cores":${round3(cpuQuotaCores)},""" +
