@@ -70,7 +70,7 @@ object Retrieval extends QueryPack {
     * (v_j·N − S_j) >> 12: cosine-invariant centering kept in exact
     * integer range. Docs with < 4 nonzero dims are excluded. Cached:
     * feeds projections, norms, and packed vectors. */
-  private def centeredDense(s: SparkSession, d: String): DataFrame = {
+  private[graft] def centeredDense(s: SparkSession, d: String): DataFrame = {
     val emb = queries("q_embed_text")(s, d)
       .select(col("doc_id"), col("j"), col("v")) // cached fragment
     val docsE = emb.groupBy(col("doc_id"))

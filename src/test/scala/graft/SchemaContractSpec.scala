@@ -82,6 +82,44 @@ class SchemaContractSpec extends SparkTestBase {
     }
   }
 
+  test("embedding components stay within the portable-geometry range (ADVICE r10)") {
+    // The ANN/IVF/semantic oracles rest on qv = floor(v·2^20) casting to
+    // float LOSSLESSLY — true only while |v| <= 16 (|q| < 2^24), and on
+    // the centroid floor bound |qv_i| < 2^28 with fit count <= 5·10^5.
+    // PortableGeometrySpec pins the MATH under these ranges; this pins
+    // the CORPUS to them, so a testdata regeneration with larger
+    // embeddings fails HERE by name, not as an opaque sf-sweep oracle
+    // hash mismatch (mirrors the events.props.k guard above).
+    import org.apache.spark.sql.functions._
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val mx = Tables.t(spark, dir, "embeddings")
+        .select(expr("max(array_max(transform(embedding, x -> abs(x))))")
+          .cast("double"))
+        .collect()(0).getDouble(0)
+      assert(mx <= 16.0,
+        s"TESTDATA DRIFT in $dir: max |embedding component| = $mx > 16 — " +
+          "floor(v*2^20) no longer fits float-exactly in 2^24; the " +
+          "q_similarity_ivf / q_dedup_semantic portable-geometry oracles " +
+          "are void. Rescale the fixed point AND the oracle SQL together.")
+    }
+  }
+
+  test("centered text-vector components stay under 2^28 (ADVICE r10)") {
+    // q_dedup_text_lsh / q_dedup_semantic center in exact integers:
+    // c_j = (v_j·N − S_j) >> 12. The float-mirror summation proof
+    // (PortableGeometrySpec "sums ... stay exact in double") assumes
+    // |c_j| < 2^28; pin the corpus to that bound on the same dirs.
+    import org.apache.spark.sql.functions._
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val mx = graft.operators.Retrieval.centeredDense(spark, dir)
+        .agg(max(abs(col("c")))).collect()(0).getLong(0)
+      assert(mx < (1L << 28),
+        s"TESTDATA DRIFT in $dir: max |centered component| = $mx >= 2^28 — " +
+          "centroid sums can exceed the exact-double range; re-derive the " +
+          ">> 12 centering shift and the PortableGeometrySpec bounds.")
+    }
+  }
+
   test("events.ts raw footer type is a known generation (nanos-long or timestamp)") {
     val raw = Tables.rawSchema(spark, sf, "events")("ts").dataType
     assert(raw == LongType || raw == TimestampNTZType || raw == TimestampType,

@@ -78,8 +78,10 @@ class SfGenGuardSpec extends SparkTestBase {
 
   private def sfcheck(base: java.nio.file.Path, fix: java.nio.file.Path,
       extra: String*): (Int, String) = {
-    val cmd = (Seq("python3", "/root/repo/tools/sfcheck.py",
-      base.toString, fix.toString) ++ extra)
+    // resolve relative to the working directory (ADVICE r10: no repo-root
+    // coupling — the spec must run from any checkout location)
+    val script = new java.io.File("tools/sfcheck.py").getAbsolutePath
+    val cmd = (Seq("python3", script, base.toString, fix.toString) ++ extra)
     val pb = new ProcessBuilder(cmd: _*).redirectErrorStream(true)
     val p = pb.start()
     val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
@@ -116,6 +118,18 @@ class SfGenGuardSpec extends SparkTestBase {
     assert(ok == 0, okOut)
     val (bad, badOut) = sfcheck(base, fix, "--factor", "30")
     assert(bad != 0 && badOut.contains("factor"), badOut)
+  }
+
+  test("sfcheck.py fails loudly (no traceback) on a bad --factor operand") {
+    val (base, fix) = stageReal()
+    // ADVICE r10: missing / non-integer operands must hit the same
+    // named-FAIL contract the parquet chaos cases enforce
+    val (noOp, noOpOut) = sfcheck(base, fix, "--factor")
+    assert(noOp != 0 && noOpOut.contains("FAIL") &&
+      !noOpOut.contains("Traceback"), noOpOut)
+    val (notInt, notIntOut) = sfcheck(base, fix, "--factor", "ten")
+    assert(notInt != 0 && notIntOut.contains("FAIL") &&
+      !notIntOut.contains("Traceback"), notIntOut)
   }
 
   test("sfcheck.py names the table on a truncated scaled parquet") {

@@ -29,7 +29,14 @@ def main():
     want_factor = None
     if "--factor" in argv:
         i = argv.index("--factor")
-        want_factor = int(argv[i + 1])
+        if i + 1 >= len(argv):
+            sys.exit("FAIL: --factor requires an integer operand "
+                     "(usage: --factor N)")
+        try:
+            want_factor = int(argv[i + 1])
+        except ValueError:
+            sys.exit(f"FAIL: --factor operand {argv[i + 1]!r} is not an "
+                     f"integer (usage: --factor N)")
         argv = argv[:i] + argv[i + 2:]
     base = argv[0] if len(argv) > 0 else "/root/testdata/sf0.1"
     fix = argv[1] if len(argv) > 1 else "/tmp/graft_sf1"
