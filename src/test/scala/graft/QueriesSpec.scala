@@ -8,7 +8,9 @@ class QueriesSpec extends SparkTestBase {
 
   // queries that legitimately return 0 rows at sf0.001 (tiny data)
   private val mayBeEmpty = Set("q_join_anti", "q_except", "q_dedup_simhash",
-    "q_dedup_minhash", "q_dedup_cluster", "q_graph_pagerank")
+    "q_dedup_minhash", "q_dedup_cluster", "q_graph_pagerank",
+    // recursion over the minhash edge set — empty when minhash is
+    "q_recursive_reach")
 
   test("entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
