@@ -37,6 +37,12 @@ object ScaleStress {
     sys.env.get("GRAFT_FORCE_BUCKETED").foreach(v =>
       System.setProperty(graft.operators.Retrieval.forceBucketedProp,
         (v == "1" || v.equalsIgnoreCase("true")).toString))
+    // forced w-cap overflow sharding (VERDICT r10 #1): the synthetic
+    // corpora stay under the 1.57 M-doc cap, so the shard-pair band
+    // join only builds when forced — GRAFT_FORCE_SHARDS=N measures the
+    // over-cap shape (S² shard-pair cells) on data the box fits
+    sys.env.get("GRAFT_FORCE_SHARDS").foreach(v =>
+      System.setProperty(graft.operators.Retrieval.forceShardsProp, v))
     // fresh-fit mode (VERDICT r9 #5): stress passes must pay the full
     // hierarchy fit every time — the (session, dir) memo otherwise
     // turns min-of-2 into a warm re-execute and under-measures

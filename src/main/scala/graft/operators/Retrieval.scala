@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{BooleanType, IntegerType, LongType, StringType, StructField, StructType}
@@ -117,6 +117,54 @@ object Retrieval extends QueryPack {
   private[operators] def verifyBroadcastOk(d: String): Boolean =
     !java.lang.Boolean.getBoolean(forceBucketedProp) &&
       dirBytes(new java.io.File(s"$d/documents.parquet")) <= 128L * 1024 * 1024
+
+  /** W-CAP OVERFLOW SHARD PATH (VERDICT r10 #1; SCALING.md §1).
+    * The static 128×64 plane pool caps the adaptive band width at
+    * w = 16, which holds expected bucket occupancy ≤ 24 only up to
+    * 24·2^16 ≈ 1.57 M docs. Beyond the cap the corpus is hash-SHARDED:
+    * each band-join side gains a shard id `pmod(xxhash64(doc_id), S)`
+    * and is replicated across the S target shards of the OTHER side,
+    * so the single declarative join becomes S² co-partitioned
+    * shard-pair band joins keyed by (band, bucket, shard_a, shard_b) —
+    * per-key occupancy falls back to ≤ 24 per side and no reducer ever
+    * sees an over-cap bucket. This is the idiomatic-Spark realization
+    * of "run the band join per shard + a cross-shard band pass": every
+    * unordered doc pair meets in EXACTLY one shard-pair cell, so the
+    * candidate set — and therefore the oracle — is value-identical to
+    * the unsharded join (asserted in RetrievalSpec; the DuckDB mirror
+    * needs no shard columns at all). S = ⌈n / (24·2^16)⌉ is derived
+    * IN-PLAN from the corpus count exactly like w; whether to build
+    * the shard shape at all is decided by the same job-free parquet
+    * file-stat idiom as `verifyBroadcastOk` (~400 compressed B/doc ⇒
+    * the 1.57 M-doc cap sits near 600 MB of documents parquet), so the
+    * sub-cap default plan is byte-identical to round 10's. The sys
+    * prop forces a shard count on small data for tests / ScaleStress. */
+  private[graft] val forceShardsProp = "graft.lsh.shards.force"
+  private[operators] def forcedShards: Option[Int] =
+    Option(System.getProperty(forceShardsProp)).map(_.toInt)
+  private[operators] def shardingNeeded(d: String): Boolean =
+    forcedShards.isDefined ||
+      dirBytes(new java.io.File(s"$d/documents.parquet")) > 600L * 1024 * 1024
+
+  /** The shard-pair band self-join described at [[forceShardsProp]]:
+    * `aa`/`bb` must expose (d?, band_?, bkt_?, sig_?) columns; `extra`
+    * is the caller's non-equi residual (da<db ordering + the hamming
+    * prefilter, which must stay INSIDE the join so over-cap buckets
+    * still die during enumeration). `sSel` is a one-row (ns) frame. */
+  private def shardPairJoin(aa: DataFrame, bb: DataFrame, sSel: DataFrame,
+      extra: Column): DataFrame = {
+    val aas = aa.crossJoin(broadcast(sSel))
+      .withColumn("sa", pmod(xxhash64(col("da")), col("ns")).cast("int"))
+      .withColumn("tb",
+        explode(sequence(lit(0), col("ns").cast("int") - 1)))
+    val bbs = bb.crossJoin(broadcast(sSel.select(col("ns").as("ns_b"))))
+      .withColumn("sb", pmod(xxhash64(col("db")), col("ns_b")).cast("int"))
+      .withColumn("ta",
+        explode(sequence(lit(0), col("ns_b").cast("int") - 1)))
+    aas.join(bbs, col("band_a") === col("band_b") &&
+      col("bkt_a") === col("bkt_b") &&
+      col("sa") === col("ta") && col("tb") === col("sb") && extra)
+  }
 
   /** packedVecs plus a float mirror (vf) and its float norm (n2f):
     * pairwise PREFILTERS run on the codegen'd dot_d over floats —
@@ -244,9 +292,24 @@ object Retrieval extends QueryPack {
         col("bkt").as("bkt_a"), col("sig").as("sig_a"))
       val bb = keyed.select(col("doc_id").as("db"), col("band").as("band_b"),
         col("bkt").as("bkt_b"), col("sig").as("sig_b"))
-      val cand = aa.join(bb, col("band_a") === col("band_b") &&
-          col("bkt_a") === col("bkt_b") && col("da") < col("db") &&
-          expr("bit_count(sig_a ^ sig_b)") <= 16)
+      // non-equi residual: pair ordering + the hamming prefilter (IN
+      // the join on either path — see the plane-count note above)
+      val residual = col("da") < col("db") &&
+        expr("bit_count(sig_a ^ sig_b)") <= 16
+      val cand = (if (!shardingNeeded(d))
+          // sub-cap default: untouched round-10 band join
+          aa.join(bb, col("band_a") === col("band_b") &&
+            col("bkt_a") === col("bkt_b") && residual)
+        else {
+          // over-cap (or forced): S shards, selected in-plan from the
+          // same corpus count that selects w (scaladoc at forceShardsProp)
+          val sSel = forcedShards match {
+            case Some(k) => s.range(1).select(lit(k).as("ns"))
+            case None => nD.select(
+              expr("cast((nd + 1572863) div 1572864 as int)").as("ns"))
+          }
+          shardPairJoin(aa, bb, sSel, residual)
+        })
         .select(col("da"), col("db")).distinct()
       // verification over PACKED per-doc vectors: codegen'd float
       // dot_d ≥ 0.88 prefilter first (margin argument in packedVecsF),

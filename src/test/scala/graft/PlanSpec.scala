@@ -387,6 +387,35 @@ class PlanSpec extends SparkTestBase {
     assert(!forced.contains("CartesianProduct"), forced)
   }
 
+  test("q_dedup_text_lsh: forced shard path keys the band join by shard pair") {
+    // the w-cap overflow shape (VERDICT r10 #1): both sides replicate
+    // over the other side's shard (Generate/explode), the join key
+    // gains (sa=ta, tb=sb), the hamming prefilter stays INSIDE the
+    // join, and no nested-loop fallback appears. The default sub-cap
+    // plan must carry none of the shard machinery.
+    val deflt = q("q_dedup_text_lsh").queryExecution.optimizedPlan.toString
+    System.setProperty(graft.operators.Retrieval.forceShardsProp, "3")
+    val forced =
+      try q("q_dedup_text_lsh").queryExecution.optimizedPlan.toString
+      finally System.clearProperty(graft.operators.Retrieval.forceShardsProp)
+    assert(!deflt.contains("xxhash64"), deflt) // sub-cap: no shard cols
+    assert(forced.contains("Generate explode"), forced)
+    assert("sa#\\d+ = ta#\\d+".r.findFirstIn(forced).isDefined, forced)
+    assert("tb#\\d+ = sb#\\d+".r.findFirstIn(forced).isDefined, forced)
+    assert(forced.contains("bit_count"), forced)
+    assert(!forced.contains("CartesianProduct"), forced)
+  }
+
+  test("q_recursive_reach: executes via the recursive-CTE loop over real edges") {
+    // data-driven recursion (VERDICT r10 #2): the plan must carry the
+    // Spark 4 UnionLoop machinery (not an unrolled union or a driver
+    // loop), and the edge side must be the checkpointed minhash pair
+    // set, joined — never nested-looped — against the loop table.
+    val p = finalPlan("q_recursive_reach")
+    assert(p.contains("UnionLoop"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q_dedup_semantic: pairwise pass meets in a cell-id equi-join, centroids broadcast") {
     // the body is deferred (k is corpus-derived), so the inner plan
     // renders only post-execution

@@ -173,6 +173,36 @@ class RetrievalSpec extends SparkTestBase {
       s"bucketed path diverged: ${bucketed.length} vs ${default.length} rows")
   }
 
+  test("q_dedup_text_lsh: forced shard-pair candidates are value-identical (w-cap path)") {
+    // the over-cap shape (VERDICT r10 #1): every unordered doc pair
+    // meets in exactly one (shard_a, shard_b) cell, so ANY shard count
+    // must reproduce the unsharded pairs bit-for-bit — including an S
+    // that doesn't divide the corpus evenly and S=1 (the degenerate
+    // sharded form). Combined with the forced bucketed verification to
+    // cover the full production over-cap plan.
+    val default = q("q_dedup_text_lsh").collect()
+    def forced(shards: Int, bucketed: Boolean = false) = {
+      System.setProperty(graft.operators.Retrieval.forceShardsProp,
+        shards.toString)
+      if (bucketed)
+        System.setProperty(graft.operators.Retrieval.forceBucketedProp, "true")
+      try q("q_dedup_text_lsh").collect()
+      finally {
+        System.clearProperty(graft.operators.Retrieval.forceShardsProp)
+        System.clearProperty(graft.operators.Retrieval.forceBucketedProp)
+      }
+    }
+    assert(default.nonEmpty)
+    for (s <- Seq(1, 3)) {
+      val got = forced(s)
+      assert(got.sameElements(default),
+        s"shard=$s diverged: ${got.length} vs ${default.length} rows")
+    }
+    val full = forced(4, bucketed = true)
+    assert(full.sameElements(default),
+      s"shard=4+bucketed diverged: ${full.length} vs ${default.length} rows")
+  }
+
   test("q_dedup_semantic: verdicts recompute exactly given the cells; deterministic") {
     val rows = q("q_dedup_semantic").collect()
     val again = q("q_dedup_semantic").collect()
