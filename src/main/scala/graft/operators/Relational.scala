@@ -420,6 +420,33 @@ object Relational extends QueryPack {
         .saltedSumCount(Tables.t(s, d, "lineitem"), "l_returnflag",
           "l_extendedprice")
         .orderBy(col("l_returnflag"))
+    }),
+
+    // Hot-key JOIN under AQE skew-split (VERDICT r10 #3): 70% of
+    // lineitem rows collapse onto ONE order key — the reference's
+    // world, one ISIN dominating a snapshot — then join orders on it.
+    // The orders side is merge-hinted because at fact scale both sides
+    // are past any broadcast budget (a 100-TB orders table is not a
+    // broadcast candidate); a sort-merge join with one hot key is
+    // exactly the shape AQE's OptimizeSkewedJoin re-splits at runtime.
+    // SkewSpec lowers the split thresholds to fixture scale and
+    // asserts the hot partition actually splits (skew=true on the
+    // join, skewed AQEShuffleRead) with values unchanged; the oracle
+    // certifies the default-threshold plan. Aggregation-side skew is
+    // q_skew_salted's territory — this is the join half of the pair.
+    "q_join_skew" -> ((s, d) => {
+      val li = Tables.t(s, d, "lineitem")
+      val sk = when(pmod(col("l_orderkey"), lit(10)) < 7, lit(1))
+        .otherwise(col("l_orderkey"))
+        .cast(li.schema("l_orderkey").dataType)
+      li.withColumn("sk", sk)
+        .join(Tables.t(s, d, "orders").hint("merge"),
+          col("sk") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(Tables.dec2(col("l_extendedprice"))).cast("double")
+            .as("revenue"))
+        .orderBy(col("o_orderpriority"))
     })
   )
 
@@ -670,6 +697,15 @@ object Relational extends QueryPack {
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
         |    AS sum_l_extendedprice,
         |  count(*) AS n
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_join_skew" ->
+      """SELECT o_orderpriority, count(*) AS n_rows,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS revenue
+        |FROM lineitem
+        |JOIN orders ON (CASE WHEN l_orderkey % 10 < 7 THEN 1
+        |                     ELSE l_orderkey END) = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
   )
 }

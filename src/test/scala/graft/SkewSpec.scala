@@ -78,6 +78,47 @@ class SkewSpec extends SparkTestBase {
     sampled.unpersist()
   }
 
+  test("q_join_skew: AQE splits the hot join partition; values unchanged (VERDICT r10 #3)") {
+    // the join half of the skew pair (q_skew_salted is the agg half):
+    // 70% of lineitem collapses onto one order key, and the merge hint
+    // keeps the join a shuffle SMJ (fact-scale orders is past any
+    // broadcast budget). AQE's skew thresholds are sized for real
+    // clusters (256 MB), so the spec lowers them to fixture scale —
+    // the assertion is that the runtime re-plan actually fires
+    // (skew=true on the join node) and that the split is value-free.
+    val deflt = q("q_join_skew").collect()
+    assert(deflt.nonEmpty)
+    // a skewed reduce partition can only split at MAP-OUTPUT
+    // granularity, and the sf0.001 fixture is one parquet row group =
+    // one productive mapper — re-lay lineitem as 8 files (row set
+    // unchanged) so the hot partition has chunks to split into, the
+    // layout any real multi-executor writer produces
+    val dir = java.nio.file.Files.createTempDirectory("graft-skewjoin")
+      .toString
+    Tables.t(spark, sf, "lineitem").repartition(8)
+      .write.parquet(s"$dir/lineitem.parquet")
+    Tables.t(spark, sf, "orders").write.parquet(s"$dir/orders.parquet")
+    val confs = Map(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.2",
+      // one map task per file: keep the 8 chunks distinct
+      "spark.sql.files.maxPartitionBytes" -> "16KB",
+      "spark.sql.files.openCostInBytes" -> "0")
+    val saved = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val df = SparkEntry.queries("q_join_skew")(spark, dir)
+      val got = df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), p)   // hint held: no broadcast
+      assert(p.contains("skew=true"), p)       // the hot partition split
+      assert(got.sameElements(deflt),
+        s"skew split changed values: ${got.length} vs ${deflt.length}")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+  }
+
   test("duplicate-heavy input aggregates exactly (the case the salt exists for)") {
     import spark.implicits._
     val dup = Seq.fill(5000)(("hot", 2.5)).toDF("k", "v")
