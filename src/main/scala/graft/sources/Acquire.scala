@@ -2,7 +2,8 @@ package graft.sources
 
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Browser-download acquisition analog (crocus A6): the reference's
   * Vanguard flow clicks a download button, the browser drops a file
@@ -51,18 +52,33 @@ object Acquire {
     }
   }
 
+  /** Extension rule shared by BOTH acquisition paths: the text after
+    * the url's last '.', truncated at the first non-alphanumeric
+    * (query strings, fragments), accepted when 1..4 chars; csv
+    * otherwise. The Column mirror below must stay in lockstep —
+    * SourcesSpec asserts the two paths land identical filenames. */
+  private[sources] def extOf(url: String): String =
+    url.lastIndexOf('.') match {
+      case -1 => "csv"
+      case i  => val e = url.substring(i + 1).takeWhile(_.isLetterOrDigit)
+        if (e.nonEmpty && e.length <= 4) e else "csv"
+    }
+
+  /** Codegen'd Column mirror of [[extOf]] (no UDF): after-last-dot,
+    * leading alphanumeric run, 1..4 chars else csv. */
+  private[sources] def extColOf(url: Column): Column = {
+    val after = regexp_extract(url, "\\.([^.]*)$", 1)
+    val e = regexp_extract(after, "^([A-Za-z0-9]*)", 1)
+    when(length(e).between(1, 4), e).otherwise(lit("csv"))
+  }
+
   /** Stream one url into staging under an opaque browser-style name
     * (`download-<n>.<ext>` — the reference never controls this name).
     * Delegates to HttpSource.fetchOne, which deletes the partial file
     * on failure — a half-download left in staging would be claimed as
     * the NEXT product's data by the mtime argmax. */
   private def fetchOpaque(url: String, stagingDir: String, seq: Int): Path = {
-    val ext = url.lastIndexOf('.') match {
-      case -1 => "csv"
-      case i  => val e = url.substring(i + 1).takeWhile(_.isLetterOrDigit)
-        if (e.nonEmpty && e.length <= 4) e else "csv"
-    }
-    val dest = Paths.get(stagingDir, s"download-$seq.$ext")
+    val dest = Paths.get(stagingDir, s"download-$seq.${extOf(url)}")
     HttpSource.fetchOne(url, dest.toString)
     dest
   }
@@ -70,12 +86,47 @@ object Acquire {
   /** vanguard.py:114-153: per catalog row (isin, url): fetch → land
     * opaque → claim-latest → `{isin}.{ext}`. Failures come back as
     * rows, not exceptions (continue-on-error per product,
-    * base_scraper.py:103-109). */
+    * base_scraper.py:103-109).
+    *
+    * SIZE BOUNDARY (VERDICT r10 #6): the driver-side sequential loop
+    * is the faithful model of a click-download source — and it is
+    * acceptable ONLY while the catalog is driver-small (a fund list:
+    * hundreds to low thousands of rows, one politeness-limited fetch
+    * each). Above `maxSequential` rows the loop stops being a
+    * politeness semantic and becomes a driver bottleneck, so the call
+    * DELEGATES to HttpSource.fetchAll's partition-parallel fetch with
+    * explicit `{isin}.{ext}` filenames: keyed names make the shared
+    * staging dir and its mtime-argmax claim unnecessary (that dance
+    * exists only because browsers drop OPAQUE names), and politeness
+    * survives as the cluster-wide rate `parallelism / delayMs` —
+    * HttpSource's contract. Both paths return the same AcquireResult
+    * schema and land the same `{isin}.{ext}` files; SourcesSpec
+    * asserts the equivalence on the same catalog. */
   def acquireAll(spark: SparkSession, products: DataFrame,
-      stagingDir: String, landingDir: String, delayMs: Long = 0L): DataFrame = {
+      stagingDir: String, landingDir: String, delayMs: Long = 0L,
+      maxSequential: Int = 1024, parallelism: Int = 4): DataFrame = {
     import spark.implicits._
-    Files.createDirectories(Paths.get(stagingDir))
     Files.createDirectories(Paths.get(landingDir))
+    if (products.count() > maxSequential) {
+      val keyed = products
+        .select(col("isin").cast("string"), col("url").cast("string"))
+        .withColumn("filename",
+          concat(col("isin"), lit("."), extColOf(col("url"))))
+        .withColumn("landed",
+          concat(lit(landingDir + "/"), col("filename")))
+      val fetched = HttpSource
+        .fetchAll(keyed.select(col("url"), col("filename")), landingDir,
+          parallelism, delayMs)
+        .withColumnRenamed("dest", "landed").drop("url")
+      // landed is unique per row (isin is the key), so the join-back
+      // is 1:1; inner — fetchAll returns a row per input element
+      return keyed.join(fetched, Seq("landed"))
+        .select(col("isin"), col("url"),
+          when(col("ok"), col("landed")).otherwise(lit(null).cast("string"))
+            .as("landed"),
+          col("bytes"), col("ok"), col("error"))
+    }
+    Files.createDirectories(Paths.get(stagingDir))
     val catalog = products.select("isin", "url").as[(String, String)].collect()
     val results = catalog.zipWithIndex.map { case ((isin, url), i) =>
       if (delayMs > 0) Thread.sleep(delayMs) // politeness, vanguard.py:150

@@ -136,6 +136,47 @@ class SourcesSpec extends SparkTestBase {
       .sameElements(Array("IE00BD2", "IE00EQ1")))
   }
 
+  test("Acquire.acquireAll: one entry point, both shapes equivalent (VERDICT r10 #6)") {
+    import graft.sources.Acquire
+    val src = tmpDir("unisrc")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$src/a.csv"), "x,y\n1,2\n")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$src/b.json"), "{\"k\":1}")
+    val catalog = Seq(
+      ("IE00AA1", s"file://$src/a.csv"),
+      ("IE00BB2", s"file://$src/b.json"),
+      ("IE00CC3", s"file://$src/missing.csv")).toDF("isin", "url")
+    // sequential shape: catalog under the boundary
+    val seqLand = tmpDir("uniseqland")
+    val seqRes = Acquire
+      .acquireAll(spark, catalog, tmpDir("uniseqstage"), seqLand)
+      .orderBy("isin").collect()
+    // delegated shape: boundary forced under the catalog size
+    val parLand = tmpDir("uniparland")
+    val parStage = tmpDir("uniparstage")
+    val parRes = Acquire
+      .acquireAll(spark, catalog, parStage, parLand, maxSequential = 2)
+      .orderBy("isin").collect()
+    // same verdicts, filenames, and bytes — only the landing dir differs
+    assert(seqRes.length == parRes.length)
+    seqRes.zip(parRes).foreach { case (a, b) =>
+      assert(a.getAs[String]("isin") == b.getAs[String]("isin"))
+      assert(a.getAs[Boolean]("ok") == b.getAs[Boolean]("ok"), a.toString)
+      assert(a.getAs[Long]("bytes") == b.getAs[Long]("bytes"))
+      assert(Option(a.getAs[String]("landed")).map(_.split('/').last) ==
+        Option(b.getAs[String]("landed")).map(_.split('/').last),
+        s"filename drift: $a vs $b")
+    }
+    // keyed {isin}.{ext} names need no staging claim: dir stays empty
+    assert(java.nio.file.Files.list(
+      java.nio.file.Paths.get(parStage)).count() == 0)
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$parLand/IE00AA1.csv")).contains("1,2"))
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$parLand/IE00BB2.json")))
+  }
+
   test("Acquire.claimLatest takes the newest staging file (reference rename)") {
     import graft.sources.Acquire
     val staging = tmpDir("clstage")
