@@ -43,4 +43,32 @@ class BenchRetrySpec extends AnyFunSuite {
     assert(Bench.pickWall(Seq(40.0, 35.0, 50.0), Seq(true, true, true))
       == ((35.0, true)))
   }
+
+  // ---- seq-phase per-query selection (round 11, VERDICT r10 #4) ----
+
+  test("per-query mins come from clean seq passes only") {
+    val starved = Map("a" -> 1.0, "b" -> 9.0) // fast-but-starved pass
+    val clean1 = Map("a" -> 2.0, "b" -> 12.0)
+    val clean2 = Map("a" -> 3.0, "b" -> 10.0)
+    val (m, deg) = Bench.pickPerQuery(Seq(starved, clean1, clean2),
+      Seq(true, false, false))
+    assert(!deg)
+    // the starved pass's 1.0 for a must NOT win; mins are per-query
+    // across the clean passes
+    assert(m == Map("a" -> 2.0, "b" -> 10.0))
+  }
+
+  test("fully-starved seq phase still reports, flagged") {
+    val (m, deg) = Bench.pickPerQuery(
+      Seq(Map("a" -> 5.0), Map("a" -> 4.0)), Seq(true, true))
+    assert(deg && m == Map("a" -> 4.0))
+  }
+
+  test("a failure in ANY pass poisons the query, window or not") {
+    val (m, deg) = Bench.pickPerQuery(
+      Seq(Map("a" -> -1.0, "b" -> 2.0), Map("a" -> 5.0, "b" -> 3.0)),
+      Seq(true, false))
+    assert(!deg)
+    assert(m("a") == -1.0 && m("b") == 3.0)
+  }
 }
