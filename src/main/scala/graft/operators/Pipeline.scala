@@ -720,10 +720,30 @@ object Pipeline extends QueryPack {
           sqrt(GraftFunctions.dot_d(col("embedding"), col("embedding"))).as("nrm"))
       val b = bucketedEmbeddings(Tables.t(s, d, "embeddings"))
         .select(col("vec_id"), col("tbl"), col("bkt"))
-      val cand = b.as("x").join(b.as("y"),
-          col("x.tbl") === col("y.tbl") && col("x.bkt") === col("y.bkt") &&
-            col("x.vec_id") < col("y.vec_id"))
-        .select(col("x.vec_id").as("va"), col("y.vec_id").as("vb"))
+      val xa = b.select(col("vec_id").as("va"), col("tbl").as("tbl_a"),
+        col("bkt").as("bkt_a"))
+      val yb = b.select(col("vec_id").as("vb"), col("tbl").as("tbl_b"),
+        col("bkt").as("bkt_b"))
+      val equi = col("tbl_a") === col("tbl_b") &&
+        col("bkt_a") === col("bkt_b") && col("va") < col("vb")
+      // Same w ≤ 16 pool cap as the text LSH (SCALING.md §4), same
+      // over-cap answer (round 11): beyond ~1.57 M vectors (≈ 250 MB
+      // of embeddings parquet at ~160 compressed B/vector) the bucket
+      // self-join hash-shards both sides via Retrieval.shardPairJoin —
+      // every unordered pair meets in exactly one shard-pair cell, so
+      // candidates (and the oracle) are value-identical; the sub-cap
+      // plan is untouched. Forced on small data by the shared sys prop.
+      val cand = (if (Retrieval.forcedShards.isEmpty &&
+          Retrieval.dirBytes(new java.io.File(s"$d/embeddings.parquet"))
+            <= 250L * 1024 * 1024)
+          xa.join(yb, equi)
+        else {
+          val nV = Tables.t(s, d, "embeddings")
+            .agg(count(lit(1)).as("nd"))
+          Retrieval.shardPairJoin(xa, yb,
+            Retrieval.shardCountSel(s, nV), "va", "vb", equi)
+        })
+        .select(col("va"), col("vb"))
         .distinct()
       val cos = GraftFunctions.dot_d(col("a.embedding"), col("b.embedding")) /
         (col("a.nrm") * col("b.nrm"))

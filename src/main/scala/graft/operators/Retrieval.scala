@@ -110,7 +110,7 @@ object Retrieval extends QueryPack {
     * meet in co-partitioned shuffle joins instead. The sys prop forces
     * the bucketed path on small data for tests and stress runs. */
   private[graft] val forceBucketedProp = "graft.lsh.verify.forceBucketed"
-  private def dirBytes(f: java.io.File): Long =
+  private[operators] def dirBytes(f: java.io.File): Long =
     if (f.isDirectory)
       Option(f.listFiles()).map(_.map(dirBytes).sum).getOrElse(0L)
     else f.length()
@@ -146,24 +146,36 @@ object Retrieval extends QueryPack {
     forcedShards.isDefined ||
       dirBytes(new java.io.File(s"$d/documents.parquet")) > 600L * 1024 * 1024
 
-  /** The shard-pair band self-join described at [[forceShardsProp]]:
-    * `aa`/`bb` must expose (d?, band_?, bkt_?, sig_?) columns; `extra`
-    * is the caller's non-equi residual (da<db ordering + the hamming
-    * prefilter, which must stay INSIDE the join so over-cap buckets
-    * still die during enumeration). `sSel` is a one-row (ns) frame. */
-  private def shardPairJoin(aa: DataFrame, bb: DataFrame, sSel: DataFrame,
-      extra: Column): DataFrame = {
+  /** The shard-pair self-join described at [[forceShardsProp]],
+    * shared by the text-LSH band join and the embedding sign-LSH
+    * bucket join (both carry the same w ≤ 16 pool cap). `idA`/`idB`
+    * name each side's id column (the shard hash source); `cond` is
+    * the caller's FULL join condition — bucket equi-keys, pair
+    * ordering, and any prefilter, which must stay INSIDE the join so
+    * over-cap buckets still die during enumeration. `sSel` is a
+    * one-row (ns) frame, derived in-plan. */
+  private[operators] def shardPairJoin(aa: DataFrame, bb: DataFrame,
+      sSel: DataFrame, idA: String, idB: String, cond: Column): DataFrame = {
     val aas = aa.crossJoin(broadcast(sSel))
-      .withColumn("sa", pmod(xxhash64(col("da")), col("ns")).cast("int"))
+      .withColumn("sa", pmod(xxhash64(col(idA)), col("ns")).cast("int"))
       .withColumn("tb",
         explode(sequence(lit(0), col("ns").cast("int") - 1)))
     val bbs = bb.crossJoin(broadcast(sSel.select(col("ns").as("ns_b"))))
-      .withColumn("sb", pmod(xxhash64(col("db")), col("ns_b")).cast("int"))
+      .withColumn("sb", pmod(xxhash64(col(idB)), col("ns_b")).cast("int"))
       .withColumn("ta",
         explode(sequence(lit(0), col("ns_b").cast("int") - 1)))
-    aas.join(bbs, col("band_a") === col("band_b") &&
-      col("bkt_a") === col("bkt_b") &&
-      col("sa") === col("ta") && col("tb") === col("sb") && extra)
+    aas.join(bbs,
+      cond && col("sa") === col("ta") && col("tb") === col("sb"))
+  }
+
+  /** One-row (ns) shard-count frame: the forced override, or
+    * ⌈count / 1.57M⌉ derived in-plan from the corpus-count frame
+    * `nD` (a one-row aggregate named `nd`). */
+  private[operators] def shardCountSel(s: SparkSession,
+      nD: DataFrame): DataFrame = forcedShards match {
+    case Some(k) => s.range(1).select(lit(k).as("ns"))
+    case None => nD.select(
+      expr("cast((nd + 1572863) div 1572864 as int)").as("ns"))
   }
 
   /** packedVecs plus a float mirror (vf) and its float norm (n2f):
@@ -300,16 +312,12 @@ object Retrieval extends QueryPack {
           // sub-cap default: untouched round-10 band join
           aa.join(bb, col("band_a") === col("band_b") &&
             col("bkt_a") === col("bkt_b") && residual)
-        else {
+        else
           // over-cap (or forced): S shards, selected in-plan from the
           // same corpus count that selects w (scaladoc at forceShardsProp)
-          val sSel = forcedShards match {
-            case Some(k) => s.range(1).select(lit(k).as("ns"))
-            case None => nD.select(
-              expr("cast((nd + 1572863) div 1572864 as int)").as("ns"))
-          }
-          shardPairJoin(aa, bb, sSel, residual)
-        })
+          shardPairJoin(aa, bb, shardCountSel(s, nD), "da", "db",
+            col("band_a") === col("band_b") &&
+              col("bkt_a") === col("bkt_b") && residual))
         .select(col("da"), col("db")).distinct()
       // verification over PACKED per-doc vectors: codegen'd float
       // dot_d ≥ 0.88 prefilter first (margin argument in packedVecsF),

@@ -127,6 +127,26 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(lsh.map(_.getDouble(2)).max <= allPairs.values.max + 1e-15)
   }
 
+  test("q_dedup_embedding_lsh: forced shard-pair candidates are value-identical (w-cap path)") {
+    // round 11: the sign-LSH family carries the same over-cap shard
+    // answer as the text LSH — any forced shard count (including an S
+    // that doesn't divide the corpus, and the degenerate S=1) must
+    // reproduce the unsharded output bit-for-bit, because every
+    // unordered pair meets in exactly one shard-pair cell.
+    val default = q("q_dedup_embedding_lsh").collect()
+    assert(default.nonEmpty)
+    for (s <- Seq(1, 3)) {
+      System.setProperty(graft.operators.Retrieval.forceShardsProp,
+        s.toString)
+      val got =
+        try q("q_dedup_embedding_lsh").collect()
+        finally System.clearProperty(
+          graft.operators.Retrieval.forceShardsProp)
+      assert(got.sameElements(default),
+        s"shard=$s diverged: ${got.length} vs ${default.length} rows")
+    }
+  }
+
   test("bucketed embedding near-dup finds a planted near-duplicate pair") {
     // The sf tables are near-orthogonal noise (max cos ~0.5) — the
     // regime sign-LSH is built for is high-cos near-dups, so plant one:

@@ -74,6 +74,22 @@ class PlanSpec extends SparkTestBase {
       .findFirstIn(p).isDefined, p)
   }
 
+  test("q_dedup_embedding_lsh: forced shard path keys the bucket join by shard pair") {
+    // the embedding twin of the text-LSH shard assertion: replication
+    // via Generate/explode, (sa=ta, tb=sb) in the join key, no
+    // data-side cartesian. Sub-cap default carries no vec_id hashing.
+    val deflt = q("q_dedup_embedding_lsh").queryExecution.optimizedPlan.toString
+    System.setProperty(graft.operators.Retrieval.forceShardsProp, "3")
+    val forced =
+      try q("q_dedup_embedding_lsh").queryExecution.optimizedPlan.toString
+      finally System.clearProperty(graft.operators.Retrieval.forceShardsProp)
+    assert(!deflt.contains("xxhash64"), deflt)
+    assert(forced.contains("Generate explode"), forced)
+    assert("sa#\\d+ = ta#\\d+".r.findFirstIn(forced).isDefined, forced)
+    assert("tb#\\d+ = sb#\\d+".r.findFirstIn(forced).isDefined, forced)
+    assert(!forced.contains("CartesianProduct"), forced)
+  }
+
   test("q_dedup_simhash_lsh bands join by equality — no nested loop") {
     val p = plan("q_dedup_simhash_lsh")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
