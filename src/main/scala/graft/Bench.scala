@@ -149,13 +149,19 @@ object Bench {
     // under N-stream concurrency each query needs only ~cores/N
     val shuffleParts =
       sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTS", cpus)
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // SPARK_GRAFT_MASTER=local-cluster[2,8,4096] benches with real
+    // separate executor JVMs (serialized broadcast/shuffle/closures) —
+    // the multi-JVM perf axis (VERDICT r10 #5), same contract as
+    // graft.Verify; SPARK_GRAFT_JAR ships the app classes.
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val builder = SparkSession.builder()
+      .master(master)
       .config("spark.sql.shuffle.partitions", shuffleParts)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.scheduler.mode", "FAIR")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    sys.env.get("SPARK_GRAFT_JAR").foreach(j => builder.config("spark.jars", j))
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.read.parquet(s"$sfDir/nation.parquet").count()
 
