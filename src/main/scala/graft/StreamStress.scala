@@ -97,6 +97,83 @@ object StreamStress {
       s""""state_rows":$nM,"multi_equals_drain_all":true,"state_bytes":${
         dirBytes(new java.io.File(s"$work/scd2_multi/state"))},"ckpt_bytes":${
         dirBytes(new java.io.File(s"$work/scd2_multi/ckpt"))}}""")
+
+    // ---- 3. watermarked stream-stream join, late clicks dropped ----
+    // (VERDICT r10 #7.) The purchase-click interval join runs over the
+    // FULL sf events table as 5 time-ordered tranches + one
+    // deliberately held-back tranche of old clicks landed last — by
+    // then both watermarks sit ~a month past those clicks' event
+    // times, so the join must DROP them (bounded state is only real if
+    // late data actually dies). Equivalence: stream output ==
+    // batch join over (all purchases) × (on-time clicks), exactAll
+    // both ways; the planted-late matches are asserted absent.
+    val ev = graft.engine.Tables.t(spark, sfDir, "events")
+      .filter(col("event_type").isin("purchase", "click"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("ts").cast("timestamp").as("ts"))
+      .localCheckpoint()
+    // 6-day tranches over the 30-day corpus, derived from the observed
+    // minimum so the split is fixture-independent
+    val ts0 = ev.agg(min(unix_timestamp(col("ts")))).head().getLong(0)
+    val tranche = floor((unix_timestamp(col("ts")) - lit(ts0)) /
+      lit(6L * 86400)).cast("int")
+    val lateSel = tranche === 0 && col("event_type") === "click" &&
+      pmod(col("user_id"), lit(7)) === 3
+    val ssDir = s"$work/ssjoin_src"
+    new java.io.File(ssDir).mkdirs()
+    def land(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("ssland").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        new java.io.File(s"$ssDir/$name").toPath)
+    }
+    val src = spark.readStream.schema(ev.schema).parquet(ssDir)
+    val tJoin = System.nanoTime()
+    val q = StreamRunner.purchaseClickJoin(src).writeStream
+      .outputMode("append").format("memory").queryName("ss_join_stress")
+      .option("checkpointLocation", s"$work/ssjoin_ckpt")
+      .start()
+    (0 until 5).foreach { i =>
+      land(s"b$i.parquet",
+        ev.filter(tranche === i && !lateSel))
+      q.processAllAvailable() // explicit batch boundary per tranche
+    }
+    land("b5_late.parquet", ev.filter(lateSel)) // ~month-late clicks
+    q.processAllAvailable()
+    val joinBatches = q.lastProgress.batchId + 1
+    q.stop()
+    val ssWall = (System.nanoTime() - tJoin) / 1e9
+    val out = spark.table("ss_join_stress")
+    def batchJoin(clicks: org.apache.spark.sql.DataFrame) = {
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id"),
+          col("ts").as("p_ts"))
+      p.join(clicks.select(col("event_id").as("c_id"),
+          col("user_id").as("c_user"), col("ts").as("c_ts")),
+          col("user_id") === col("c_user") &&
+            col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+            col("c_ts") <= col("p_ts"))
+        .select(col("p_id"), col("user_id"), col("p_ts"), col("c_id"),
+          col("c_ts"))
+    }
+    val expect = batchJoin(ev.filter(col("event_type") === "click" && !lateSel))
+    val full = batchJoin(ev.filter(col("event_type") === "click"))
+    val nOut = out.count()
+    val nExpect = expect.count()
+    val dropped = full.count() - nExpect
+    val ssDiff = out.exceptAll(expect).count() + expect.exceptAll(out).count()
+    require(ssDiff == 0 && nOut == nExpect && nOut > 0,
+      s"stream-stream join divergence: stream=$nOut expect=$nExpect diff=$ssDiff")
+    require(dropped > 0,
+      "late-click tranche produced no droppable matches — the late-data " +
+        "assertion is vacuous; widen the held-back slice")
+    println(s"""{"scenario":"stream_stream_join","sf":"$sfDir","wall_sec":${
+      round2(ssWall)},"micro_batches":$joinBatches,"join_rows":$nOut,""" +
+      s""""late_matches_dropped":$dropped,"batch_equal":true,"ckpt_bytes":${
+        dirBytes(new java.io.File(s"$work/ssjoin_ckpt"))},"state_bytes":${
+        dirBytes(new java.io.File(s"$work/ssjoin_ckpt/state"))}}""")
     spark.stop()
   }
 }
