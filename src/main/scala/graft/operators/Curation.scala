@@ -409,6 +409,89 @@ object Curation extends QueryPack {
         .select(col("doc_id"), col("source"), col("u"), col("thr"))
         .orderBy(col("doc_id"))
     }),
+
+    // URL-canonicalization dedup — step 1 of a crawl-curation pipeline:
+    // the same page arrives under scheme/host-case noise, default
+    // ports, trailing slashes, tracking params and fragments. The
+    // corpus has no URL column, so one is derived deterministically
+    // from real columns (messy on purpose; same derivation in the
+    // oracle), then canonicalized with string surgery on the URL
+    // itself and deduped keep-best (max n_chars, tie → min doc_id).
+    //
+    // Scale notes: canonicalization is a pure per-row projection
+    // (regex + tiny array ops — bounded ≤3 params, so the interpreted
+    // higher-order filter is noise); keep-best is written directly in
+    // aggregate form — the (1e6−n_chars)·1e10+doc_id ordinal packs the
+    // lexicographic (max n_chars, min doc_id) choice into one exact
+    // BIGINT min, so the whole dedup is a single map-side-combinable
+    // hash aggregation. No window sort, no self-join; at 100 TB the
+    // only shuffle is groupBy(canon_url) with partial aggregation.
+    "q_dedup_url" -> ((s, d) => {
+      val raw = docs(s, d).select(col("doc_id"), col("n_chars"), concat(
+        when(col("doc_id") % 3 === 1, lit("HTTPS://"))
+          .when(col("doc_id") % 3 === 2, lit("http://"))
+          .otherwise(lit("https://")),
+        when(col("doc_id") % 2 === 0, upper(col("source"))).otherwise(col("source")),
+        lit(".Example.COM"),
+        when(col("doc_id") % 5 === 0, lit(":443")).otherwise(lit("")),
+        lit("/"), col("lang"), lit("/item/"), (col("doc_id") % 40).cast("string"),
+        when(col("doc_id") % 7 === 0, lit("/")).otherwise(lit("")),
+        when(col("doc_id") % 2 === 0,
+          concat(lit("?utm_source=feed&id="), (col("doc_id") % 6).cast("string")))
+          .otherwise(concat(lit("?page="), (col("doc_id") % 3).cast("string"),
+            lit("&id="), (col("doc_id") % 6).cast("string"), lit("&utm_medium=email"))),
+        when(col("doc_id") % 4 === 0, lit("#section-2")).otherwise(lit("")))
+        .as("url"))
+      val noFrag = regexp_replace(col("url"), "#.*$", "")
+      val auth0 = lower(regexp_extract(noFrag, "^([^/]+//[^/]+)", 1))
+      val auth = when(auth0.startsWith("https://"),
+        regexp_replace(auth0, ":443$", "")).otherwise(auth0)
+      val rest = regexp_replace(noFrag, "^[^/]+//[^/]+", "")
+      val path = regexp_replace(regexp_extract(rest, "^([^?]*)", 1), "/$", "")
+      val qs = regexp_extract(rest, "\\?(.*)$", 1)
+      val kept = array_join(array_sort(filter(split(qs, "&"),
+        x => !x.startsWith("utm_") && x =!= "")), "&")
+      val canon = concat(auth, path,
+        when(kept === "", lit("")).otherwise(concat(lit("?"), kept)))
+      raw
+        .select(canon.as("canon_url"),
+          ((lit(1000000L) - col("n_chars")) * lit(10000000000L) + col("doc_id"))
+            .as("ord"))
+        .groupBy(col("canon_url"))
+        .agg(min(col("ord")).as("ord"), count(lit(1)).as("n_dups"))
+        .select(col("canon_url"),
+          (col("ord") % lit(10000000000L)).as("kept_doc_id"),
+          (lit(1000000L) - expr("ord div 10000000000")).as("kept_n_chars"),
+          col("n_dups"))
+        .orderBy(col("canon_url"))
+    }),
+
+    // Hashed linear quality classifier (fastText-style feature
+    // hashing): every token hashes into one of 4096 buckets, each
+    // bucket carries an md5-derived integer weight in [-1000, 1000],
+    // a doc's score is the sum over token occurrences, keep = score>0.
+    // Real pipelines fit the weights offline (wiki-ref vs crawl); here
+    // they are derived from the same portable 60-bit md5 hash both
+    // engines share, so scoring is fully oracle-checkable.
+    //
+    // Scale notes: the MODEL LIVES IN THE PLAN as codegen'd hash
+    // expressions — no weight table, no broadcast, no join. Scoring is
+    // explode → project → one doc_id-keyed hash aggregation with
+    // map-side partials; everything integer, so the oracle is exact.
+    "q_quality_classifier" -> ((s, d) => {
+      val tok = words(s, d).select(col("doc_id"), explode(col("w")).as("tok"))
+      val hv = conv(substring(md5(concat(lit("qc:"), col("tok"))), 1, 15), 16, 10)
+        .cast("bigint")
+      val bucket = hv % 4096
+      val wt = conv(substring(md5(concat(lit("qw:"), bucket.cast("string"))), 1, 15),
+        16, 10).cast("bigint") % 2001 - 1000
+      tok.select(col("doc_id"), wt.as("wt"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"), sum(col("wt")).as("score_sum"))
+        .select(col("doc_id"), col("n_tokens"), col("score_sum"),
+          when(col("score_sum") > 0, 1).otherwise(0).as("keep"))
+        .orderBy(col("doc_id"))
+    }),
   )
 
   /** 5 chained power-iteration CTEs in the same 1e15 integer fixed
@@ -589,5 +672,55 @@ object Curation extends QueryPack {
         |  FROM documents)
         |SELECT doc_id, u.source, u, thr FROM u JOIN thr USING (source)
         |WHERE u < thr ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_url" ->
+      """WITH raw AS (SELECT doc_id, n_chars,
+        |  (CASE WHEN doc_id % 3 = 1 THEN 'HTTPS://'
+        |        WHEN doc_id % 3 = 2 THEN 'http://' ELSE 'https://' END) ||
+        |  (CASE WHEN doc_id % 2 = 0 THEN upper(source) ELSE source END) ||
+        |  '.Example.COM' ||
+        |  (CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END) ||
+        |  '/' || lang || '/item/' || CAST(doc_id % 40 AS VARCHAR) ||
+        |  (CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '' END) ||
+        |  (CASE WHEN doc_id % 2 = 0
+        |        THEN '?utm_source=feed&id=' || CAST(doc_id % 6 AS VARCHAR)
+        |        ELSE '?page=' || CAST(doc_id % 3 AS VARCHAR) ||
+        |             '&id=' || CAST(doc_id % 6 AS VARCHAR) || '&utm_medium=email' END) ||
+        |  (CASE WHEN doc_id % 4 = 0 THEN '#section-2' ELSE '' END) AS url
+        |  FROM documents),
+        |c1 AS (SELECT doc_id, n_chars, regexp_replace(url, '#.*$', '') AS u FROM raw),
+        |c2 AS (SELECT doc_id, n_chars,
+        |  lower(regexp_extract(u, '^([^/]+//[^/]+)', 1)) AS auth0,
+        |  regexp_replace(u, '^[^/]+//[^/]+', '') AS rest FROM c1),
+        |c3 AS (SELECT doc_id, n_chars,
+        |  CASE WHEN starts_with(auth0, 'https://')
+        |       THEN regexp_replace(auth0, ':443$', '') ELSE auth0 END AS auth,
+        |  regexp_replace(regexp_extract(rest, '^([^?]*)', 1), '/$', '') AS path,
+        |  array_to_string(list_sort(list_filter(
+        |    string_split(regexp_extract(rest, '\?(.*)$', 1), '&'),
+        |    x -> NOT starts_with(x, 'utm_') AND x <> '')), '&') AS kept
+        |  FROM c2),
+        |c4 AS (SELECT
+        |  auth || path || (CASE WHEN kept = '' THEN '' ELSE '?' || kept END)
+        |    AS canon_url,
+        |  (1000000 - n_chars) * 10000000000 + doc_id AS ord FROM c3)
+        |SELECT canon_url, CAST(min(ord) % 10000000000 AS BIGINT) AS kept_doc_id,
+        |  CAST(1000000 - min(ord) // 10000000000 AS BIGINT) AS kept_n_chars,
+        |  count(*) AS n_dups
+        |FROM c4 GROUP BY canon_url ORDER BY canon_url""".stripMargin,
+
+    "q_quality_classifier" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |           FROM documents),
+        |b AS (SELECT doc_id,
+        |  CAST(('0x' || substr(md5('qc:' || tok), 1, 15)) AS BIGINT) % 4096 AS bucket
+        |  FROM t),
+        |w AS (SELECT doc_id,
+        |  CAST(('0x' || substr(md5('qw:' || CAST(bucket AS VARCHAR)), 1, 15))
+        |    AS BIGINT) % 2001 - 1000 AS wt
+        |  FROM b)
+        |SELECT doc_id, count(*) AS n_tokens, CAST(sum(wt) AS BIGINT) AS score_sum,
+        |  CASE WHEN sum(wt) > 0 THEN 1 ELSE 0 END AS keep
+        |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin,
   )
 }

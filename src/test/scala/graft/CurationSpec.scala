@@ -235,4 +235,53 @@ class CurationSpec extends SparkTestBase {
       assert(r.getLong(2) < r.getLong(3))
     }
   }
+
+  test("q_dedup_url: canon URLs are clean, groups partition the corpus, kept doc is real") {
+    val rows = q("q_dedup_url").collect()
+    assert(rows.nonEmpty)
+    val total = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(rows.map(_.getLong(3)).sum == total,
+      "n_dups must sum to the corpus: every doc lands in exactly one canon group")
+    assert(rows.exists(_.getLong(3) > 1), "fixture must actually contain URL dups")
+    val keptIds = rows.map(_.getLong(1))
+    assert(keptIds.distinct.length == keptIds.length, "one kept doc per group")
+    rows.foreach { r =>
+      val u = r.getString(0)
+      assert(u == u.toLowerCase && !u.contains("#") && !u.contains("utm_"),
+        s"canonicalization left noise: $u")
+      assert(!u.endsWith("/"), s"trailing slash survived: $u")
+      assert(!(u.startsWith("https://") && u.contains(":443")),
+        s"default https port survived: $u")
+      assert(u.startsWith("http"), u)
+    }
+    // kept_n_chars is the kept doc's true n_chars (decode round-trip)
+    val chars = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("n_chars")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach(r => assert(chars(r.getLong(1)) == r.getLong(2),
+      s"ordinal decode broke for doc ${r.getLong(1)}"))
+  }
+
+  test("q_quality_classifier: token counts match the corpus, keep == sign(score)") {
+    val rows = q("q_quality_classifier").collect()
+    val nWords = graft.engine.Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.length == nWords.size, "one score row per doc")
+    rows.foreach { r =>
+      assert(r.getLong(1) == nWords(r.getLong(0)), s"doc ${r.getLong(0)} token count")
+      assert((r.getInt(3) == 1) == (r.getLong(2) > 0), "keep must be sign(score_sum)")
+    }
+    assert(rows.exists(_.getInt(3) == 1) && rows.exists(_.getInt(3) == 0),
+      "hashed weights must separate the corpus into both classes")
+    // the bucket weight is the documented md5 derivation (spot check)
+    def h60(s: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15), 16)
+    val doc0 = graft.engine.Tables.t(spark, sf, "documents")
+      .filter(col("doc_id") === 0).select(col("text")).collect()(0).getString(0)
+    val expected = doc0.split(" ").map(t => h60(s"qw:${h60(s"qc:$t") % 4096}") % 2001 - 1000).sum
+    assert(rows.find(_.getLong(0) == 0L).get.getLong(2) == expected,
+      "driver-side md5 twin disagrees with the plan's score for doc 0")
+  }
 }

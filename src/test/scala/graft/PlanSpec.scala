@@ -467,4 +467,21 @@ class PlanSpec extends SparkTestBase {
     assert(df.schema("pagerank").dataType == DoubleType)
     assert(df.schema("doc_id").dataType == LongType)
   }
+
+  test("q_dedup_url: keep-best is one partial-aggregated hash agg, no window sort") {
+    val p = finalPlan("q_dedup_url")
+    // the (1e6-n_chars)*1e10+doc_id ordinal turns lexicographic keep-best
+    // into min() — map-side combine applies, no per-group row sort
+    assert(p.contains("partial_min"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q_quality_classifier: the model lives in the plan — no weight join") {
+    val p = finalPlan("q_quality_classifier")
+    assert(!p.contains("Join"), p)
+    assert(p.contains("partial_sum") || p.contains("partial_count"), p)
+    // scoring stays inside whole-stage codegen (hash exprs are codegen'd)
+    assert(p.contains("*(1)"), p)
+  }
 }
