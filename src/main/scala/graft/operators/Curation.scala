@@ -466,6 +466,45 @@ object Curation extends QueryPack {
         .orderBy(col("canon_url"))
     }),
 
+    // C4-style span dedup BELOW document granularity: the corpus is
+    // chunked into non-overlapping 8-word spans, every span that
+    // occurs more than once corpus-wide keeps only its FIRST
+    // occurrence (min (doc_id, idx)), and each document is reassembled
+    // from its surviving spans — the C4 "three-sentence span" rule
+    // re-expressed over the synthetic word corpus.
+    //
+    // Scale notes: the winner table is keyed by the portable 60-bit
+    // span hash, so the winner-election shuffle moves 8-byte keys +
+    // one BIGINT ordinal, never span text; the verdict join is a
+    // corpus-sized equi-join on that hash (hash-collision behavior is
+    // IDENTICAL in both engines — the oracle shares the hash, so
+    // equality holds even on a collision); reassembly is one
+    // doc_id-keyed aggregation whose per-doc state is bounded by
+    // document length. Two shuffles + one equi-join total, all
+    // partial-aggregated; nothing corpus-sized is ever broadcast,
+    // collected, or window-sorted.
+    "q_dedup_span" -> ((s, d) => {
+      val ch = words(s, d)
+        .select(col("doc_id"), posexplode(expr(
+          "transform(sequence(0, cast(ceil(size(w)/8.0) as int)-1)," +
+            " i -> array_join(slice(w, i*8+1, 8), ' '))")))
+        .toDF("doc_id", "idx", "chunk")
+        .select(col("doc_id"), col("idx"), col("chunk"),
+          conv(substring(md5(col("chunk")), 1, 15), 16, 10).cast("bigint").as("h"),
+          (col("doc_id") * 100000 + col("idx")).as("ord"))
+      val win = ch.groupBy(col("h")).agg(min(col("ord")).as("keep_ord"))
+      ch.join(win, Seq("h"))
+        .select(col("doc_id"), col("idx"), col("chunk"),
+          (col("ord") === col("keep_ord")).as("kept"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("kept"), 0).otherwise(1)).as("n_dropped"),
+          array_join(transform(sort_array(collect_list(
+            when(col("kept"), struct(col("idx"), col("chunk"))))),
+            x => x.getField("chunk")), " ").as("new_text"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Hashed linear quality classifier (fastText-style feature
     // hashing): every token hashes into one of 4096 buckets, each
     // bucket carries an md5-derived integer weight in [-1000, 1000],
@@ -708,6 +747,24 @@ object Curation extends QueryPack {
         |  CAST(1000000 - min(ord) // 10000000000 AS BIGINT) AS kept_n_chars,
         |  count(*) AS n_dups
         |FROM c4 GROUP BY canon_url ORDER BY canon_url""".stripMargin,
+
+    "q_dedup_span" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |ch AS (SELECT doc_id, i AS idx,
+        |  array_to_string(w[i*8+1 : i*8+8], ' ') AS chunk,
+        |  doc_id * 100000 + i AS ord
+        |  FROM w, LATERAL (SELECT unnest(generate_series(0,
+        |    CAST(ceil(len(w)/8.0) AS INT) - 1)) AS i) t),
+        |h AS (SELECT doc_id, idx, chunk, ord,
+        |  CAST(('0x' || substr(md5(chunk), 1, 15)) AS BIGINT) AS h FROM ch),
+        |win AS (SELECT h, min(ord) AS keep_ord FROM h GROUP BY h),
+        |k AS (SELECT doc_id, idx, chunk, (ord = keep_ord) AS kept
+        |      FROM h JOIN win USING (h))
+        |SELECT doc_id, count(*) AS n_chunks,
+        |  CAST(sum(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
+        |  COALESCE(array_to_string(list(chunk ORDER BY idx)
+        |    FILTER (WHERE kept), ' '), '') AS new_text
+        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_quality_classifier" ->
       """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok

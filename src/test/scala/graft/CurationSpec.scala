@@ -262,6 +262,27 @@ class CurationSpec extends SparkTestBase {
       s"ordinal decode broke for doc ${r.getLong(1)}"))
   }
 
+  test("q_dedup_span: first-occurrence-wins matches a driver-side replay") {
+    val rows = q("q_dedup_span").collect().map(r => r.getLong(0) -> r).toMap
+    val corpus = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val seen = scala.collection.mutable.HashSet[String]()
+    var dropped = 0L
+    corpus.foreach { case (id, text) =>
+      val chunks = text.split(" ").grouped(8).map(_.mkString(" ")).toArray
+      val kept = chunks.filter { c =>
+        if (seen.add(c)) true else { dropped += 1; false }
+      }
+      val r = rows(id)
+      assert(r.getLong(1) == chunks.length, s"doc $id n_chunks")
+      assert(r.getString(3) == kept.mkString(" "), s"doc $id reassembly diverged")
+    }
+    assert(rows.values.map(_.getLong(2)).sum == dropped,
+      "global dropped-span count must match the replay")
+    assert(dropped > 0, "fixture must actually contain duplicate spans")
+  }
+
   test("q_quality_classifier: token counts match the corpus, keep == sign(score)") {
     val rows = q("q_quality_classifier").collect()
     val nWords = graft.engine.Tables.t(spark, sf, "documents")

@@ -477,6 +477,14 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("Join"), p)
   }
 
+  test("q_dedup_span: hash-keyed winner election, no nested loop, no window") {
+    val p = finalPlan("q_dedup_span")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    // winner table is a partial-aggregated min over the 60-bit span hash
+    assert(p.contains("partial_min"), p)
+    assert(!p.contains("Window"), p)
+  }
+
   test("q_quality_classifier: the model lives in the plan — no weight join") {
     val p = finalPlan("q_quality_classifier")
     assert(!p.contains("Join"), p)
