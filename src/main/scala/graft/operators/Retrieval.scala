@@ -336,17 +336,44 @@ object Retrieval extends QueryPack {
       // value-identical (asserted in RetrievalSpec, plan-asserted in
       // PlanSpec).
       val cvf = packedVecsF(s, d)
-      val sideA = cvf.select(col("doc_id").as("da"), col("cv").as("cva"),
+      // float prefilter sides carry ONLY the float mirror (the
+      // integer vectors re-attach after the barrier below — halves
+      // the width of the heavy prefilter stream)
+      val sideAf = cvf.select(col("doc_id").as("da"),
         col("vf").as("vfa"), col("n2f").as("n2a"))
-      val sideB = cvf.select(col("doc_id").as("db"), col("cv").as("cvb"),
+      val sideBf = cvf.select(col("doc_id").as("db"),
         col("vf").as("vfb"), col("n2f").as("n2b"))
       val fdot = GraftFunctions.dot_d(col("vfa"), col("vfb"))
-      val dots = (if (verifyBroadcastOk(d))
-          cand.join(broadcast(sideA), Seq("da"))
-            .join(broadcast(sideB), Seq("db"))
+      // FLOAT-SURVIVOR BARRIER (round 11 — the q_dedup_semantic
+      // lesson re-learned on the over-cap path): without the
+      // distinct() between the codegen'd float prefilter and the
+      // integer-exact gate, the optimizer merges the gate's filter —
+      // three INTERPRETED ArrayAggregate/ZipWith folds — into the
+      // pair-attach join's bound condition, where generated-predicate
+      // subexpression elimination defeats conjunction short-circuit:
+      // EVERY enumerated candidate pays ~3 interpreted 64-element
+      // folds before the float dot can kill it (jstack-confirmed:
+      // SpecificPredicate.subExpr_1 → ArrayAggregate.eval inside
+      // SortMergeJoinEvaluator). Measured at ×100/forced-S=2: 606 s
+      // wall vs 204 s unsharded-r10 at near-identical shuffle
+      // (5.06 vs 5.63 GB) — pure CPU. With the barrier only float
+      // survivors (true near-dups, ~O(n)) reach interpreted
+      // arithmetic, whatever join shape or pushdown the optimizer
+      // picks for either attach.
+      val pre = (if (verifyBroadcastOk(d))
+          cand.join(broadcast(sideAf), Seq("da"))
+            .join(broadcast(sideBf), Seq("db"))
         else
-          cand.join(sideA, Seq("da")).join(sideB, Seq("db")))
+          cand.join(sideAf, Seq("da")).join(sideBf, Seq("db")))
         .filter(fdot > 0 && fdot * fdot >= lit(0.7744) * col("n2a") * col("n2b"))
+        .select(col("da"), col("db")).distinct()
+      val sideAc = cvf.select(col("doc_id").as("da"), col("cv").as("cva"))
+      val sideBc = cvf.select(col("doc_id").as("db"), col("cv").as("cvb"))
+      val dots = (if (verifyBroadcastOk(d))
+          pre.join(broadcast(sideAc), Seq("da"))
+            .join(broadcast(sideBc), Seq("db"))
+        else
+          pre.join(sideAc, Seq("da")).join(sideBc, Seq("db")))
         .select(col("da"), col("db"), expr(
           "aggregate(zip_with(cva, cvb, (x, y) -> x * y), " +
             "cast(0 as bigint), (acc, x) -> acc + x)").as("dot"),
@@ -643,6 +670,101 @@ object Retrieval extends QueryPack {
           round(col("c12") / col("c1"), 6).as("p"))
         .orderBy(desc("c12"), col("w1"), col("w2"))
         .limit(50)
+    }),
+
+    // Interpolated Kneser–Ney bigram LM (D = 3/4) in EXACT scaled
+    // integers — the smoothing every serious n-gram LM pipeline uses
+    // (MLE bigrams overfit: P(w2|w1)=0 for every unseen continuation).
+    //   P_KN(w2|w1) = (c12 − D)/c1 + D·n1p(w1)/c1 · ncont(w2)/nb
+    // where n1p(w1) = |{w2 : c(w1,w2)>0}| (discount mass fan-out),
+    // ncont(w2) = |{w1 : c(w1,w2)>0}| (continuation count — how many
+    // DISTINCT contexts w2 follows, the KN insight), nb = distinct
+    // bigram types. With D = 3/4 everything clears denominators:
+    //   knum = (4·c12 − 3)·nb + 3·n1p·ncont,  kden = 4·c1·nb
+    // — both exact BIGINTs in either engine (c12,c1 ≤ corpus tokens,
+    // nb ≤ bigram types: products < 2^62 with orders of magnitude to
+    // spare at sf1); p_kn is then ONE IEEE division of identical
+    // integers + round(6), the proven-portable idiom.
+    //
+    // Scale notes: three map-side-combinable aggregations over
+    // vocabulary-sized keys (bigram types, unigram contexts,
+    // continuations) + a one-row count broadcast — the corpus is
+    // touched once by the explode; nothing corpus-sized joins.
+    "q_bigram_kn" -> ((s, d) => {
+      val bi = docs(s, d)
+        .select(split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(0, size(w)-2), i -> struct(w[i] AS w1, w[i+1] AS w2))"))
+          .as("p"))
+        .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+        .cache() // four consumers: ctx, cont, nb, and the output join
+      val ctx = bi.groupBy(col("w1"))
+        .agg(sum(col("c12")).cast("long").as("c1"), count(lit(1)).as("n1p"))
+      val cont = bi.groupBy(col("w2")).agg(count(lit(1)).as("ncont"))
+      val nb = bi.agg(count(lit(1)).as("nb"))
+      val knum = (lit(4L) * col("c12") - lit(3L)) * col("nb") +
+        lit(3L) * col("n1p") * col("ncont")
+      val kden = lit(4L) * col("c1") * col("nb")
+      bi.join(ctx, Seq("w1")).join(cont, Seq("w2")).crossJoin(broadcast(nb))
+        .select(col("w1"), col("w2"), col("c12"), col("c1"), col("n1p"),
+          col("ncont"), knum.as("knum"), kden.as("kden"))
+        .withColumn("p_kn", round(col("knum") / col("kden"), 6))
+        .orderBy(desc("c12"), col("w1"), col("w2"))
+        .limit(100)
+    }),
+
+    // Reciprocal-rank fusion (RRF, Cormack et al.: score(d) =
+    // Σ_systems 1/(60 + rank_s(d))) of a SPARSE retriever (distinct-
+    // token overlap through an inverted-index join — the BM25 candidate
+    // shape) and a DENSE retriever (exact embedding cosine, the
+    // q_similarity_batch shape), top-20 each, for the 8 query docs
+    // (doc_id < 8; doc_id ≡ vec_id per q_doc_embed_join). The RRF
+    // contribution is held exact: floor(10^12/(60+rank)) per system,
+    // summed as BIGINTs — no float in the fused score, so the oracle
+    // hash-matches trivially; the dense ranking's doubles are the
+    // identical-operand IEEE cosine both engines already agree on.
+    //
+    // Scale notes: the query side is small BY CONSTRUCTION (it's the
+    // user's query batch) — its token set and embeddings broadcast;
+    // the corpus contributes one inverted-join + partial-aggregated
+    // (q,doc) count on the sparse side and one broadcast nested-loop
+    // scored pass with WindowGroupLimit top-k on the dense side. The
+    // fusion full-outer join touches ≤ 40·|queries| rows. At 100 TB
+    // the dense side would swap in the ANN bucket join
+    // (q_similarity_batch_ann) — same fusion tail.
+    "q_rrf_fusion" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val dtok = docs(s, d)
+        .select(col("doc_id"),
+          explode(array_distinct(split(col("text"), " "))).as("tok"))
+        .filter(col("tok") =!= "")
+      val qt = dtok.filter(col("doc_id") < 8)
+        .select(col("doc_id").as("q_id"), col("tok"))
+      val ov = dtok.filter(col("doc_id") >= 8).join(broadcast(qt), Seq("tok"))
+        .groupBy(col("q_id"), col("doc_id")).agg(count(lit(1)).as("ov"))
+      val wsp = Window.partitionBy(col("q_id")).orderBy(desc("ov"), col("doc_id"))
+      val sp = ov.withColumn("rs", row_number().over(wsp))
+        .filter(col("rs") <= 20).select(col("q_id"), col("doc_id"), col("rs"))
+      val e = Tables.t(s, d, "embeddings")
+      val q = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          sqrt(GraftFunctions.dot_d(col("embedding"), col("embedding"))).as("q_nrm"))
+      val cos = GraftFunctions.dot_d(col("embedding"), col("q_emb")) /
+        (sqrt(GraftFunctions.dot_d(col("embedding"), col("embedding"))) * col("q_nrm"))
+      val wd = Window.partitionBy(col("q_id")).orderBy(desc("cos_sim"), col("doc_id"))
+      val dn = e.filter(col("vec_id") >= 8).crossJoin(broadcast(q))
+        .select(col("q_id"), col("vec_id").as("doc_id"), cos.as("cos_sim"))
+        .withColumn("rd", row_number().over(wd))
+        .filter(col("rd") <= 20).select(col("q_id"), col("doc_id"), col("rd"))
+      dn.join(sp, Seq("q_id", "doc_id"), "full_outer")
+        .select(col("q_id"), col("doc_id"),
+          when(col("rd").isNotNull, 1).otherwise(0).as("in_dense"),
+          when(col("rs").isNotNull, 1).otherwise(0).as("in_sparse"),
+          (coalesce(expr("1000000000000 div (60 + rd)"), lit(0L)) +
+            coalesce(expr("1000000000000 div (60 + rs)"), lit(0L))).as("rrf_score"))
+        .orderBy(col("q_id"), desc("rrf_score"), col("doc_id"))
     }),
 
     // Sliding-window chunking (RAG ingestion): 32-token chunks, stride
@@ -1187,6 +1309,64 @@ object Retrieval extends QueryPack {
         |SELECT bi.w1 AS w1, w2, c12, c1, round(c12 / c1, 6) AS p
         |FROM bi JOIN ctx ON bi.w1 = ctx.w1
         |ORDER BY c12 DESC, bi.w1, w2 LIMIT 50""".stripMargin,
+
+    "q_bigram_kn" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |bi AS (SELECT w[i] AS w1, w[i+1] AS w2, count(*) AS c12
+        |       FROM w, LATERAL (SELECT unnest(generate_series(1, len(w)-1)) AS i) t
+        |       WHERE len(w) >= 2 GROUP BY 1, 2),
+        |ctx AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1, count(*) AS n1p
+        |        FROM bi GROUP BY 1),
+        |cont AS (SELECT w2, count(*) AS ncont FROM bi GROUP BY 1),
+        |nb AS (SELECT count(*) AS nb FROM bi)
+        |SELECT bi.w1 AS w1, bi.w2 AS w2, c12, c1, n1p, ncont,
+        |  CAST((4*c12 - 3)*nb + 3*n1p*ncont AS BIGINT) AS knum,
+        |  CAST(4*c1*nb AS BIGINT) AS kden,
+        |  round(CAST((4*c12 - 3)*nb + 3*n1p*ncont AS BIGINT)
+        |    / CAST(4*c1*nb AS BIGINT), 6) AS p_kn
+        |FROM bi JOIN ctx ON bi.w1 = ctx.w1 JOIN cont ON bi.w2 = cont.w2
+        |CROSS JOIN nb
+        |ORDER BY c12 DESC, bi.w1, bi.w2 LIMIT 100""".stripMargin,
+
+    "q_rrf_fusion" ->
+      """WITH dtok AS (SELECT doc_id,
+        |    unnest(list_distinct(string_split(text, ' '))) AS tok
+        |  FROM documents),
+        |qt AS (SELECT doc_id AS q_id, tok FROM dtok
+        |       WHERE doc_id < 8 AND tok <> ''),
+        |ct AS (SELECT doc_id, tok FROM dtok WHERE doc_id >= 8 AND tok <> ''),
+        |ov AS (SELECT q_id, ct.doc_id AS doc_id, count(*) AS ov
+        |       FROM ct JOIN qt USING (tok) GROUP BY 1, 2),
+        |sp AS (SELECT q_id, doc_id, row_number() OVER
+        |         (PARTITION BY q_id ORDER BY ov DESC, doc_id) AS rs FROM ov),
+        |sp20 AS (SELECT q_id, doc_id, rs FROM sp WHERE rs <= 20),
+        |qe AS (SELECT vec_id AS q_id,
+        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv,
+        |         sqrt(list_inner_product(
+        |           list_transform(embedding, x -> CAST(x AS DOUBLE)),
+        |           list_transform(embedding, x -> CAST(x AS DOUBLE)))) AS qn
+        |       FROM embeddings WHERE vec_id < 8),
+        |de AS (SELECT vec_id,
+        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv,
+        |         sqrt(list_inner_product(
+        |           list_transform(embedding, x -> CAST(x AS DOUBLE)),
+        |           list_transform(embedding, x -> CAST(x AS DOUBLE)))) AS dn
+        |       FROM embeddings WHERE vec_id >= 8),
+        |cs AS (SELECT q_id, vec_id AS doc_id,
+        |         list_inner_product(dv, qv) / (dn * qn) AS cos_sim
+        |       FROM de, qe),
+        |dr AS (SELECT q_id, doc_id, row_number() OVER
+        |         (PARTITION BY q_id ORDER BY cos_sim DESC, doc_id) AS rd FROM cs),
+        |dr20 AS (SELECT q_id, doc_id, rd FROM dr WHERE rd <= 20)
+        |SELECT COALESCE(d.q_id, s.q_id) AS q_id,
+        |  COALESCE(d.doc_id, s.doc_id) AS doc_id,
+        |  CASE WHEN d.rd IS NOT NULL THEN 1 ELSE 0 END AS in_dense,
+        |  CASE WHEN s.rs IS NOT NULL THEN 1 ELSE 0 END AS in_sparse,
+        |  COALESCE(1000000000000 // (60 + d.rd), 0) +
+        |    COALESCE(1000000000000 // (60 + s.rs), 0) AS rrf_score
+        |FROM dr20 d FULL OUTER JOIN sp20 s
+        |  ON d.q_id = s.q_id AND d.doc_id = s.doc_id
+        |ORDER BY q_id, rrf_score DESC, doc_id""".stripMargin,
 
     "q_chunk_sliding" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

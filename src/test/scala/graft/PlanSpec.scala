@@ -398,9 +398,19 @@ class PlanSpec extends SparkTestBase {
     val forced =
       try q("q_dedup_text_lsh").queryExecution.optimizedPlan.toString
       finally System.clearProperty(graft.operators.Retrieval.forceBucketedProp)
-    assert(hints(deflt) - hints(forced) == 2,
+    // four verification attaches since the round-11 survivor barrier:
+    // two float-prefilter sides + two integer re-attach sides
+    assert(hints(deflt) - hints(forced) == 4,
       s"default=${hints(deflt)} forced=${hints(forced)}\n$forced")
     assert(!forced.contains("CartesianProduct"), forced)
+    // the interpreted exact-gate folds must NEVER sit inside a join
+    // condition (subexpression elimination there defeats conjunction
+    // short-circuit — every enumerated pair would pay the folds;
+    // measured 606 s vs 204 s at ×100). The barrier keeps them in a
+    // post-join projection on float survivors, on BOTH shapes.
+    Seq(deflt, forced).foreach(p =>
+      p.linesIterator.filter(_.trim.startsWith("Join")).foreach(l =>
+        assert(!l.contains("zip_with"), s"gate merged into join: $l")))
   }
 
   test("q_dedup_text_lsh: forced shard path keys the band join by shard pair") {
@@ -483,6 +493,25 @@ class PlanSpec extends SparkTestBase {
     // winner table is a partial-aggregated min over the 60-bit span hash
     assert(p.contains("partial_min"), p)
     assert(!p.contains("Window"), p)
+  }
+
+  test("q_bigram_kn: vocabulary-sized partial aggs, one-row nb broadcast") {
+    val p = finalPlan("q_bigram_kn")
+    // the three count tables aggregate map-side before shuffling
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p)
+    // nb (one row) enters as a broadcast, never a shuffle join
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q_rrf_fusion: dense top-k group-limits, query side broadcasts") {
+    val p = finalPlan("q_rrf_fusion")
+    // rank<=20 plans as WindowGroupLimit: per-partition partial top-k
+    // before the window sort — the corpus never fully sorts
+    assert(p.contains("WindowGroupLimit"), p)
+    // both retriever joins carry the small query side as a broadcast
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
   }
 
   test("q_quality_classifier: the model lives in the plan — no weight join") {

@@ -311,4 +311,69 @@ class RetrievalSpec extends SparkTestBase {
         s"syms=$syms merge=($m1,$m2): fold=$viaFold replace=$viaReplace")
     }
   }
+
+  test("q_bigram_kn: exact match against a driver-side Kneser-Ney twin") {
+    // full independent recompute from raw text (the corpus is small at
+    // sf0.001): bigram counts -> n1p/ncont/nb -> the same scaled
+    // integers. Any packing or join mistake in the plan shows by name.
+    val texts = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("text")).collect().map(_.getString(0))
+    val bi = new scala.collection.mutable.HashMap[(String, String), Long]()
+    texts.foreach { t =>
+      val w = t.split(" ", -1)
+      (0 until w.length - 1).foreach(i =>
+        bi((w(i), w(i + 1))) = bi.getOrElse((w(i), w(i + 1)), 0L) + 1)
+    }
+    val c1 = bi.groupBy(_._1._1).map { case (k, m) => k -> m.values.sum }
+    val n1p = bi.groupBy(_._1._1).map { case (k, m) => k -> m.size.toLong }
+    val ncont = bi.groupBy(_._1._2).map { case (k, m) => k -> m.size.toLong }
+    val nb = bi.size.toLong
+    val expected = bi.toSeq.map { case ((w1, w2), c12) =>
+      val knum = (4 * c12 - 3) * nb + 3 * n1p(w1) * ncont(w2)
+      (w1, w2, c12, c1(w1), n1p(w1), ncont(w2), knum, 4 * c1(w1) * nb)
+    }.sortBy { case (w1, w2, c12, _, _, _, _, _) => (-c12, w1, w2) }.take(100)
+    val got = q("q_bigram_kn").collect().map(r => (r.getString(0), r.getString(1),
+      r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+      r.getLong(7)))
+    assert(got.length == expected.length)
+    got.zip(expected).foreach { case (g, e) => assert(g == e, s"got $g want $e") }
+    // p_kn is the single-division-of-the-integers IEEE value
+    q("q_bigram_kn").collect().foreach { r =>
+      assert(r.getDouble(8) > 0 && r.getDouble(8) < 1)
+      assert(math.abs(r.getDouble(8) -
+        r.getLong(6).toDouble / r.getLong(7)) < 5.1e-7)
+    }
+  }
+
+  test("q_rrf_fusion: sparse side matches a driver-side overlap twin; score algebra exact") {
+    val rows = q("q_rrf_fusion").collect()
+    assert(rows.nonEmpty)
+    val perQ = rows.groupBy(_.getLong(0))
+    assert(perQ.keySet == (0L until 8L).toSet, "all 8 queries present")
+    val contrib = (1 to 20).map(r => 1000000000000L / (60 + r)).toSet
+    rows.foreach { r =>
+      val (inD, inS, score) = (r.getInt(2), r.getInt(3), r.getLong(4))
+      assert(inD + inS >= 1, "row must come from at least one system")
+      if (inD + inS == 1) assert(contrib.contains(score), s"bad 1-system score $r")
+      else assert((for (a <- contrib; b <- contrib) yield a + b).contains(score))
+      assert(r.getLong(1) >= 8, "query docs must not retrieve themselves")
+    }
+    perQ.values.foreach { g =>
+      assert(g.count(_.getInt(2) == 1) == 20, "dense contributes exactly top-20")
+      assert(g.count(_.getInt(3) == 1) <= 20)
+    }
+    // independent sparse twin for every query: distinct-token overlap,
+    // rank by (overlap desc, doc_id), top-20 — pure integer math
+    val toks = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).filter(_.nonEmpty).toSet)
+    val queries = toks.filter(_._1 < 8).toMap
+    val corpus = toks.filter(_._1 >= 8)
+    queries.foreach { case (qid, qt) =>
+      val top = corpus.map { case (d, t) => (d, (qt & t).size) }
+        .filter(_._2 > 0).sortBy { case (d, ov) => (-ov, d) }.take(20).map(_._1).toSet
+      val got = perQ(qid).filter(_.getInt(3) == 1).map(_.getLong(1)).toSet
+      assert(got == top, s"sparse top-20 mismatch for query $qid")
+    }
+  }
 }
