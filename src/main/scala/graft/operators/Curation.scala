@@ -531,6 +531,100 @@ object Curation extends QueryPack {
           when(col("score_sum") > 0, 1).otherwise(0).as("keep"))
         .orderBy(col("doc_id"))
     }),
+
+    // CCNet/RefinedWeb-style line-level boilerplate removal: a line
+    // that appears in ≥3 DISTINCT documents of the same source is
+    // boilerplate (nav bars, footers, cookie banners) and is removed
+    // from EVERY document — the frequency-threshold complement of
+    // q_dedup_span's first-occurrence-wins rule. The corpus has no
+    // newlines, so "lines" are a deterministic per-doc structure
+    // derived in-query (same derivation in the oracle, the q_dedup_url
+    // pattern): a per-source 8-word header, the doc's non-overlapping
+    // 8-word chunks, a per-source 8-word footer. Headers/footers hit
+    // the threshold (each source has ~100 docs) and vanish; organic
+    // chunks top out at df=2 in this corpus and survive — so the
+    // threshold boundary itself is exercised.
+    //
+    // Scale notes: the frequency table is keyed by (source, 60-bit
+    // line hash) — count(DISTINCT doc_id) is a two-stage hash agg
+    // with map-side partials over the (source,h,doc_id) distinct set;
+    // the verdict is a corpus-sized equi-join on the same key (hash
+    // collisions behave identically in both engines — the oracle
+    // shares the hash); reassembly is one doc_id-keyed aggregation
+    // with per-doc bounded state. No window sort, nothing broadcast
+    // or collected; at 100 TB the line-hash shuffle moves 8-byte keys
+    // only.
+    "q_boilerplate_lines" -> ((s, d) => {
+      val lines = docs(s, d)
+        .select(col("doc_id"), col("source"), split(col("text"), " ").as("w"))
+        .select(col("doc_id"), col("source"), posexplode(concat(
+          array(concat(lit("nav home about contact login search "),
+            col("source"), lit(" menu"))),
+          expr("transform(sequence(0, cast(ceil(size(w)/8.0) as int)-1)," +
+            " i -> array_join(slice(w, i*8+1, 8), ' '))"),
+          array(concat(lit("copyright footer "), col("source"),
+            lit(" all rights reserved terms privacy"))))))
+        .toDF("doc_id", "source", "idx", "line")
+        .select(col("doc_id"), col("source"), col("idx"), col("line"),
+          conv(substring(md5(col("line")), 1, 15), 16, 10).cast("bigint").as("h"))
+      val freq = lines.groupBy(col("source"), col("h"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+      lines.join(freq, Seq("source", "h"))
+        .select(col("doc_id"), col("idx"), col("line"), (col("df") < 3).as("kept"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(when(col("kept"), 0).otherwise(1)).as("n_dropped"),
+          array_join(transform(sort_array(collect_list(
+            when(col("kept"), struct(col("idx"), col("line"))))),
+            x => x.getField("line")), " ").as("new_text"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Winnowing fingerprints (the MOSS local-fingerprinting scheme):
+    // hash every 4-word gram, slide a window of 4 consecutive gram
+    // hashes, select the minimum in each window (ties broken by
+    // position via a packed (hash,pos) key) — guaranteeing any shared
+    // run of ≥ 7 words between two documents shares a fingerprint,
+    // at ~2/(w+1) the density of the full gram set. Near-dup
+    // candidates are document pairs sharing ≥2 fingerprints. Distinct
+    // from q_doc_fingerprint (one rolling hash per doc — no locality
+    // guarantee) and from the LSH families (probabilistic recall;
+    // winnowing's detection guarantee is combinatorial).
+    //
+    // Scale notes: selection is a bounded ROWS window per doc (state =
+    // 4 rows); fingerprints shuffle as 8-byte keys at ~1/5 gram
+    // density; the pair join is an equi-join on the fingerprint hash
+    // with a df ≤ 8 frequency cap ahead of it, so one hot fingerprint
+    // (boilerplate) can never go quadratic — the same
+    // bucket-occupancy discipline as the LSH band joins.
+    "q_dedup_winnow" -> ((s, d) => {
+      val p = words(s, d).filter(size(col("w")) >= 4)
+        .select(col("doc_id"), posexplode(expr(
+          "transform(sequence(1, size(w)-3), i -> concat_ws(' ', slice(w, i, 4)))")))
+        .toDF("doc_id", "pos", "g")
+        .select(col("doc_id"), col("pos"),
+          ((conv(substring(md5(col("g")), 1, 15), 16, 10).cast("bigint")
+            % lit(1099511627776L)) * lit(1048576L) + col("pos")).as("khp"))
+      val wDoc = Window.partitionBy(col("doc_id"))
+      val wSel = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        .rowsBetween(0, 3)
+      val fp = p
+        .withColumn("maxpos", max(col("pos")).over(wDoc))
+        .withColumn("wmin", min(col("khp")).over(wSel))
+        .filter(col("pos") <= col("maxpos") - 3)
+        .select(col("doc_id"), expr("wmin div 1048576").as("h"))
+        .distinct()
+        .cache() // feeds the df-cap agg AND both sides of the pair join
+      val ok = fp.groupBy(col("h")).agg(count(lit(1)).as("nd"))
+        .filter(col("nd") <= 8).select(col("h"))
+      val ff = fp.join(ok, Seq("h"))
+      ff.as("a").join(ff.as("b"),
+          col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 2)
+        .orderBy(col("da"), col("db"))
+    }),
   )
 
   /** 5 chained power-iteration CTEs in the same 1e15 integer fixed
@@ -779,5 +873,46 @@ object Curation extends QueryPack {
         |SELECT doc_id, count(*) AS n_tokens, CAST(sum(wt) AS BIGINT) AS score_sum,
         |  CASE WHEN sum(wt) > 0 THEN 1 ELSE 0 END AS keep
         |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_boilerplate_lines" ->
+      """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+        |lines AS (SELECT doc_id, source,
+        |  list_concat(list_concat(
+        |    ['nav home about contact login search ' || source || ' menu'],
+        |    list_transform(generate_series(0, CAST(ceil(len(w)/8.0) AS INT) - 1),
+        |      i -> array_to_string(w[i*8+1 : i*8+8], ' '))),
+        |    ['copyright footer ' || source || ' all rights reserved terms privacy'])
+        |    AS ls
+        |  FROM w),
+        |ex AS (SELECT doc_id, source, i - 1 AS idx, ls[i] AS line
+        |       FROM lines, LATERAL (SELECT unnest(generate_series(1, len(ls))) AS i) t),
+        |h AS (SELECT doc_id, source, idx, line,
+        |  CAST(('0x' || substr(md5(line), 1, 15)) AS BIGINT) AS h FROM ex),
+        |df AS (SELECT source, h, count(DISTINCT doc_id) AS df FROM h GROUP BY 1, 2),
+        |k AS (SELECT doc_id, idx, line, (df < 3) AS kept
+        |      FROM h JOIN df USING (source, h))
+        |SELECT doc_id, count(*) AS n_lines,
+        |  CAST(sum(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
+        |  COALESCE(array_to_string(list(line ORDER BY idx) FILTER (WHERE kept), ' '),
+        |    '') AS new_text
+        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_winnow" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |p AS (SELECT doc_id, i - 1 AS pos,
+        |    (CAST(('0x' || substr(md5(array_to_string(w[i : i+3], ' ')), 1, 15))
+        |       AS BIGINT) % 1099511627776) * 1048576 + (i - 1) AS khp
+        |  FROM w, LATERAL (SELECT unnest(generate_series(1, len(w) - 3)) AS i) t
+        |  WHERE len(w) >= 4),
+        |sel AS (SELECT DISTINCT doc_id,
+        |    min(khp) OVER (PARTITION BY doc_id ORDER BY pos
+        |                   ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+        |  FROM p QUALIFY pos <= max(pos) OVER (PARTITION BY doc_id) - 3),
+        |fp AS (SELECT DISTINCT doc_id, wmin // 1048576 AS h FROM sel),
+        |ok AS (SELECT h FROM fp GROUP BY h HAVING count(*) <= 8),
+        |ff AS (SELECT fp.doc_id, fp.h FROM fp JOIN ok USING (h))
+        |SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS n_shared
+        |FROM ff a JOIN ff b ON a.h = b.h AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 2 ORDER BY da, db""".stripMargin,
   )
 }

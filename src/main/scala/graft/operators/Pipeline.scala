@@ -927,6 +927,54 @@ object Pipeline extends QueryPack {
         .orderBy(col("q_id"), col("rnk"))
     }),
 
+    // Contrastive-pair mining for embedding-model training: for each
+    // anchor, the hardest POSITIVE (max-cosine same-label vector — the
+    // easiest pair to learn last) plus the top-3 hard NEGATIVES
+    // (max-cosine different-label vectors — the pairs a contrastive
+    // loss learns most from), each with its margin over the positive.
+    // Positive margins flag label noise / hard regions — exactly what
+    // a curation pass triages before training. Uses the embeddings
+    // table's label column as the supervision signal.
+    //
+    // Scale notes: the anchor batch is the broadcast side, the corpus
+    // makes ONE pass (both roles score from the same stream — the
+    // per-role split is a filter, not a second scan); both rank
+    // filters plan as WindowGroupLimit keyed by anchor, so per-anchor
+    // state is the top-k heap, never the corpus; the margin join
+    // attaches the one-row-per-anchor positive via broadcast. At
+    // 100 TB this is the q_similarity_batch shape plus a label
+    // predicate — corpus never shuffles.
+    "q_mine_contrastive" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val e = Tables.t(s, d, "embeddings")
+      val a = e.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("anchor_id"), col("label").as("a_label"),
+          col("embedding").as("av"),
+          sqrt(GraftFunctions.dot_d(col("embedding"), col("embedding"))).as("a_nrm"))
+      val cos = GraftFunctions.dot_d(col("embedding"), col("av")) /
+        (sqrt(GraftFunctions.dot_d(col("embedding"), col("embedding"))) * col("a_nrm"))
+      val scored = e.crossJoin(broadcast(a))
+        .filter(col("vec_id") =!= col("anchor_id"))
+        .select(col("anchor_id"), col("a_label"), col("vec_id"), col("label"),
+          cos.as("cos_sim"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("anchor_id")).orderBy(desc("cos_sim"), col("vec_id"))
+      val pos = scored.filter(col("label") === col("a_label"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("anchor_id"), lit("pos").as("role"), lit(0).as("rnk"),
+          col("vec_id"), col("cos_sim"))
+      val neg = scored.filter(col("label") =!= col("a_label"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+        .select(col("anchor_id"), lit("neg").as("role"), col("rn").as("rnk"),
+          col("vec_id"), col("cos_sim"))
+      pos.unionAll(neg)
+        .join(broadcast(pos.select(col("anchor_id"), col("cos_sim").as("pos_cos"))),
+          Seq("anchor_id"))
+        .select(col("anchor_id"), col("role"), col("rnk"), col("vec_id"),
+          col("cos_sim"), (col("cos_sim") - col("pos_cos")).as("margin"))
+        .orderBy(col("anchor_id"), col("rnk"))
+    }),
+
     // BPE-ish pre-tokenization (GPT-2-style split, simplified to a
     // lookahead-free pattern Java regex and RE2 agree on): runs of
     // letters / digits / other, each with an optional leading space.
@@ -1463,6 +1511,35 @@ object Pipeline extends QueryPack {
         |      ORDER BY cos_sim DESC, vec_id) AS INT) AS rnk
         |  FROM s) t
         |WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin,
+
+    "q_mine_contrastive" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |a AS (SELECT vec_id AS anchor_id, label AS a_label, v AS av,
+        |        sqrt(list_inner_product(v, v)) AS a_nrm
+        |      FROM e WHERE vec_id < 16),
+        |s AS (SELECT anchor_id, a_label, vec_id, label,
+        |        list_inner_product(v, av) /
+        |          (sqrt(list_inner_product(v, v)) * a_nrm) AS cos_sim
+        |      FROM e CROSS JOIN a WHERE vec_id <> anchor_id),
+        |pos AS (SELECT anchor_id, 'pos' AS role, CAST(0 AS INT) AS rnk, vec_id,
+        |          cos_sim
+        |        FROM (SELECT anchor_id, vec_id, cos_sim,
+        |                ROW_NUMBER() OVER (PARTITION BY anchor_id
+        |                  ORDER BY cos_sim DESC, vec_id) AS rn
+        |              FROM s WHERE label = a_label) t WHERE rn = 1),
+        |neg AS (SELECT anchor_id, 'neg' AS role, CAST(rn AS INT) AS rnk, vec_id,
+        |          cos_sim
+        |        FROM (SELECT anchor_id, vec_id, cos_sim,
+        |                ROW_NUMBER() OVER (PARTITION BY anchor_id
+        |                  ORDER BY cos_sim DESC, vec_id) AS rn
+        |              FROM s WHERE label <> a_label) t WHERE rn <= 3)
+        |SELECT u.anchor_id, u.role, u.rnk, u.vec_id, u.cos_sim,
+        |  u.cos_sim - p.cos_sim AS margin
+        |FROM (SELECT * FROM pos UNION ALL SELECT * FROM neg) u
+        |JOIN pos p USING (anchor_id)
+        |ORDER BY u.anchor_id, u.rnk""".stripMargin,
 
     "q_token_count" ->
       """WITH t AS (

@@ -305,4 +305,80 @@ class CurationSpec extends SparkTestBase {
     assert(rows.find(_.getLong(0) == 0L).get.getLong(2) == expected,
       "driver-side md5 twin disagrees with the plan's score for doc 0")
   }
+
+  test("q_boilerplate_lines: threshold semantics match a driver-side replay") {
+    val rows = q("q_boilerplate_lines").collect().map(r => r.getLong(0) -> r).toMap
+    val corpus = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("source"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def linesOf(src: String, text: String): Array[String] =
+      Array(s"nav home about contact login search $src menu") ++
+        text.split(" ").grouped(8).map(_.mkString(" ")) ++
+        Array(s"copyright footer $src all rights reserved terms privacy")
+    // document frequency per (source, line) over distinct docs
+    val df = scala.collection.mutable.HashMap[(String, String), Set[Long]]()
+    corpus.foreach { case (id, src, text) =>
+      linesOf(src, text).foreach { l =>
+        df((src, l)) = df.getOrElse((src, l), Set.empty) + id
+      }
+    }
+    var droppedTotal = 0L
+    corpus.foreach { case (id, src, text) =>
+      val ls = linesOf(src, text)
+      val kept = ls.filter(l => df((src, l)).size < 3)
+      droppedTotal += ls.length - kept.length
+      val r = rows(id)
+      assert(r.getLong(1) == ls.length, s"doc $id n_lines")
+      assert(r.getLong(2) == ls.length - kept.length, s"doc $id n_dropped")
+      assert(r.getString(3) == kept.mkString(" "), s"doc $id reassembly diverged")
+      // header and footer must ALWAYS be boilerplate (every source has >= 3 docs)
+      assert(!r.getString(3).contains("nav home about") &&
+        !r.getString(3).contains("copyright footer"), s"doc $id kept boilerplate")
+    }
+    assert(droppedTotal >= 2L * corpus.length,
+      "at least header+footer must drop from every doc")
+    // organic cross-doc chunks must exist below the threshold and SURVIVE
+    // (the boundary is exercised, not vacuous): df == 2 lines are kept
+    val organicDup = df.collect { case ((s2, l), ids)
+      if ids.size == 2 && !l.startsWith("nav home") && !l.startsWith("copyright") => (s2, l) }
+    assert(rows.values.exists(r => organicDup.exists { case (_, l) =>
+      r.getString(3).contains(l) }) || organicDup.isEmpty,
+      "df=2 organic lines must survive the df>=3 threshold")
+  }
+
+  test("q_dedup_winnow: full winnowing replay (selection, cap, pairs)") {
+    def h60(x: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15), 16)
+    val corpus = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // driver-side winnowing: k=4-word grams, window w=4, packed-min select
+    val fps = corpus.flatMap { case (id, text) =>
+      val w = text.split(" ")
+      if (w.length < 4) Array.empty[(Long, Long)]
+      else {
+        val khp = (0 to w.length - 4).map { p =>
+          (h60(w.slice(p, p + 4).mkString(" ")) % 1099511627776L) * 1048576L + p
+        }
+        val sel = (0 to khp.length - 4).map(i => khp.slice(i, i + 4).min).distinct
+        // winnowing guarantee: every window of 4 gram positions is covered
+        (0 to khp.length - 4).foreach { i =>
+          assert(sel.exists(s => khp.slice(i, i + 4).contains(s)),
+            s"doc $id window $i has no selected fingerprint")
+        }
+        sel.map(s => (id, s / 1048576L)).distinct.toArray
+      }
+    }
+    val byH = fps.groupBy(_._2).filter(_._2.length <= 8)
+    val pairs = byH.values.flatMap { docs =>
+      val ids = docs.map(_._1).distinct.sorted
+      for (i <- ids.indices; j <- i + 1 until ids.length) yield (ids(i), ids(j))
+    }.groupBy(identity).view.mapValues(_.size.toLong)
+      .filter(_._2 >= 2).toMap
+    val got = q("q_dedup_winnow").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == pairs, s"pair sets diverge: got ${got.size}, replay ${pairs.size}")
+    assert(got.nonEmpty, "fixture must produce winnowing candidate pairs")
+  }
 }

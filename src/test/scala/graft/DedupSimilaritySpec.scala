@@ -383,4 +383,46 @@ class DedupSimilaritySpec extends SparkTestBase {
     } yield (b, c)).toSet
     assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSet == expected)
   }
+
+  test("q_mine_contrastive: driver-side recompute of positives, negatives, margins") {
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("label"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).toArray.map(_.toDouble)))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val rows = q("q_mine_contrastive").collect()
+    val byAnchor = rows.groupBy(_.getLong(0))
+    val anchors = vecs.filter(_._1 < 16)
+    assert(byAnchor.keySet == anchors.map(_._1).toSet, "one group per anchor")
+    anchors.foreach { case (aid, albl, av) =>
+      val scored = vecs.filter(_._1 != aid)
+        .map { case (id, lbl, v) => (id, lbl, cos(av, v)) }
+      val pos = scored.filter(_._2 == albl)
+        .sortBy { case (id, _, c) => (-c, id) }.head
+      val negs = scored.filter(_._2 != albl)
+        .sortBy { case (id, _, c) => (-c, id) }.take(3)
+      val got = byAnchor(aid).sortBy(_.getInt(2))
+      assert(got.length == 4, s"anchor $aid must have 1 pos + 3 neg rows")
+      assert(got(0).getString(1) == "pos" && got(0).getLong(3) == pos._1,
+        s"anchor $aid positive id")
+      assert(math.abs(got(0).getDouble(4) - pos._3) < 1e-12, s"anchor $aid pos cos")
+      assert(got(0).getDouble(5) == 0.0, s"anchor $aid pos margin must be exactly 0")
+      negs.zipWithIndex.foreach { case ((nid, _, ncos), i) =>
+        val r = got(i + 1)
+        assert(r.getString(1) == "neg" && r.getInt(2) == i + 1 && r.getLong(3) == nid,
+          s"anchor $aid neg rank ${i + 1}")
+        assert(math.abs(r.getDouble(4) - ncos) < 1e-12, s"anchor $aid neg cos")
+        assert(r.getDouble(5) == r.getDouble(4) - got(0).getDouble(4),
+          s"anchor $aid margin must be cos - pos_cos")
+      }
+    }
+    // the fixture must contain genuinely HARD negatives somewhere
+    // (a negative scoring above the hardest positive => positive margin)
+    assert(rows.exists(r => r.getString(1) == "neg" && r.getDouble(5) > 0),
+      "fixture must produce at least one hard negative with positive margin")
+  }
 }

@@ -521,4 +521,32 @@ class PlanSpec extends SparkTestBase {
     // scoring stays inside whole-stage codegen (hash exprs are codegen'd)
     assert(p.contains("*(1)"), p)
   }
+
+  test("q_boilerplate_lines: keyed frequency agg + equi-join, no window, no loop") {
+    val p = finalPlan("q_boilerplate_lines")
+    // frequency + reassembly are hash aggs; the verdict join is equi
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("q_dedup_winnow: bounded-ROWS selection window, equi pair join, df cap") {
+    val p = finalPlan("q_dedup_winnow")
+    // the only window is the bounded per-doc selection (ROWS 0..3) —
+    // never a corpus-wide sort; the pair join is a keyed equi-join
+    assert(p.contains("specifiedwindowframe(RowFrame, currentrow$(), 3)"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    // fingerprint frequency cap aggregates map-side before the join
+    assert(p.contains("partial_count"), p)
+  }
+
+  test("q_mine_contrastive: anchors broadcast, both rank filters group-limit") {
+    val p = finalPlan("q_mine_contrastive")
+    // the 16-anchor side broadcasts into the corpus scan
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    // rn=1 and rn<=3 both plan as WindowGroupLimit partial top-k
+    assert(p.contains("WindowGroupLimit"), p)
+    // the margin attach is a broadcast of the one-row-per-anchor positives
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
 }
