@@ -580,6 +580,50 @@ object Curation extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Gopher's REPETITION rule, the half q_quality_gopher doesn't
+    // cover: the fraction of a document's characters contained in
+    // duplicate word n-grams (all occurrences of any gram that appears
+    // more than once in the SAME doc). Gopher applies it at n=2..10;
+    // this corpus has intra-doc duplicates only at n≤3 (measured:
+    // 349 docs at n=2, 27 at n=3, zero at n≥5), so the query runs
+    // n ∈ {2,3} and the thresholds (8% / 1%) are chosen to split the
+    // fixture — both sides of each boundary are populated. The keep
+    // flag compares EXACT integers (dup·25 ≤ tot·2, dup·100 ≤ tot),
+    // so no float boundary can flip it between engines; the reported
+    // fractions are display-rounded doubles like q_quality_gopher's.
+    //
+    // Scale notes: two keyed hash aggs per n — (doc,gram) counts with
+    // map-side partials, then a doc-keyed rollup; the joins are
+    // doc-keyed equi-joins of 500-row-per-doc aggregates. Nothing is
+    // collected or broadcast; shuffle keys are (doc_id, gram-hash)
+    // sized.
+    "q_repetition_filter" -> ((s, d) => {
+      def dupFrac(n: Int, suffix: String): DataFrame =
+        grams(s, d, n)
+          .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+          .select(col("doc_id"), col("c"), length(col("g")).as("lg"))
+          .groupBy(col("doc_id"))
+          .agg(sum(when(col("c") > 1, col("c") * col("lg")).otherwise(0L))
+            .as(s"dup$suffix"),
+            sum(col("c") * col("lg")).as(s"tot$suffix"))
+      docs(s, d).select(col("doc_id"))
+        .join(dupFrac(2, "2"), Seq("doc_id"), "left")
+        .join(dupFrac(3, "3"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("dup2"), lit(0L)).as("d2"),
+          coalesce(col("tot2"), lit(0L)).as("t2"),
+          coalesce(col("dup3"), lit(0L)).as("d3"),
+          coalesce(col("tot3"), lit(0L)).as("t3"))
+        .select(col("doc_id"),
+          when(col("t2") > 0, round(col("d2") / col("t2"), 6)).otherwise(0.0)
+            .as("dup2_frac"),
+          when(col("t3") > 0, round(col("d3") / col("t3"), 6)).otherwise(0.0)
+            .as("dup3_frac"),
+          when(col("d2") * 25 <= col("t2") * 2 && col("d3") * 100 <= col("t3"), 1)
+            .otherwise(0).as("keep"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Winnowing fingerprints (the MOSS local-fingerprinting scheme):
     // hash every 4-word gram, slide a window of 4 consecutive gram
     // hashes, select the minimum in each window (ties broken by
@@ -873,6 +917,35 @@ object Curation extends QueryPack {
         |SELECT doc_id, count(*) AS n_tokens, CAST(sum(wt) AS BIGINT) AS score_sum,
         |  CASE WHEN sum(wt) > 0 THEN 1 ELSE 0 END AS keep
         |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_repetition_filter" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |g2 AS (SELECT doc_id, array_to_string(w[i : i+1], ' ') AS g
+        |       FROM w, LATERAL (SELECT unnest(generate_series(1, len(w)-1)) AS i) t
+        |       WHERE len(w) >= 2),
+        |c2 AS (SELECT doc_id, count(*) AS c, len(g) AS lg FROM g2 GROUP BY doc_id, g),
+        |f2 AS (SELECT doc_id,
+        |         CAST(sum(CASE WHEN c > 1 THEN c*lg ELSE 0 END) AS BIGINT) AS d2,
+        |         CAST(sum(c*lg) AS BIGINT) AS t2
+        |       FROM c2 GROUP BY doc_id),
+        |g3 AS (SELECT doc_id, array_to_string(w[i : i+2], ' ') AS g
+        |       FROM w, LATERAL (SELECT unnest(generate_series(1, len(w)-2)) AS i) t
+        |       WHERE len(w) >= 3),
+        |c3 AS (SELECT doc_id, count(*) AS c, len(g) AS lg FROM g3 GROUP BY doc_id, g),
+        |f3 AS (SELECT doc_id,
+        |         CAST(sum(CASE WHEN c > 1 THEN c*lg ELSE 0 END) AS BIGINT) AS d3,
+        |         CAST(sum(c*lg) AS BIGINT) AS t3
+        |       FROM c3 GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CASE WHEN COALESCE(t2,0) > 0 THEN round(COALESCE(d2,0) / t2, 6) ELSE 0.0 END
+        |    AS dup2_frac,
+        |  CASE WHEN COALESCE(t3,0) > 0 THEN round(COALESCE(d3,0) / t3, 6) ELSE 0.0 END
+        |    AS dup3_frac,
+        |  CASE WHEN COALESCE(d2,0)*25 <= COALESCE(t2,0)*2
+        |        AND COALESCE(d3,0)*100 <= COALESCE(t3,0) THEN 1 ELSE 0 END AS keep
+        |FROM documents d
+        |LEFT JOIN f2 USING (doc_id) LEFT JOIN f3 USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
 
     "q_boilerplate_lines" ->
       """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),

@@ -272,6 +272,82 @@ object Pipeline extends QueryPack {
     labels.withColumnRenamed("label", "cluster_id")
   }
 
+  /** Connected components by ALTERNATING LARGE-STAR / SMALL-STAR edge
+    * rewriting — the MapReduce-native CC formulation (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14).
+    * Large-star links every LARGER neighbor of a node to the minimum
+    * of its neighborhood-and-self; small-star links a node and its
+    * SMALLER neighbors to their minimum. Both steps preserve
+    * connectivity, only ever attach a node to a smaller one, and the
+    * alternation provably converges to min-rooted stars in O(log² n)
+    * rounds. The contrast with [[connectedComponents]]: label
+    * propagation carries a node→label table through every round and
+    * needs pointer doubling for deep chains; star rewriting shrinks
+    * the EDGE SET itself — per round each node contributes one min to
+    * a partial aggregate and the candidate edges rewrite in a keyed
+    * equi-join, so per-key state stays bounded no matter how hot a
+    * node is. That is the shape that survives a web-scale dup graph
+    * where one boilerplate cluster touches millions of docs.
+    *
+    * The loop exit is an EXACT structural test, not a checksum: the
+    * oriented (big → small) edge set is a min-rooted star forest iff
+    * no node is both a source and a target AND every source has
+    * exactly one target — and a star forest is a fixpoint of both
+    * operations, so the test never exits early. One two-column agg
+    * per round ((#targets, max targets-per-source) over the edge
+    * set's distinct-key aggregate) instead of a count + exceptAll
+    * edge-set diff. Exiting via maxIter without a star THROWS —
+    * silently-wrong cluster ids are invisible at production scale,
+    * same doctrine as the label propagation twin. */
+  def starComponents(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
+    var edges = pairs
+      .select(greatest(col("da"), col("db")).as("hi"),
+        least(col("da"), col("db")).as("lo"))
+      .filter(col("hi") =!= col("lo")).distinct()
+      .localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      // large-star: m(u) = min(Γ(u) ∪ {u}); emit (v, m(u)) ∀ v ∈ Γ(u), v > u
+      val sym = edges.select(col("hi").as("u"), col("lo").as("v"))
+        .unionByName(edges.select(col("lo").as("u"), col("hi").as("v")))
+      val lmins = sym.groupBy(col("u")).agg(least(min(col("v")), col("u")).as("m"))
+      val ls = sym.join(lmins, "u").filter(col("v") > col("u"))
+        .select(col("v").as("hi"), col("m").as("lo")).distinct()
+        .localCheckpoint()
+      // small-star on the (big → small)-oriented output: m(u) = min of
+      // u's smaller neighbors; connect u AND each smaller neighbor to m
+      val smins = ls.groupBy(col("hi")).agg(min(col("lo")).as("m"))
+      val ss = ls.join(smins, "hi")
+        .select(col("lo").as("v"), col("m"))
+        .unionByName(smins.select(col("hi").as("v"), col("m")))
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("hi"), col("m").as("lo")).distinct()
+        .localCheckpoint()
+      edges = ss
+      // star-forest test: sources with >1 target or any source that is
+      // also a target ⇒ not converged. Exact (see scaladoc), and the
+      // whole test is one keyed agg + one 2-row rollup on the
+      // checkpointed edges — no edge-set diff.
+      val perSource = edges.groupBy(col("hi"))
+        .agg(countDistinct(col("lo")).as("nr"))
+      val targets = edges.select(col("lo").as("hi")).distinct()
+      val bad = perSource.agg(max(col("nr")).as("maxr")).crossJoin(
+        perSource.join(targets, Seq("hi"), "left_semi")
+          .agg(count(lit(1)).as("xover"))).head()
+      converged = (bad.isNullAt(0) || bad.getLong(0) <= 1L) && bad.getLong(1) == 0L
+      i += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"starComponents: not a star forest after $maxIter " +
+        "large-star/small-star rounds — raise maxIter")
+    val nodes = pairs.select(col("da").as("node"))
+      .unionByName(pairs.select(col("db").as("node"))).distinct()
+    nodes.join(edges.select(col("hi").as("node"), col("lo").as("root")),
+        Seq("node"), "left")
+      .select(col("node"), coalesce(col("root"), col("node")).as("cluster_id"))
+  }
+
   override def queries: Map[String, Q] = Map(
     // Near-dup clustering: minhash candidate pairs -> transitive
     // closure -> cluster id per doc. Rows-only (ground-truthed against
@@ -284,6 +360,22 @@ object Pipeline extends QueryPack {
         StructField("doc_id", idT), StructField("cluster_id", idT)))) { () =>
         val pairs = queries("q_dedup_minhash")(s, d).select(col("da"), col("db"))
         connectedComponents(pairs)
+          .select(col("node").as("doc_id"), col("cluster_id"))
+          .orderBy(col("doc_id"))
+      }
+    }),
+    // Same closure, different engine: the large-star/small-star
+    // edge-rewriting CC (see starComponents) over the same minhash
+    // pair graph. Both cluster queries share one oracle (the
+    // recursive-CTE closure) — the point of the second one is the
+    // bounded-per-key-state algorithm, proven bit-identical to the
+    // label-propagation twin on every fixture.
+    "q_dedup_cluster_star" -> ((s, d) => {
+      val idT = Tables.t(s, d, "documents").schema("doc_id").dataType
+      Deferred.df(s, "dedup_cluster_star", StructType(Seq(
+        StructField("doc_id", idT), StructField("cluster_id", idT)))) { () =>
+        val pairs = queries("q_dedup_minhash")(s, d).select(col("da"), col("db"))
+        starComponents(pairs)
           .select(col("node").as("doc_id"), col("cluster_id"))
           .orderBy(col("doc_id"))
       }
@@ -1268,6 +1360,20 @@ object Pipeline extends QueryPack {
     // transitive closure over the minhash pairs (recursive CTE — the
     // q_dedup_apply recipe), min reachable node = cluster label
     "q_dedup_cluster" ->
+      s"""WITH RECURSIVE $minhashPairsCtes,
+         |edges AS MATERIALIZED (SELECT da AS a, db AS b FROM mh_pairs
+         |          UNION ALL SELECT db, da FROM mh_pairs),
+         |reach AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         |lbl AS (SELECT a AS node, least(a, min(b)) AS cluster_id
+         |        FROM reach GROUP BY a)
+         |SELECT node AS doc_id, cluster_id FROM lbl ORDER BY doc_id""".stripMargin,
+
+    // identical semantics to q_dedup_cluster (the Spark sides differ:
+    // label propagation vs large-star/small-star edge rewriting)
+    "q_dedup_cluster_star" ->
       s"""WITH RECURSIVE $minhashPairsCtes,
          |edges AS MATERIALIZED (SELECT da AS a, db AS b FROM mh_pairs
          |          UNION ALL SELECT db, da FROM mh_pairs),

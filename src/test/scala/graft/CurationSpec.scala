@@ -346,6 +346,38 @@ class CurationSpec extends SparkTestBase {
       "df=2 organic lines must survive the df>=3 threshold")
   }
 
+  test("q_repetition_filter: dup-char fractions match a driver replay; threshold splits") {
+    val rows = q("q_repetition_filter").collect().map(r => r.getLong(0) -> r).toMap
+    val corpus = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def fracs(text: String, n: Int): (Long, Long) = {
+      val w = text.split(" ")
+      if (w.length < n) (0L, 0L)
+      else {
+        val counts = w.sliding(n).map(_.mkString(" ")).toSeq
+          .groupBy(identity).view.mapValues(_.size).toMap
+        val dup = counts.collect { case (g, c) if c > 1 => c.toLong * g.length }.sum
+        val tot = counts.map { case (g, c) => c.toLong * g.length }.sum
+        (dup, tot)
+      }
+    }
+    corpus.foreach { case (id, text) =>
+      val (d2, t2) = fracs(text, 2); val (d3, t3) = fracs(text, 3)
+      val r = rows(id)
+      val e2 = if (t2 > 0) math.rint(d2.toDouble / t2 * 1e6) / 1e6 else 0.0
+      val e3 = if (t3 > 0) math.rint(d3.toDouble / t3 * 1e6) / 1e6 else 0.0
+      assert(math.abs(r.getDouble(1) - e2) < 1e-9, s"doc $id dup2_frac")
+      assert(math.abs(r.getDouble(2) - e3) < 1e-9, s"doc $id dup3_frac")
+      val keep = if (d2 * 25 <= t2 * 2 && d3 * 100 <= t3) 1 else 0
+      assert(r.getInt(3) == keep, s"doc $id keep flag")
+    }
+    // the thresholds must split the fixture — both classes populated
+    val keeps = rows.values.map(_.getInt(3)).toSeq
+    assert(keeps.contains(0) && keeps.contains(1),
+      "repetition thresholds must reject some docs and keep others")
+  }
+
   test("q_dedup_winnow: full winnowing replay (selection, cap, pairs)") {
     def h60(x: String): Long = java.lang.Long.parseLong(
       java.security.MessageDigest.getInstance("MD5")

@@ -89,6 +89,33 @@ class DedupSimilaritySpec extends SparkTestBase {
     if (pairs.nonEmpty) assert(clusters.values.exists(c => clusters.count(_._2 == c) > 1))
   }
 
+  test("starComponents is bit-identical to label propagation, incl. adversarial graphs") {
+    import graft.operators.Pipeline
+    import spark.implicits._
+    // 1) the real minhash pair graph
+    val real = q("q_dedup_minhash").select(col("da"), col("db"))
+    val viaStar = Pipeline.starComponents(real)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaLabels = Pipeline.connectedComponents(real)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaStar == viaLabels, "engines disagree on the minhash graph")
+    // 2) a deep path (diameter 63 — forces the O(log² n) multi-round
+    // regime both algorithms claim) and a hot star (one node with 50
+    // neighbors — the bounded-state case), plus a disjoint 2-cycle pair
+    val path = (1L to 63L).map(i => (i - 1, i))
+    val hot = (200L to 249L).map(i => (100L, i))
+    val extra = Seq((300L, 301L), (301L, 300L)) // duplicate both ways
+    val adversarial = (path ++ hot ++ extra).toDF("da", "db")
+    val gotStar = Pipeline.starComponents(adversarial)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val gotLabels = Pipeline.connectedComponents(adversarial)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotStar == gotLabels, "engines disagree on the adversarial graph")
+    (0L to 63L).foreach(i => assert(gotStar(i) == 0L, s"path node $i"))
+    (200L to 249L).foreach(i => assert(gotStar(i) == 100L, s"hot-star node $i"))
+    assert(gotStar(300L) == 300L && gotStar(301L) == 300L)
+  }
+
   test("banded simhash equals the exact simhash pairs on the audit slice") {
     val exact = q("q_dedup_simhash").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
