@@ -580,6 +580,63 @@ object Curation extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // DSIR-style importance weighting (data selection via importance
+    // resampling): score every document by how much more likely its
+    // hashed-bigram features are under a TARGET domain's unigram
+    // feature LM than under the raw-corpus LM — Σ_f ln(p_t(f)/p_r(f)),
+    // add-one smoothing over 4096 hashed buckets. The target domain is
+    // the lexicographically-first source (deterministic); real
+    // pipelines fit p_t offline on a trusted corpus — the fit here is
+    // in-plan so the whole operator is oracle-checkable. Keep = mean
+    // log-ratio above θ = -0.92 (the fixture's median — both sides
+    // populated), decided on EXACT decimals (score·100 > -92·n) so no
+    // float boundary can flip it; ln terms use the q_source_kl
+    // portable idiom (identical-operand IEEE ln, 12dp-rounded decimal
+    // sum).
+    //
+    // Scale notes: both LMs live in two 4096-row tables — n_t/n_r are
+    // sums OVER those tables, not extra corpus passes — broadcast back
+    // for scoring; the exploded feature stream is cached because it
+    // feeds fit and scoring in one plan (at 100 TB the fit is its own
+    // job persisting the 4096-row tables, and scoring is one
+    // map-side-joined pass; nothing here shuffles more than (bucket,
+    // count) pairs and the doc-keyed score rollup).
+    "q_importance_dsir" -> ((s, d) => {
+      val f = docs(s, d)
+        .select(col("doc_id"), col("source"), split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= 2)
+        .select(col("doc_id"), col("source"), explode(expr(
+          "transform(sequence(1, size(w)-1), i -> concat_ws(' ', w[i-1], w[i]))"))
+          .as("g"))
+        .select(col("doc_id"), col("source"),
+          (conv(substring(md5(concat(lit("ds:"), col("g"))), 1, 15), 16, 10)
+            .cast("bigint") % 4096).as("b"))
+        .cache()
+      val tgt = f.agg(min(col("source")).as("t"))
+      val ct = f.crossJoin(broadcast(tgt)).filter(col("source") === col("t"))
+        .groupBy(col("b")).agg(count(lit(1)).as("c_t"))
+      val cr = f.groupBy(col("b")).agg(count(lit(1)).as("c_r"))
+      val nt = ct.agg(sum(col("c_t")).cast("long").as("n_t"))
+      val nr = cr.agg(sum(col("c_r")).cast("long").as("n_r"))
+      val lr = cr.join(ct, Seq("b"), "left")
+        .crossJoin(broadcast(nt)).crossJoin(broadcast(nr))
+        .select(col("b"), round(log(
+          ((coalesce(col("c_t"), lit(0L)) + lit(1L)) / (col("n_t") + lit(4096L))) /
+            ((col("c_r") + lit(1L)) / (col("n_r") + lit(4096L)))), 12)
+          .cast("decimal(30,14)").as("lr"))
+      val sc = f.join(broadcast(lr), Seq("b"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_feats"), sum(col("lr")).as("score"))
+      docs(s, d).select(col("doc_id")).join(sc, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_feats"), lit(0L)).as("n_feats"),
+          round(coalesce(col("score"), lit(0).cast("decimal(30,14)"))
+            .cast("double"), 6).as("dsir_score"),
+          when(col("score") * 100 > col("n_feats") * -92, 1).otherwise(0)
+            .as("keep"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Gopher's REPETITION rule, the half q_quality_gopher doesn't
     // cover: the fraction of a document's characters contained in
     // duplicate word n-grams (all occurrences of any gram that appears
@@ -917,6 +974,30 @@ object Curation extends QueryPack {
         |SELECT doc_id, count(*) AS n_tokens, CAST(sum(wt) AS BIGINT) AS score_sum,
         |  CASE WHEN sum(wt) > 0 THEN 1 ELSE 0 END AS keep
         |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_importance_dsir" ->
+      """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS w
+        |           FROM documents WHERE len(string_split(text, ' ')) >= 2),
+        |f AS (SELECT doc_id, source,
+        |        CAST(('0x' || substr(md5('ds:' || array_to_string(w[i : i+1], ' ')),
+        |          1, 15)) AS BIGINT) % 4096 AS b
+        |      FROM w, LATERAL (SELECT unnest(generate_series(1, len(w)-1)) AS i) t),
+        |tgt AS (SELECT min(source) AS t FROM f),
+        |ct AS (SELECT b, count(*) AS c_t FROM f, tgt WHERE source = t GROUP BY b),
+        |cr AS (SELECT b, count(*) AS c_r FROM f GROUP BY b),
+        |nt AS (SELECT CAST(sum(c_t) AS BIGINT) AS n_t FROM ct),
+        |nr AS (SELECT CAST(sum(c_r) AS BIGINT) AS n_r FROM cr),
+        |lr AS (SELECT cr.b, CAST(round(ln(
+        |          ((COALESCE(c_t, 0) + 1) / (n_t + 4096)) /
+        |          ((c_r + 1) / (n_r + 4096))), 12) AS DECIMAL(30,14)) AS lr
+        |       FROM cr LEFT JOIN ct USING (b), nt, nr),
+        |sc AS (SELECT doc_id, count(*) AS n_feats, sum(lr) AS score
+        |       FROM f JOIN lr USING (b) GROUP BY doc_id)
+        |SELECT d.doc_id, COALESCE(n_feats, 0) AS n_feats,
+        |  round(CAST(COALESCE(score, 0) AS DOUBLE), 6) AS dsir_score,
+        |  CASE WHEN score * 100 > n_feats * -92 THEN 1 ELSE 0 END AS keep
+        |FROM documents d LEFT JOIN sc USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
 
     "q_repetition_filter" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

@@ -346,6 +346,44 @@ class CurationSpec extends SparkTestBase {
       "df=2 organic lines must survive the df>=3 threshold")
   }
 
+  test("q_importance_dsir: driver replay of the hashed-LM log-ratio scoring") {
+    def h60(x: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15), 16)
+    val corpus = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("source"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val feats = corpus.flatMap { case (id, src, text) =>
+      val w = text.split(" ")
+      if (w.length < 2) Array.empty[(Long, String, Long)]
+      else w.sliding(2).map(p => (id, src, h60("ds:" + p.mkString(" ")) % 4096)).toArray
+    }
+    val t = feats.map(_._2).min
+    val ct = feats.filter(_._2 == t).groupBy(_._3).view.mapValues(_.length.toLong).toMap
+    val cr = feats.groupBy(_._3).view.mapValues(_.length.toLong).toMap
+    val nt = ct.values.sum; val nr = cr.values.sum
+    val lr: Map[Long, BigDecimal] = cr.map { case (b, c) =>
+      val x = ((ct.getOrElse(b, 0L) + 1).toDouble / (nt + 4096)) /
+        ((c + 1).toDouble / (nr + 4096))
+      b -> BigDecimal(math.log(x)).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    }
+    val rows = q("q_importance_dsir").collect().map(r => r.getLong(0) -> r).toMap
+    corpus.foreach { case (id, _, text) =>
+      val fs = feats.filter(_._1 == id)
+      val r = rows(id)
+      assert(r.getLong(1) == fs.length, s"doc $id n_feats")
+      val score = fs.map(f => lr(f._3)).sum
+      assert(math.abs(r.getDouble(2) -
+        score.setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9,
+        s"doc $id dsir_score")
+      val keep = if (fs.nonEmpty && score * 100 > BigDecimal(-92L * fs.length)) 1 else 0
+      assert(r.getInt(3) == keep, s"doc $id keep")
+    }
+    val keeps = rows.values.map(_.getInt(3)).toSeq
+    assert(keeps.contains(0) && keeps.contains(1),
+      "the θ = -0.92 mean-log-ratio cut must split the fixture")
+  }
+
   test("q_repetition_filter: dup-char fractions match a driver replay; threshold splits") {
     val rows = q("q_repetition_filter").collect().map(r => r.getLong(0) -> r).toMap
     val corpus = spark.read.parquet(s"$sf/documents.parquet")
