@@ -522,6 +522,25 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("*(1)"), p)
   }
 
+  test("q_repetition_filter: two keyed agg chains, no window, no broadcast NL") {
+    val p = finalPlan("q_repetition_filter")
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_sum") || p.contains("partial_count"), p)
+  }
+
+  test("q_importance_dsir: LM tables broadcast, corpus side never shuffles to score") {
+    // AQE's explain prints the pre-runtime Initial Plan too (where the
+    // doc-keyed attach is still a sort-merge guess); judge the Final
+    // Plan section only
+    val p = finalPlan("q_importance_dsir").split("== Initial Plan ==")(0)
+    // the 4096-row log-ratio table reaches the feature stream as a
+    // broadcast hash join, never a shuffled sort-merge
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("Window"), p)
+  }
+
   test("q_boilerplate_lines: keyed frequency agg + equi-join, no window, no loop") {
     val p = finalPlan("q_boilerplate_lines")
     // frequency + reassembly are hash aggs; the verdict join is equi
