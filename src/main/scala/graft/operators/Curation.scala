@@ -173,6 +173,47 @@ object Curation extends QueryPack {
         .orderBy(col("source"), col("bin"))
     }),
 
+    // Doc-boundary-preserving NEXT-FIT sequence packing (sample
+    // packing): unlike q_pack_sequences (concatenate-then-chunk — a
+    // doc can straddle two training sequences), next-fit keeps every
+    // document whole: a doc that would overflow the current bin opens
+    // a new one, and the padding the policy costs is reported per bin.
+    // Genuine sequential per-group state, so this is the engine's
+    // showcase for the TYPED API path the brief's ladder allows:
+    // `groupByKey(source).flatMapSortedGroups(doc_id)` — secondary
+    // sort inside the shuffle, O(1) state per group, no window, no
+    // driver loop. At 100 TB the group key becomes (source,
+    // hash-shard) with bounded shard size (q_global_shuffle's
+    // sharding), keeping every group executor-sized; the algorithm is
+    // unchanged because next-fit is shard-local by construction.
+    "q_pack_nextfit" -> ((s, d) => {
+      val budget = 256L
+      import s.implicits._
+      val base = docs(s, d)
+        .select(col("source"), col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+        .as[(String, Long, Long)]
+      base.groupByKey(_._1)
+        .flatMapSortedGroups(col("doc_id")) { (src: String, it: Iterator[(String, Long, Long)]) =>
+          var bin = 0L; var used = 0L; var first = true
+          it.map { case (_, id, n) =>
+            if (!first && used + n > budget) { bin += 1L; used = 0L }
+            first = false
+            used += n
+            (src, bin, id, n)
+          }
+        }
+        .toDF("source", "bin", "doc_id", "n_tok")
+        .groupBy(col("source"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).cast("long").as("bin_tokens"),
+          min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+        .select(col("source"), col("bin"), col("n_docs"), col("bin_tokens"),
+          greatest(lit(0L), lit(budget) - col("bin_tokens")).as("padding"),
+          col("first_doc"), col("last_doc"))
+        .orderBy(col("source"), col("bin"))
+    }),
+
     // Unicode NFC canonicalization — the normalization multilingual
     // curation applies before hashing (decomposed combining sequences
     // must collide with their precomposed forms). The corpus is ASCII,
@@ -974,6 +1015,30 @@ object Curation extends QueryPack {
         |SELECT doc_id, count(*) AS n_tokens, CAST(sum(wt) AS BIGINT) AS score_sum,
         |  CASE WHEN sum(wt) > 0 THEN 1 ELSE 0 END AS keep
         |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // sequential next-fit replayed as a per-source recursive CTE
+    // stepping docs in doc_id order (depth = max docs per source)
+    "q_pack_nextfit" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT source, doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        |  FROM documents),
+        |step AS (
+        |  SELECT source, rn, doc_id, n_tok, CAST(0 AS BIGINT) AS bin,
+        |    n_tok AS used
+        |  FROM d WHERE rn = 1
+        |  UNION ALL
+        |  SELECT d.source, d.rn, d.doc_id, d.n_tok,
+        |    CASE WHEN s.used + d.n_tok > 256 THEN s.bin + 1 ELSE s.bin END,
+        |    CASE WHEN s.used + d.n_tok > 256 THEN d.n_tok
+        |         ELSE s.used + d.n_tok END
+        |  FROM step s JOIN d ON d.source = s.source AND d.rn = s.rn + 1)
+        |SELECT source, bin, count(*) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS bin_tokens,
+        |  greatest(0, 256 - CAST(sum(n_tok) AS BIGINT)) AS padding,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM step GROUP BY source, bin ORDER BY source, bin""".stripMargin,
 
     "q_importance_dsir" ->
       """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS w

@@ -346,6 +346,47 @@ class CurationSpec extends SparkTestBase {
       "df=2 organic lines must survive the df>=3 threshold")
   }
 
+  test("q_pack_nextfit: driver next-fit replay; budget + contiguity invariants") {
+    val budget = 256L
+    val corpus = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("source"), col("doc_id"), col("text")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2).split(" ").length.toLong))
+    val expected = corpus.groupBy(_._1).toSeq.flatMap { case (src, ds) =>
+      var bin = 0L; var used = 0L; var first = true
+      ds.sortBy(_._2).toSeq.map { case (_, id, n) =>
+        if (!first && used + n > budget) { bin += 1; used = 0 }
+        first = false; used += n
+        (src, bin, id, n)
+      }
+    }
+    val expBins = expected.groupBy(t => (t._1, t._2)).map { case (k, ts) =>
+      k -> (ts.size.toLong, ts.map(_._4).sum,
+        ts.map(_._3).min, ts.map(_._3).max)
+    }
+    val rows = q("q_pack_nextfit").collect()
+    assert(rows.length == expBins.size, "bin count")
+    rows.foreach { r =>
+      val k = (r.getString(0), r.getLong(1))
+      val (nd, toks, fd, ld) = expBins(k)
+      assert(r.getLong(2) == nd && r.getLong(3) == toks, s"bin $k stats")
+      assert(r.getLong(5) == fd && r.getLong(6) == ld, s"bin $k doc range")
+      assert(r.getLong(4) == math.max(0L, budget - toks), s"bin $k padding")
+      // budget invariant: only a single oversized doc may exceed it
+      assert(toks <= budget || nd == 1, s"bin $k over budget with $nd docs")
+    }
+    // doc-boundary preservation: every doc appears exactly once
+    assert(expected.map(_._3).distinct.length == corpus.length)
+    // contiguity: bins partition each source's doc_id order into runs
+    rows.groupBy(_.getString(0)).foreach { case (src, rs) =>
+      val sorted = rs.sortBy(_.getLong(1))
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a.getLong(6) < b.getLong(5),
+          s"$src bins ${a.getLong(1)}/${b.getLong(1)} overlap")
+        case _ =>
+      }
+    }
+  }
+
   test("q_importance_dsir: driver replay of the hashed-LM log-ratio scoring") {
     def h60(x: String): Long = java.lang.Long.parseLong(
       java.security.MessageDigest.getInstance("MD5")

@@ -541,6 +541,15 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("Window"), p)
   }
 
+  test("q_pack_nextfit: typed group-map with in-shuffle secondary sort, no window") {
+    val p = finalPlan("q_pack_nextfit")
+    // the sequential packing state lives in MapGroups (typed path),
+    // sorted by doc_id inside the source shuffle — no window sort,
+    // no driver loop
+    assert(p.contains("MapGroups"), p)
+    assert(!p.contains("Window"), p)
+  }
+
   test("q_boilerplate_lines: keyed frequency agg + equi-join, no window, no loop") {
     val p = finalPlan("q_boilerplate_lines")
     // frequency + reassembly are hash aggs; the verdict join is equi
