@@ -25,10 +25,10 @@ class QueriesSpec extends SparkTestBase {
     val unoracled = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // round 10: q_similarity_ann / q_similarity_batch_ann left this set
     // (sign-LSH planes interpolated into the DuckDB mirror — see
-    // Pipeline.annBucketCtes). The 13 remaining are engine-internal
-    // sketches (HLL/KLL/bloom), real codecs, and float-geometry
-    // clustering (k-means/√-hierarchy) — each with an oracled audit
-    // twin or exact-replay spec.
+    // Pipeline.annBucketCtes). The 10 remaining are engine-internal
+    // sketches (HLL/KLL/bloom) and real codecs — each with an oracled
+    // audit twin or exact-replay spec; every round-11 addition is
+    // fully oracled.
     assert(unoracled == Set("q_agg_approx_distinct", "q_agg_approx_percentile",
       "q_multimodal_decode",
       "q_decontaminate_bloom",
