@@ -38,6 +38,16 @@ import org.apache.spark.sql.SparkSession
   * `degraded:true` now means even the retries never found a healthy
   * window (or the seq phase was starved).
   *
+  * Round-12 (VERDICT r11 #1): BENCH_r11 proved boundary brackets
+  * under-detect — a co-tenant that arrives and leaves INSIDE a pass
+  * stamps 26-50x per-query readings "clean". Three in-pass detectors
+  * now gate the seq phase (in-phase calibration samples, a pinned
+  * control set with standing clean-window refs, cross-pass per-query
+  * outlier flags), any of which marks the pass degraded and triggers
+  * the same sleep-and-retry budget; the artifact embeds the control
+  * ref-vs-run table ("ctl") so environment-vs-code is decidable from
+  * the JSON alone. Concurrent passes are lead+trail bracketed.
+  *
   * Optional args: query names to restrict to (local profiling).
   */
 object Bench {
@@ -66,6 +76,50 @@ object Bench {
     val clean = walls.zip(passDegraded).collect { case (w, false) => w }
     if (clean.nonEmpty) (clean.min, false) else (walls.min, true)
   }
+
+  // ---- mid-pass starvation detection (round 12, VERDICT r11 #1) ----
+  // BENCH_r11's "clean" seq pass carried q_dedup_semantic at 168.5 s
+  // and a 3-scan union at 21.2 s — 26-50x their standing mins — yet
+  // both boundary calibrations read healthy: the co-tenant arrived and
+  // left INSIDE the pass. Three independent detectors now catch that:
+  // in-phase calibration samples every few queries (seqCals middle
+  // element), cross-pass per-query outlier flags (outlierFlags), and a
+  // pinned control set with standing clean-window refs (controlHit) so
+  // environment-vs-code is decidable from the artifact alone even on a
+  // single pass.
+
+  /** Pass i is starvation-suspect when some query read > `ratio` x its
+    * standing min across ALL passes AND at least `absFloor` secs over
+    * it — the ratio alone would trip on cold-pass JIT (1.5-3x on
+    * sub-second queries), the absolute floor alone on heavy-query
+    * noise; the r11 starvation events (26-50x, +17..+165 s) clear both
+    * by an order of magnitude. Failed (-1) readings never participate. */
+  private[graft] def outlierFlags(passMaps: Seq[Map[String, Double]],
+      ratio: Double, absFloor: Double): Seq[Boolean] = {
+    if (passMaps.isEmpty) return Nil
+    val standing = passMaps.head.keys.map { n =>
+      n -> passMaps.flatMap(_.get(n)).filter(_ >= 0)
+    }.toMap
+    passMaps.map(_.exists { case (n, v) =>
+      val mins = standing.getOrElse(n, Nil)
+      v >= 0 && mins.nonEmpty && {
+        val mn = mins.min
+        v > ratio * mn && v - mn > absFloor
+      }
+    })
+  }
+
+  /** Control-set starvation hit: >= `minHits` pinned queries read
+    * > `ratio` x their standing clean-window ref (+`absFloor` secs).
+    * Two hits required — a single control outlier could be a genuine
+    * code regression; two independent queries slowing 6x+ at once on
+    * untouched plans is an environment event. */
+  private[graft] def controlHit(run: Map[String, Double],
+      refs: Map[String, Double], ratio: Double, absFloor: Double,
+      minHits: Int): Boolean =
+    refs.count { case (n, ref) =>
+      run.get(n).exists(v => v >= 0 && v > ratio * ref && v - ref > absFloor)
+    } >= minHits
 
   /** Per-query map for the SEQUENTIAL phase (round 11, VERDICT r10
     * #4): the per-query mins — the thing the next judge diffs
@@ -128,6 +182,28 @@ object Bench {
     pool.shutdown()
     math.min(threads.toDouble, threads * t1 / tN)
   }
+
+  /** Pinned control set (round 12, VERDICT r11 #1): standing
+    * clean-window per-query mins at sf0.1 / local[32] / full surface
+    * (healthy effpar brackets, min-of-2 passes, round-12 session; the
+    * heavy tail cross-checked against r10's artifact). Spans the cost
+    * bands — trivial scan-union, light agg/window/join, regex scan,
+    * and the heavy shuffle/broadcast queries that starved in r11 —
+    * over plans this round does not touch. The artifact emits
+    * ref-vs-run for each, so a reader separates environment (controls
+    * moved in lockstep) from code (one query moved, controls flat)
+    * without out-of-band data. */
+  private[graft] val controlRefs: Map[String, Double] = Map(
+    "q_union_dedup" -> 0.8,
+    "q_agg_group" -> 0.3,
+    "q_window_rank" -> 0.35,
+    "q_join_broadcast" -> 0.3,
+    "q_token_count" -> 0.4,
+    "q_tfidf" -> 1.6,
+    "q_dedup_text_lsh" -> 2.9,
+    "q_median_mad" -> 3.6,
+    "q_dedup_semantic" -> 3.4,
+    "q_audit_text_recall" -> 3.9)
 
   /** Raw cgroup v2 CPU quota ("max 100000" = unthrottled, or
     * "<quota_us> <period_us>"), plus the implied core count. */
@@ -240,30 +316,61 @@ object Bench {
     // passes only (pickPerQuery), and a fully-starved phase sleeps and
     // retries on the same budget the concurrent phase uses.
     val seqMaps = scala.collection.mutable.ArrayBuffer[Map[String, Double]]()
-    val seqCals = scala.collection.mutable.ArrayBuffer[(Double, Double)]()
-    val seqPassDegraded = scala.collection.mutable.ArrayBuffer[Boolean]()
+    val seqCals = scala.collection.mutable.ArrayBuffer[(Double, Double, Double)]()
+    val seqCalDegraded = scala.collection.mutable.ArrayBuffer[Boolean]()
+    val seqCtlHit = scala.collection.mutable.ArrayBuffer[Boolean]()
+    // the pinned refs are only meaningful on the surface they were
+    // measured on: full query set, sf0.1, 32 advertised cores
+    val ctlActive = args.isEmpty && cpus.toInt == 32 &&
+      sfDir.stripSuffix("/").endsWith("sf0.1")
+    // a pass is degraded when ANY detector fires: boundary/in-phase
+    // calibration, control-set hit, or cross-pass per-query outlier —
+    // recomputed each iteration because a later clean pass can expose
+    // an earlier pass as the starved one retroactively
+    def seqDegradedFlags: Seq[Boolean] = {
+      val out = outlierFlags(seqMaps.toSeq, 6.0, 5.0)
+      seqCalDegraded.indices
+        .map(i => seqCalDegraded(i) || seqCtlHit(i) || out(i))
+    }
     var seqRetries = 0
     inSeqPhase = true
+    // in-phase sampling cadence: ~10 calibration probes per pass
+    // (~100 ms each, always BETWEEN queries — never inside a timed
+    // region), catching the co-tenant that arrives after the leading
+    // bracket and leaves before the trailing one (BENCH_r11's blind spot)
+    val calEvery = math.max(8, selected.size / 10)
     var calLead = effectiveParallelism(cpus.toInt)
-    while (needAnotherPass(seqMaps.length, passes, seqPassDegraded.toSeq,
+    while (needAnotherPass(seqMaps.length, passes, seqDegradedFlags,
         seqRetries, maxRetries)) {
       if (seqMaps.length >= passes) {
         seqRetries += 1
         Thread.sleep(retrySleepMs)
         calLead = effectiveParallelism(cpus.toInt) // post-sleep re-bracket
       }
-      seqMaps += selected.map { case (n, f) => n -> runOne(n, f) }.toMap
+      var qi = 0
+      var calInMin = Double.MaxValue
+      seqMaps += selected.map { case (n, f) =>
+        if (qi > 0 && qi % calEvery == 0)
+          calInMin = math.min(calInMin, effectiveParallelism(cpus.toInt))
+        qi += 1
+        n -> runOne(n, f)
+      }.toMap
       val calTrail = effectiveParallelism(cpus.toInt)
-      seqCals += ((calLead, calTrail))
-      seqPassDegraded += (calLead < halfCores || calTrail < halfCores)
+      val calIn = if (calInMin == Double.MaxValue) calTrail else calInMin
+      seqCals += ((calLead, calIn, calTrail))
+      seqCalDegraded +=
+        (calLead < halfCores || calIn < halfCores || calTrail < halfCores)
+      seqCtlHit +=
+        (ctlActive && controlHit(seqMaps.last, controlRefs, 6.0, 3.0, 2))
       calLead = calTrail // shared bracket when no sleep intervenes
     }
     inSeqPhase = false
+    val seqPassDegraded = seqDegradedFlags
     val (seq, seqDegraded) =
-      pickPerQuery(seqMaps.toSeq, seqPassDegraded.toSeq)
+      pickPerQuery(seqMaps.toSeq, seqPassDegraded)
     // the single legacy effpar.seq number: the worst calibration
     // observed anywhere in the phase (most pessimistic disclosure)
-    val calSeq = seqCals.flatMap(c => Seq(c._1, c._2)).min
+    val calSeq = seqCals.flatMap(c => Seq(c._1, c._2, c._3)).min
     val seqTotal = seq.values.filter(_ >= 0).sum
 
     // concurrent throughput passes over the warm session; min-of-N
@@ -305,7 +412,7 @@ object Bench {
       sys.env.getOrElse("SPARK_GRAFT_CONC_SHUFFLE_PARTS",
         sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTS",
           math.max(4, cpus.toInt * 4 / streams).toString)))
-    val calConc = scala.collection.mutable.ArrayBuffer[Double]()
+    val calConc = scala.collection.mutable.ArrayBuffer[(Double, Double)]()
     // Degraded-window retry (round 10, VERDICT r9 #3): BENCH_r09
     // shipped a degraded:true wall while the true number lived only in
     // PERF.md. The bench now ACTS on its own diagnosis — as long as NO
@@ -324,10 +431,12 @@ object Bench {
         retries, maxRetries)) {
       if (passNo >= concPasses) { retries += 1; Thread.sleep(retrySleepMs) }
       passNo += 1
-      val cal = effectiveParallelism(cpus.toInt) // per-pass: a starved
-      // pass sits NEXT TO its own degraded calibration in the artifact
-      calConc += cal
-      passDegraded += cal < halfCores
+      // per-pass BRACKET (round 12): a starved pass sits next to its
+      // own degraded calibration in the artifact; the trailing probe
+      // catches starvation that begins mid-pass (a mid-pass probe
+      // would read low from our own 16 streams, so brackets are the
+      // finest honest granularity the concurrent phase allows)
+      val calL = effectiveParallelism(cpus.toInt)
       val w0 = System.nanoTime()
       val futs = byCost.map { case (n, f) =>
         scala.concurrent.Future {
@@ -349,6 +458,9 @@ object Bench {
         concFailed ++= results.collect { case (n, v) if v < 0 => n }
       }
       walls += (System.nanoTime() - w0) / 1e9
+      val calT = effectiveParallelism(cpus.toInt)
+      calConc += ((calL, calT))
+      passDegraded += (calL < halfCores || calT < halfCores)
     }
     val (wall, wallDegraded) = pickWall(walls.toSeq, passDegraded.toSeq)
     pool.shutdown()
@@ -382,14 +494,27 @@ object Bench {
     // retry budget). Every per-pass wall + calibration is attached
     // either way.
     val degraded = wallDegraded || seqDegraded
+    // control-set delta table (round 12, VERDICT r11 #1): pinned
+    // clean-window refs vs this run's shipped per-query numbers —
+    // controls moving in lockstep = environment, one query moving
+    // alone = code; decidable from this line alone
+    val ctlJson =
+      if (!ctlActive) "null"
+      else controlRefs.toSeq.sortBy(_._1).map { case (n, r) =>
+        "\"" + n + "\":[" + r + "," + round3(seq.getOrElse(n, -1.0)) + "]"
+      }.mkString("{", ",", "}")
     val effJson = s""""effpar":{"seq":${round3(calSeq)},"conc":[${
-      calConc.map(round3).mkString(",")}],"post":${round3(calPost)}},""" +
+      calConc.map(c => s"[${round3(c._1)},${round3(c._2)}]")
+        .mkString(",")}],"post":${round3(calPost)}},""" +
       s""""cpu_max":"$cpuMaxRaw","cpu_quota_cores":${round3(cpuQuotaCores)},""" +
       s""""seq_passes":${seqMaps.length},"seq_cals":[${
-        seqCals.map(c => s"[${round3(c._1)},${round3(c._2)}]")
+        seqCals.map(c => s"[${round3(c._1)},${round3(c._2)},${round3(c._3)}]")
           .mkString(",")}],"seq_pass_degraded":[${
-        seqPassDegraded.mkString(",")}],"seq_retries":$seqRetries,""" +
-      s""""seq_degraded":$seqDegraded,""" +
+        seqPassDegraded.mkString(",")}],"seq_ctl_hit":[${
+        seqCtlHit.mkString(",")}],"seq_outlier":[${
+        outlierFlags(seqMaps.toSeq, 6.0, 5.0).mkString(",")
+      }],"seq_retries":$seqRetries,""" +
+      s""""seq_degraded":$seqDegraded,"ctl":$ctlJson,""" +
       s""""conc_passes":${walls.length},"conc_walls":[${
         walls.map(round3).mkString(",")}],"conc_degraded":[${
         passDegraded.mkString(",")}],"degraded_retries":$retries,""" +
@@ -405,6 +530,6 @@ object Bench {
     val slowest = seq.toSeq.filter(_._2 >= 0).sortBy(-_._2).take(12)
       .map { case (k, v) => "\"" + k + "\":" + round3(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"wall_${streams}streams_warm","value":${round3(wall)},"unit":"sec","queries":$slowest,"sf":"$sfDir","seq_total":${round3(seqTotal)},"n_queries":${seq.size},"n_failed":${failed.size},"failed":$failedJson,"cpus":$cpus,"passes":$passes,"loadavg":[$load0,$load1],$effJson,"note":"noop-sink; value=min over NON-degraded ${streams}-stream concurrent walls (configured $concPasses passes + ${walls.length - concPasses} degraded-window retries with ${retrySleepMs / 1000}s backoff; all walls in conc_walls); queries=12 slowest per-query MIN-across-clean-seq-pass secs (${seqMaps.length} passes incl $seqRetries degraded retries, each bracketed by two calibrations in seq_cals; seq_degraded:true = no clean pass existed), full map on the bench_per_query line; effpar=measured effective cores per phase (calibrated CPU spin; seq = worst bracket); degraded:true means even the retries never saw a healthy box in the flagged phase - the number is then an environment artifact, not a regression"}""")
+    println(s"""{"metric":"wall_${streams}streams_warm","value":${round3(wall)},"unit":"sec","queries":$slowest,"sf":"$sfDir","seq_total":${round3(seqTotal)},"n_queries":${seq.size},"n_failed":${failed.size},"failed":$failedJson,"cpus":$cpus,"passes":$passes,"loadavg":[$load0,$load1],$effJson,"note":"noop-sink; value=min over NON-degraded ${streams}-stream conc walls ($concPasses cfg + ${walls.length - concPasses} retries, ${retrySleepMs / 1000}s backoff), each [lead,trail]-bracketed by a calibrated CPU-spin (effpar ~ cpus = healthy); queries=12 slowest per-query mins over CLEAN seq passes only (${seqMaps.length} passes, $seqRetries retries; full map on the bench_per_query line); a seq pass is degraded if ANY of: bracket or in-phase calibration (seq_cals=[lead,inMin,trail]) under cpus/2, >=2 pinned control queries >6x their clean-window refs (ctl={name:[ref,run]}, seq_ctl_hit), or any query >6x+5s its cross-pass standing min (seq_outlier); degraded:true = retries never found a healthy window, the number is an environment artifact"}""")
   }
 }

@@ -35,6 +35,11 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // query builders .cache() shared subtrees and return plans with
+      // no post-action unpersist hook (Pipeline.scala header); the
+      // sweep bounds that by dropping the cache after each query —
+      // same contract Bench applies at its phase boundary (ADVICE r11)
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

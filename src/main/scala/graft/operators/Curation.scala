@@ -12,6 +12,15 @@ import graft.engine.{QueryPack, Tables}
   * (Gopher-style rules), PII redaction, deterministic global shuffle,
   * sequence packing to a context budget, and an inverted-index build.
   *
+  * Cache scope (ADVICE r11): the .cache() calls below (dsir feature
+  * stream, winnow fingerprints) mark multi-consumer subtrees on plans
+  * the builders return un-materialized, so there is no post-action
+  * unpersist hook here. The harnesses own the lifecycle: graft.Verify
+  * clears the cache after every query, graft.Bench at each phase
+  * boundary, ScaleStress between scale steps — cached blocks never
+  * accumulate across a sweep. A long-lived interactive session should
+  * do the same (or unpersist per stage), per Pipeline.scala's header.
+  *
   * Scale notes (100 TB posture, per operator):
   *  - decontaminate: benchmark n-gram sets are small by nature (eval
   *    suites are ~1e5 docs vs a ~1e10-doc corpus) — the gram set is
@@ -494,6 +503,14 @@ object Curation extends QueryPack {
         x => !x.startsWith("utm_") && x =!= "")), "&")
       val canon = concat(auth, path,
         when(kept === "", lit("")).otherwise(concat(lit("?"), kept)))
+      // Keep-best packing bounds (ADVICE r11): the ordinal encodes
+      // (longest n_chars wins, doc_id breaks ties) as
+      // (1e6 - n_chars)*1e10 + doc_id, which decodes correctly only
+      // while 0 <= n_chars < 1_000_000 and 0 <= doc_id < 1e10 — the
+      // same style of contract as q_dedup_winnow's pos < 2^20 packing.
+      // CurationSpec pins both bounds against the standing fixture;
+      // a corpus beyond them needs a wider packing (or min_by/arg_min
+      // once both engines agree on its multi-key tie-breaking).
       raw
         .select(canon.as("canon_url"),
           ((lit(1000000L) - col("n_chars")) * lit(10000000000L) + col("doc_id"))

@@ -1059,9 +1059,12 @@ object Pipeline extends QueryPack {
         .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
         .select(col("anchor_id"), lit("neg").as("role"), col("rn").as("rnk"),
           col("vec_id"), col("cos_sim"))
+      // LEFT join (ADVICE r11): an anchor whose label has no second
+      // member has no positive row — its hard negatives must survive
+      // with a NULL margin rather than silently vanish with the anchor
       pos.unionAll(neg)
         .join(broadcast(pos.select(col("anchor_id"), col("cos_sim").as("pos_cos"))),
-          Seq("anchor_id"))
+          Seq("anchor_id"), "left")
         .select(col("anchor_id"), col("role"), col("rnk"), col("vec_id"),
           col("cos_sim"), (col("cos_sim") - col("pos_cos")).as("margin"))
         .orderBy(col("anchor_id"), col("rnk"))
@@ -1644,7 +1647,7 @@ object Pipeline extends QueryPack {
         |SELECT u.anchor_id, u.role, u.rnk, u.vec_id, u.cos_sim,
         |  u.cos_sim - p.cos_sim AS margin
         |FROM (SELECT * FROM pos UNION ALL SELECT * FROM neg) u
-        |JOIN pos p USING (anchor_id)
+        |LEFT JOIN pos p USING (anchor_id)
         |ORDER BY u.anchor_id, u.rnk""".stripMargin,
 
     "q_token_count" ->

@@ -71,4 +71,49 @@ class BenchRetrySpec extends AnyFunSuite {
     assert(!deg)
     assert(m("a") == -1.0 && m("b") == 3.0)
   }
+
+  // ---- mid-pass starvation detectors (round 12, VERDICT r11 #1) ----
+
+  test("outlierFlags: the r11 event shape is caught, JIT cold passes are not") {
+    // pass 1 = warm mins; pass 2 carries the BENCH_r11 starvation
+    // signature (trivial union at 26x, heavy dedup at 50x)
+    val clean = Map("q_union" -> 0.8, "q_sem" -> 3.4, "q_small" -> 0.1)
+    val starved = Map("q_union" -> 21.2, "q_sem" -> 168.5, "q_small" -> 0.1)
+    assert(Bench.outlierFlags(Seq(clean, starved), 6.0, 5.0)
+      == Seq(false, true))
+    // a cold first pass (2-3x JIT on everything, sub-5s absolute
+    // deltas) must NOT flag — that's normal warmup, not starvation
+    val cold = Map("q_union" -> 2.2, "q_sem" -> 8.0, "q_small" -> 0.45)
+    assert(Bench.outlierFlags(Seq(cold, clean), 6.0, 5.0)
+      == Seq(false, false))
+  }
+
+  test("outlierFlags: the pass holding the min never flags itself; -1 ignored") {
+    val a = Map("q" -> 3.0, "r" -> -1.0)
+    val b = Map("q" -> 40.0, "r" -> 2.0)
+    assert(Bench.outlierFlags(Seq(a, b), 6.0, 5.0) == Seq(false, true))
+    // a single pass can never be an outlier against itself
+    assert(Bench.outlierFlags(Seq(b), 6.0, 5.0) == Seq(false))
+  }
+
+  test("controlHit: two 6x control excursions fire, one alone does not") {
+    val refs = Map("c1" -> 0.8, "c2" -> 3.4, "c3" -> 0.3)
+    // one control regressed (could be a genuine code change): no hit
+    assert(!Bench.controlHit(Map("c1" -> 21.0, "c2" -> 3.5, "c3" -> 0.3),
+      refs, 6.0, 3.0, 2))
+    // two controls moved in lockstep: environment event
+    assert(Bench.controlHit(Map("c1" -> 21.0, "c2" -> 168.0, "c3" -> 0.3),
+      refs, 6.0, 3.0, 2))
+    // big ratio but tiny absolute delta (0.3 -> 2.0) never counts
+    assert(!Bench.controlHit(Map("c1" -> 0.8, "c2" -> 168.0, "c3" -> 2.0),
+      refs, 6.0, 3.0, 2))
+    // missing / failed control readings never count
+    assert(!Bench.controlHit(Map("c2" -> 168.0, "c1" -> -1.0),
+      refs, 6.0, 3.0, 2))
+  }
+
+  test("every pinned control ref names a real query") {
+    Bench.controlRefs.keys.foreach(n =>
+      assert(SparkEntry.queries.contains(n), s"control $n not in the surface"))
+  }
 }

@@ -262,6 +262,22 @@ class CurationSpec extends SparkTestBase {
       s"ordinal decode broke for doc ${r.getLong(1)}"))
   }
 
+  test("q_dedup_url: fixture stays inside the keep-best packing bounds") {
+    // the (1e6 - n_chars)*1e10 + doc_id ordinal decodes correctly only
+    // while n_chars < 1_000_000 and doc_id < 1e10 (comment at the
+    // packing site); both engines would agree even on a violation, so
+    // the oracle can't catch one — this pin can (ADVICE r11)
+    val m = spark.read.parquet(s"$sf/documents.parquet")
+      .agg(max(col("n_chars")), max(col("doc_id")), min(col("n_chars")),
+        min(col("doc_id"))).head()
+    assert(m.getLong(0) < 1000000L,
+      s"max n_chars ${m.getLong(0)} exceeds the 1e6 packing bound")
+    assert(m.getLong(1) < 10000000000L,
+      s"max doc_id ${m.getLong(1)} exceeds the 1e10 packing bound")
+    assert(m.getLong(2) >= 0L && m.getLong(3) >= 0L,
+      "packing assumes non-negative n_chars and doc_id")
+  }
+
   test("q_dedup_span: first-occurrence-wins matches a driver-side replay") {
     val rows = q("q_dedup_span").collect().map(r => r.getLong(0) -> r).toMap
     val corpus = spark.read.parquet(s"$sf/documents.parquet")

@@ -496,12 +496,17 @@ class PlanSpec extends SparkTestBase {
   }
 
   test("q_bigram_kn: vocabulary-sized partial aggs, one-row nb broadcast") {
-    val p = finalPlan("q_bigram_kn")
+    // AQE explain prints the pre-runtime Initial Plan too; judge the
+    // Final Plan section only (ADVICE r11: the old disjunction passed
+    // whenever ANY BroadcastHashJoin existed, so an SMJ could slip in)
+    val p = finalPlan("q_bigram_kn").split("== Initial Plan ==")(0)
     // the three count tables aggregate map-side before shuffling
     assert(p.contains("partial_count") || p.contains("partial_sum"), p)
     // nb (one row) enters as a broadcast, never a shuffle join
     assert(p.contains("BroadcastNestedLoopJoin"), p)
-    assert(!p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"), p)
+    // no join in the plan is a shuffled sort-merge — the count tables
+    // are vocabulary-sized and must all attach as broadcasts
+    assert(!p.contains("SortMergeJoin"), p)
   }
 
   test("q_rrf_fusion: dense top-k group-limits, query side broadcasts") {
