@@ -235,6 +235,10 @@ object Bench {
       .config("spark.sql.shuffle.partitions", shuffleParts)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.scheduler.mode", "FAIR")
+      // managed tables (the bucketed-layout queries) land in a fresh
+      // tmp warehouse, never a cwd-relative spark-warehouse/
+      .config("spark.sql.warehouse.dir", java.nio.file.Files
+        .createTempDirectory("graft-wh").toString)
       .config("spark.ui.enabled", "false")
     sys.env.get("SPARK_GRAFT_JAR").foreach(j => builder.config("spark.jars", j))
     val spark = builder.getOrCreate()

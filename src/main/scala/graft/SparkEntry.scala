@@ -17,7 +17,7 @@ import graft.operators._
 object SparkEntry {
   private val packs = Seq(Relational, Windows, Funcs, Pipeline,
     StreamingQueries, Typed, Multimodal, SqlSurface, Curation, Retrieval,
-    Temporal, Snapshots, Audits)
+    Temporal, Snapshots, Audits, HoldingsContent)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Revenue by nation (scan→filter→join→agg→sort→limit — the

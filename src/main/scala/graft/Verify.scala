@@ -21,6 +21,10 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      // managed tables (the bucketed-layout queries) land in a fresh
+      // tmp warehouse, never a cwd-relative spark-warehouse/
+      .config("spark.sql.warehouse.dir",
+        Files.createTempDirectory("graft-wh").toString)
       .config("spark.ui.enabled", "false")
     sys.env.get("SPARK_GRAFT_JAR").foreach(j => builder.config("spark.jars", j))
     val spark = builder.getOrCreate()

@@ -24,6 +24,26 @@ object Relational extends QueryPack {
 
   private def ts(s: String) = lit(java.sql.Timestamp.valueOf(s))
 
+  private val bucketed =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  /** Land customer+orders as co-bucketed sorted managed tables, once
+    * per (process, sf dir) — the A28 write-once layout; names are sf-
+    * hashed so differently-scaled fixtures never collide in-session. */
+  private def bucketedBase(s: SparkSession, d: String): (String, String) =
+    bucketed.computeIfAbsent(d, _ => {
+      val h = Integer.toHexString(d.hashCode)
+      val oT = s"graft_orders_bkt_$h"
+      val cT = s"graft_customer_bkt_$h"
+      graft.engine.Layout.writeBucketed(
+        Tables.t(s, d, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
+        oT, "o_custkey", 8)
+      graft.engine.Layout.writeBucketed(
+        Tables.t(s, d, "customer"), cT, "c_custkey", 8)
+      (oT, cT)
+    })
+
   override def queries: Map[String, Q] = Map(
     "q_scan_project" -> ((s, d) => {
       Tables.t(s, d, "lineitem")
@@ -50,6 +70,43 @@ object Relational extends QueryPack {
         .select(col("o_orderkey"), col("o_totalprice"), col("c_name"),
           col("c_mktsegment"))
         .orderBy(col("o_orderkey"))
+    }),
+
+    // The A28 memoized-layout claim on the QUERY surface (VERDICT r11
+    // missing #3): customer and orders land ONCE as co-bucketed +
+    // sorted managed tables (engine/Layout.writeBucketed, 8 buckets on
+    // the customer key); the per-customer aggregate and the join then
+    // run with ZERO hash-partitioning Exchange — the aggregation rides
+    // the bucketed scan's partitioning and the join matches bucket
+    // layouts on both sides (plan-pinned in PlanSpec). The merge hint
+    // pins the non-broadcast path: at real scale neither side fits a
+    // broadcast, which is exactly when the write-once layout pays for
+    // every subsequent join. Oracled: DuckDB recomputes the same
+    // aggregate+join from the raw parquet, so the bucketed write→read
+    // round trip is value-checked.
+    "q_join_bucketed" -> ((s, d) => {
+      val custT = Tables.t(s, d, "customer").schema("c_custkey").dataType
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("c_custkey", custT),
+        org.apache.spark.sql.types.StructField("c_mktsegment",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("n_orders",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("spend",
+          org.apache.spark.sql.types.DoubleType)))
+      graft.plans.Deferred.df(s, "join_bucketed", schema) { () =>
+        val (ordersT, custTbl) = bucketedBase(s, d)
+        val o = graft.engine.Layout.readTable(s, ordersT)
+          .groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(dec2(col("o_totalprice"))).as("spend_d"))
+        graft.engine.Layout.readTable(s, custTbl)
+          .hint("merge") // never broadcast: the layout IS the point
+          .join(o, col("c_custkey") === col("o_custkey"))
+          .select(col("c_custkey"), col("c_mktsegment"), col("n_orders"),
+            col("spend_d").cast("double").as("spend"))
+          .orderBy(col("c_custkey"))
+      }
     }),
 
     "q_join_broadcast" -> ((s, d) => {
@@ -451,6 +508,12 @@ object Relational extends QueryPack {
   )
 
   override def oracle: Map[String, String] = Map(
+    "q_join_bucketed" ->
+      """SELECT c_custkey, c_mktsegment, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |GROUP BY 1, 2 ORDER BY c_custkey""".stripMargin,
+
     "q_scan_project" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity, l_extendedprice
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,

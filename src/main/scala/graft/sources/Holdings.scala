@@ -34,6 +34,41 @@ object Holdings {
       .option("header", "true")
       .csv(dir)
 
+  /** Land one FLAT `{key}.csv` per key — the exact on-disk shape the
+    * reference's downloader leaves behind (ishares.py:184-186: one
+    * holdings csv named by the fund's ISIN, key in the FILENAME, not
+    * a column). One distributed partitioned write, then a driver-side
+    * rename per key (the rename is metadata-only, like the reference's
+    * claim-latest move in base_scraper.py:96); readHoldings re-derives
+    * the key from the filename. Key values must be filesystem-safe
+    * (the fund ids here are). */
+  def landPerKeyCsv(df: DataFrame, dir: String, keyCol: String): Unit = {
+    val staging = dir.stripSuffix("/") + ".staging"
+    // coalesce(1): exactly one csv per partition dir, so the rename
+    // below is unambiguous (fixture-scale catalogs — a real 100 TB
+    // deployment keeps the partitioned tree and skips the flattening)
+    df.coalesce(1).write.mode("overwrite").partitionBy(keyCol)
+      .option("header", "true").csv(staging)
+    val dest = new java.io.File(dir)
+    dest.mkdirs()
+    Option(new java.io.File(staging).listFiles).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith(keyCol + "="))
+      .foreach { kd =>
+        val v = java.net.URLDecoder.decode(
+          kd.getName.drop(keyCol.length + 1), "UTF-8")
+        val part = kd.listFiles.filter(_.getName.endsWith(".csv"))
+        require(part.length == 1, s"expected one csv under $kd")
+        java.nio.file.Files.move(part.head.toPath,
+          new java.io.File(dest, v + ".csv").toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles).getOrElse(Array.empty).foreach(rm)
+      f.delete()
+    }
+    rm(new java.io.File(staging))
+  }
+
   /** Latest file per key by modification time — the reference's
     * argmax-by-mtime rename (base_scraper.py:85-109,96) as a windowed
     * top-1 over a binaryFile listing. */

@@ -36,6 +36,18 @@ class PlanSpec extends SparkTestBase {
     assert(plan("q_join_broadcast").contains("BroadcastHashJoin"))
   }
 
+  test("q_join_bucketed: agg + join ride the bucketed layout with zero shuffle") {
+    // the write-once layout claim (A28): per-customer aggregation and
+    // the customer⋈orders join both reuse the bucketed scan's
+    // partitioning — no hash Exchange, no broadcast; only the final
+    // ORDER BY is allowed its range Exchange
+    val p = finalPlan("q_join_bucketed")
+    assert(p.contains("SortMergeJoin"), p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(!p.contains("BroadcastExchange"), p)
+    assert(p.contains("Bucketed: true"), p)
+  }
+
   test("q_join_multiway broadcasts all dimension sides") {
     val p = plan("q_join_multiway")
     assert(p.contains("BroadcastHashJoin"))
