@@ -46,13 +46,25 @@ object SfGen {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // SPARK_GRAFT_SF_TABLES (csv, default all): restrict which tables
+    // replicate — the round-12 over-cap LSH fixture needs ONLY a
+    // ≥1.6 M-doc documents table (×35 of sf1), and replicating
+    // lineitem/events at that factor would cost GBs for queries the
+    // run never touches. Unlisted tables symlink to the base fixture
+    // so every query still resolves against the one scaled dir.
+    val only: Set[String] = sys.env.get("SPARK_GRAFT_SF_TABLES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(tables.toSet)
+    val unknownT = only -- tables.toSet
+    require(unknownT.isEmpty, s"unknown tables: ${unknownT.mkString(",")}")
+
     val done = new java.io.File(outDir, "_SUCCESS")
     if (done.exists()) {
       // the fixture survives across driver testdata regenerations —
       // REFUSE a stale tree instead of silently verifying old data
       // (VERDICT r8 #4): the manifest pins the md5 of every base file
       // the standing fixture was built from.
-      validateManifest(baseDir, outDir, factor) match {
+      validateManifest(baseDir, outDir, factor, only) match {
         case None => println(s"[sfgen] $outDir already built (manifest OK)"); return
         case Some(why) =>
           System.err.println(s"[sfgen] STALE fixture at $outDir: $why\n" +
@@ -86,6 +98,16 @@ object SfGen {
       off(base("embeddings"), "vec_id"))
 
     def replicate(t: String)(per: (DataFrame, Int) => DataFrame): Unit = {
+      if (!only(t)) {
+        // subset mode: unlisted tables ride along as symlinks so the
+        // fixture dir stays a complete table set
+        val link = Paths.get(s"$outDir/$t.parquet")
+        if (Files.isSymbolicLink(link)) Files.delete(link)
+        if (!Files.exists(link))
+          Files.createSymbolicLink(link, Paths.get(s"$baseDir/$t.parquet"))
+        println(s"[sfgen] $t -> symlink to base (not in SPARK_GRAFT_SF_TABLES)")
+        return
+      }
       val b = base(t)
       val scaled = (0 until factor).map(r => per(b, r)).reduce(_ unionAll _)
       val tmp = s"$outDir/.tmp_$t"
@@ -129,7 +151,7 @@ object SfGen {
           slice(col("embedding"), lit(r + 1), size(col("embedding")) - lit(r)),
           slice(col("embedding"), lit(1), lit(r))).cast("array<float>")))
 
-    writeManifest(spark, baseDir, outDir, factor)
+    writeManifest(spark, baseDir, outDir, factor, only)
     Files.createFile(done.toPath)
     println(s"[sfgen] done: factor $factor from $baseDir")
     spark.stop()
@@ -153,14 +175,16 @@ object SfGen {
     * table row count — everything a later run (or tools/sfcheck.py)
     * needs to detect a stale or corrupt fixture without rebuilding. */
   private def writeManifest(spark: SparkSession, baseDir: String,
-      outDir: String, factor: Int): Unit = {
+      outDir: String, factor: Int, only: Set[String]): Unit = {
     val entries = tables.map { t =>
       val md5 = fileMd5(Paths.get(s"$baseDir/$t.parquet"))
       val rows = spark.read.parquet(s"$outDir/$t.parquet").count()
       s"""    "$t": {"base_md5": "$md5", "scaled_rows": $rows}"""
     }.mkString(",\n")
+    val scaledList = tables.filter(only).map("\"" + _ + "\"").mkString(", ")
     Files.writeString(Paths.get(s"$outDir/MANIFEST.json"),
       s"""{\n  "factor": $factor,\n  "base_dir": "$baseDir",\n""" +
+        s"""  "scaled_tables": [$scaledList],\n""" +
         s"""  "tables": {\n$entries\n  }\n}\n""")
   }
 
@@ -173,7 +197,8 @@ object SfGen {
     * wrong-scale fixture — the exact silent-wrong-data class this
     * guard exists to refuse. */
   private[graft] def validateManifest(baseDir: String, outDir: String,
-      requestedFactor: Int): Option[String] = {
+      requestedFactor: Int,
+      requestedTables: Set[String] = tables.toSet): Option[String] = {
     val mf = Paths.get(s"$outDir/MANIFEST.json")
     if (!Files.exists(mf))
       return Some("no MANIFEST.json (fixture predates the manifest guard)")
@@ -186,6 +211,17 @@ object SfGen {
           s"this run requests factor $requestedFactor")
       case _ =>
     }
+    // subset check (round 12): a documents-only fixture must not pass
+    // for a run that expects the full table set, and vice versa.
+    // Manifests predating the field scaled every table.
+    val scaledPat = """"scaled_tables":\s*\[([^\]]*)\]""".r
+    val manifestTables = scaledPat.findFirstMatchIn(txt)
+      .map(_.group(1).split(",").map(_.trim.stripPrefix("\"")
+        .stripSuffix("\"")).filter(_.nonEmpty).toSet)
+      .getOrElse(tables.toSet)
+    if (manifestTables != requestedTables)
+      return Some(s"fixture scaled [${manifestTables.toSeq.sorted.mkString(",")}], " +
+        s"this run requests [${requestedTables.toSeq.sorted.mkString(",")}]")
     tables.flatMap { t =>
       val base = Paths.get(s"$baseDir/$t.parquet")
       val pat = s""""$t": \\{"base_md5": "([0-9a-f]{32})"""".r

@@ -312,19 +312,30 @@ object Curation extends QueryPack {
         } else {
           val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
           var pr = nodes.withColumn("fp", lit(fpOne / n))
-          (1 to 5).foreach { _ =>
-            val contrib = edges.join(pr, col("src") === col("node"))
+          def round(prev: DataFrame): DataFrame = {
+            val contrib = edges.join(prev, col("src") === col("node"))
               .join(deg, Seq("src"))
               .groupBy(col("dst"))
               .agg(sum(expr("fp div deg")).as("infp"))
             // rank' = 0.15/n + 0.85·in, all in floor-divided fixed point
-            pr = nodes.join(contrib, col("node") === col("dst"), "left")
+            nodes.join(contrib, col("node") === col("dst"), "left")
               .select(col("node"),
                 (lit(150000000000000L / n) +
                   expr("(85 * coalesce(infp, cast(0 as bigint))) div 100"))
                   .as("fp"))
-              .localCheckpoint()
           }
+          // TWO power rounds per checkpoint (VERDICT r11 #7): each
+          // eager localCheckpoint is a blocking driver→executor round
+          // trip, which the multi-JVM A/B measured at +24% seq for
+          // this query — latency, not compute. Lineage still truncates
+          // (depth ≤ 2 rounds ≈ 6 operators between cuts), the
+          // arithmetic is exact integers so batching cannot change a
+          // bit, and the 5th round rides the output plan with no cut
+          // at all: 5 rounds now cost 2 checkpoints instead of 5.
+          (1 to 2).foreach { _ =>
+            pr = round(round(pr)).localCheckpoint()
+          }
+          pr = round(pr)
           pr.select(col("node").as("doc_id"),
             (col("fp").cast("double") / lit(1e15)).as("pagerank"))
             .orderBy(desc("pagerank"), col("doc_id"))

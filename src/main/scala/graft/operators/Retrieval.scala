@@ -142,9 +142,20 @@ object Retrieval extends QueryPack {
   private[graft] val forceShardsProp = "graft.lsh.shards.force"
   private[operators] def forcedShards: Option[Int] =
     Option(System.getProperty(forceShardsProp)).map(_.toInt)
+  // Build gate recalibrated (round 12): the r11 gate (600 MB ≈
+  // 1.57 M docs at the ~400 B/doc sf0.1 compression) never fires on
+  // the leaner sf1-replica corpora (~115 B/doc — an over-cap 1.75 M-
+  // doc fixture reads ~200 MB), so the over-cap path could only be
+  // force-propped. The gate's only job is to keep the byte-identical
+  // zero-overhead plan on clearly-sub-cap corpora; the ACTUAL shard
+  // count is S = ⌈n/1.57M⌉ derived in-plan from the corpus count
+  // (shardCountSel), and the shard shape at S=1 is value-identical
+  // with measured ~0 overhead (PERF.md r11 triple: S=2 within 7% of
+  // unsharded at ×100). So the gate errs early: 64 MB covers every
+  // plausible bytes/doc (0.4-1.2 M docs) — past it the count decides.
   private[operators] def shardingNeeded(d: String): Boolean =
     forcedShards.isDefined ||
-      dirBytes(new java.io.File(s"$d/documents.parquet")) > 600L * 1024 * 1024
+      dirBytes(new java.io.File(s"$d/documents.parquet")) > 64L * 1024 * 1024
 
   /** The shard-pair self-join described at [[forceShardsProp]],
     * shared by the text-LSH band join and the embedding sign-LSH
@@ -985,19 +996,29 @@ object Retrieval extends QueryPack {
           // greedy left-to-right merge: fold the symbol array, fusing
           // [.., m1] + m2 → [.., m1m2]; a just-created merged symbol
           // never re-fuses with a following m2 unless it literally
-          // equals m1 — exactly the non-overlapping BPE apply rule
-          vocab = vocab
-            .crossJoin(broadcast(
-              top.select(col("s1").as("m1"), col("s2").as("m2"))))
-            .select(aggregate(col("syms"),
-              array().cast("array<string>"),
-              (acc, x) => when(size(acc) > 0 &&
-                  element_at(acc, -1) === col("m1") && x === col("m2"),
-                concat(slice(acc, lit(1), size(acc) - 1),
-                  array(concat(col("m1"), col("m2")))))
-                .otherwise(concat(acc, array(x))))
-              .as("syms"), col("wc"))
-            .localCheckpoint()
+          // equals m1 — exactly the non-overlapping BPE apply rule.
+          // Round-12 dispatch cuts (VERDICT r11 #7, the +21% multi-JVM
+          // seq delta was round-trip latency, not compute): the FINAL
+          // round's rewrite feeds nothing (learned is the output) and
+          // is skipped outright; odd rounds stay LAZY — the rewrite is
+          // a pure broadcast-join projection with no shuffle, so the
+          // next round's argmax fuses it into its own scan and only
+          // every second round pays a blocking checkpoint (lineage
+          // depth stays ≤ 2 nested folds between cuts).
+          if (r < nMerges) {
+            vocab = vocab
+              .crossJoin(broadcast(
+                top.select(col("s1").as("m1"), col("s2").as("m2"))))
+              .select(aggregate(col("syms"),
+                array().cast("array<string>"),
+                (acc, x) => when(size(acc) > 0 &&
+                    element_at(acc, -1) === col("m1") && x === col("m2"),
+                  concat(slice(acc, lit(1), size(acc) - 1),
+                    array(concat(col("m1"), col("m2")))))
+                  .otherwise(concat(acc, array(x))))
+                .as("syms"), col("wc"))
+            if (r % 2 == 0) vocab = vocab.localCheckpoint()
+          }
           r += 1
         }
         learned.orderBy(col("round"))
