@@ -28,6 +28,12 @@ object LshOverCap {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // 1.75 M-doc caches + wide sorts on one JVM: a full-GC pause can
+      // exceed the 120 s default executor-liveness window in local
+      // mode, which kills the run spuriously (observed round 12) —
+      // this is a single-box evidence harness, not the cluster shape
+      .config("spark.executor.heartbeatInterval", "60s")
+      .config("spark.network.timeout", "900s")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

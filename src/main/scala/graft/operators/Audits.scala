@@ -485,7 +485,14 @@ object Audits extends QueryPack {
     * Restricting `dense` makes proj/bands/sigs/keyed/cand/cvecs/dots
     * slice-sized transitively. Without this, the nested copy enumerated
     * 23.4M full-corpus candidate pairs at sf1 and spilled DuckDB past
-    * this box's disk budget — for rows the audit provably never reads. */
+    * this box's disk budget — for rows the audit provably never reads.
+    * Round-12 caveat: the hot-bucket star cap (occ/hotb CTEs) computes
+    * occupancy over the restricted `keyed`, which would diverge from
+    * the engine's corpus-wide occupancy — but the cap is nd-GATED
+    * (dormant while the corpus count ≤ 24·2^16, and n_d stays
+    * corpus-wide here), so at every scale this audit runs the hot flag
+    * is constant-false on both sides. An over-cap audit run would need
+    * a corpus-wide occupancy CTE spliced in alongside the slice. */
   private lazy val sliceRestrictedLshOracle: String = {
     val lsh = Retrieval.oracle("q_dedup_text_lsh")
     val from = "FROM docs_e d CROSS JOIN range(64) g(j)"

@@ -153,6 +153,10 @@ object Retrieval extends QueryPack {
   // with measured ~0 overhead (PERF.md r11 triple: S=2 within 7% of
   // unsharded at ×100). So the gate errs early: 64 MB covers every
   // plausible bytes/doc (0.4-1.2 M docs) — past it the count decides.
+  // (The hot-bucket star cap and the in-plan shard count are both
+  // nd-gated, so a gate false-positive builds value-identical shapes;
+  // a false NEGATIVE — an over-cap corpus under 64 MB — would need
+  // < 40 compressed bytes/doc, below any real text corpus.)
   private[operators] def shardingNeeded(d: String): Boolean =
     forcedShards.isDefined ||
       dirBytes(new java.io.File(s"$d/documents.parquet")) > 64L * 1024 * 1024
@@ -319,16 +323,104 @@ object Retrieval extends QueryPack {
       // the join on either path — see the plane-count note above)
       val residual = col("da") < col("db") &&
         expr("bit_count(sig_a ^ sig_b)") <= 16
-      val cand = (if (!shardingNeeded(d))
-          // sub-cap default: untouched round-10 band join
-          aa.join(bb, col("band_a") === col("band_b") &&
-            col("bkt_a") === col("bkt_b") && residual)
-        else
-          // over-cap (or forced): S shards, selected in-plan from the
-          // same corpus count that selects w (scaladoc at forceShardsProp)
-          shardPairJoin(aa, bb, shardCountSel(s, nD), "da", "db",
+      val cvf = packedVecsF(s, d)
+      // codegen'd float-cosine gate at 0.88 (margin argument in
+      // packedVecsF): keeps every true cosine-0.9 pair, kills the
+      // hamming-close-but-unrelated bulk (measured at sf1: only 2.6%
+      // of hamming survivors pass the cosine gate)
+      val fdot = GraftFunctions.dot_d(col("vfa"), col("vfb"))
+      val floatGate = fdot > 0 &&
+        fdot * fdot >= lit(0.7744) * col("n2a") * col("n2b")
+      val pre = (if (!shardingNeeded(d)) {
+          // sub-cap default: untouched round-10 band join, float
+          // prefilter attached AFTER candidate distinct — the
+          // FLOAT-SURVIVOR BARRIER comment below the branch explains
+          // why the interpreted integer gate must stay downstream
+          val cand = aa.join(bb, col("band_a") === col("band_b") &&
+              col("bkt_a") === col("bkt_b") && residual)
+            .select(col("da"), col("db")).distinct()
+          val sideAf = cvf.select(col("doc_id").as("da"),
+            col("vf").as("vfa"), col("n2f").as("n2a"))
+          val sideBf = cvf.select(col("doc_id").as("db"),
+            col("vf").as("vfb"), col("n2f").as("n2b"))
+          (if (verifyBroadcastOk(d))
+              cand.join(broadcast(sideAf), Seq("da"))
+                .join(broadcast(sideBf), Seq("db"))
+            else
+              cand.join(sideAf, Seq("da")).join(sideBf, Seq("db")))
+            .filter(floatGate)
+            .select(col("da"), col("db"))
+        } else {
+          // HOT-BUCKET STAR DISCIPLINE (round 12, measured the hard
+          // way): past the w=16 cap a pathological bucket — a single
+          // boilerplate/template cluster, NOT average growth — makes
+          // the pair enumeration quadratic in the cluster and drags
+          // cluster-sized VECTOR payloads through the verification
+          // joins (the organic 1.75 M-doc fixture spilled 63 GB before
+          // this guard; the corpus carries organic 472-1303-doc
+          // buckets at 5k-50k docs). A bucket whose occupancy exceeds
+          // 8× the expected nd/2^16 (cap = nd div 8192) emits STAR
+          // edges — bucket-min to each member, hamming-filtered — in
+          // place of all O(c²) pairs: dedup connectivity (the
+          // downstream cluster/star CC queries) is preserved through
+          // the star, per-bucket work falls to O(c), and the recall
+          // trade is the winnowing df≤8 doctrine applied to bands.
+          // Gated IN-PLAN on nd > 24·2^16 (the same constant that
+          // caps w), so every sub-cap corpus — and the oracle, which
+          // mirrors the gate from the same count — is value-identical
+          // to the ungated form; typical buckets at over-cap scale
+          // (24·S docs) sit 8× under the cap, so only true pathology
+          // stars. The occupancy table is doc×band-sized (one keyed
+          // agg + join-back), never pair-sized.
+          val occ = keyed.groupBy(col("band"), col("bkt"))
+            .agg(count(lit(1)).as("occ"),
+              min(struct(col("doc_id"), col("sig"))).as("bm"))
+            .crossJoin(broadcast(nD.select(col("nd").as("nd_c"))))
+            .select(col("band"), col("bkt"), col("occ"),
+              col("bm").getField("doc_id").as("bmin"),
+              col("bm").getField("sig").as("bsig"),
+              (col("nd_c") > lit(1572864L) &&
+                col("occ") > expr("nd_c div 8192")).as("hot"))
+          // IN-JOIN FLOAT VERIFICATION (round 12, measured the hard
+          // way again): the per-pair verification stream at over-cap
+          // scale carries ~600 B of float vectors per candidate, and
+          // the corpus runs ~100 hamming-close candidates per doc of
+          // which only ~2.6% pass cosine (sf1 funnel probe) — the
+          // organic 1.75 M-doc run spilled past this box's 78 GB even
+          // star-capped. Moving the codegen'd float gate INSIDE the
+          // band join flips the cost: the vectors ride the doc×band-
+          // sized keyed table (~8 x 300 B per doc, one shuffle) and
+          // only true cosine-0.88 survivors ever exist as pair rows.
+          // The r11 float-survivor barrier is unaffected: dot_d is
+          // compiled codegen, and the INTERPRETED integer folds still
+          // run only on the distinct survivor set downstream.
+          val keyedV = keyed.join(
+            cvf.select(col("doc_id"), col("vf"), col("n2f")), Seq("doc_id"))
+          val keyedH = keyedV.join(occ, Seq("band", "bkt"))
+          val cool = keyedH.filter(!col("hot"))
+          val ca = cool.select(col("doc_id").as("da"), col("band").as("band_a"),
+            col("bkt").as("bkt_a"), col("sig").as("sig_a"),
+            col("vf").as("vfa"), col("n2f").as("n2a"))
+          val cb = cool.select(col("doc_id").as("db"), col("band").as("band_b"),
+            col("bkt").as("bkt_b"), col("sig").as("sig_b"),
+            col("vf").as("vfb"), col("n2f").as("n2b"))
+          // cool buckets: S shards, selected in-plan from the same
+          // corpus count that selects w (scaladoc at forceShardsProp)
+          val pairs = shardPairJoin(ca, cb, shardCountSel(s, nD), "da", "db",
             col("band_a") === col("band_b") &&
-              col("bkt_a") === col("bkt_b") && residual))
+              col("bkt_a") === col("bkt_b") && residual && floatGate)
+            .select(col("da"), col("db"))
+          val starDot = GraftFunctions.dot_d(col("bvf"), col("vf"))
+          val stars = keyedH.filter(col("hot") &&
+              col("doc_id") =!= col("bmin") &&
+              expr("bit_count(bsig ^ sig)") <= 16)
+            .join(cvf.select(col("doc_id").as("bmin"), col("vf").as("bvf"),
+              col("n2f").as("bn2")), Seq("bmin"))
+            .filter(starDot > 0 &&
+              starDot * starDot >= lit(0.7744) * col("bn2") * col("n2f"))
+            .select(col("bmin").as("da"), col("doc_id").as("db"))
+          pairs.unionByName(stars)
+        })
         .select(col("da"), col("db")).distinct()
       // verification over PACKED per-doc vectors: codegen'd float
       // dot_d ≥ 0.88 prefilter first (margin argument in packedVecsF),
@@ -346,15 +438,6 @@ object Retrieval extends QueryPack {
       // this path on small data via the sys prop; both shapes are
       // value-identical (asserted in RetrievalSpec, plan-asserted in
       // PlanSpec).
-      val cvf = packedVecsF(s, d)
-      // float prefilter sides carry ONLY the float mirror (the
-      // integer vectors re-attach after the barrier below — halves
-      // the width of the heavy prefilter stream)
-      val sideAf = cvf.select(col("doc_id").as("da"),
-        col("vf").as("vfa"), col("n2f").as("n2a"))
-      val sideBf = cvf.select(col("doc_id").as("db"),
-        col("vf").as("vfb"), col("n2f").as("n2b"))
-      val fdot = GraftFunctions.dot_d(col("vfa"), col("vfb"))
       // FLOAT-SURVIVOR BARRIER (round 11 — the q_dedup_semantic
       // lesson re-learned on the over-cap path): without the
       // distinct() between the codegen'd float prefilter and the
@@ -370,14 +453,9 @@ object Retrieval extends QueryPack {
       // (5.06 vs 5.63 GB) — pure CPU. With the barrier only float
       // survivors (true near-dups, ~O(n)) reach interpreted
       // arithmetic, whatever join shape or pushdown the optimizer
-      // picks for either attach.
-      val pre = (if (verifyBroadcastOk(d))
-          cand.join(broadcast(sideAf), Seq("da"))
-            .join(broadcast(sideBf), Seq("db"))
-        else
-          cand.join(sideAf, Seq("da")).join(sideBf, Seq("db")))
-        .filter(fdot > 0 && fdot * fdot >= lit(0.7744) * col("n2a") * col("n2b"))
-        .select(col("da"), col("db")).distinct()
+      // picks for either attach. (In the sharded branch the float
+      // gate lives in the band join itself — still codegen — and
+      // `pre`'s distinct() is the same barrier for the stars/pairs.)
       val sideAc = cvf.select(col("doc_id").as("da"), col("cv").as("cva"))
       val sideBc = cvf.select(col("doc_id").as("db"), col("cv").as("cvb"))
       val dots = (if (verifyBroadcastOk(d))
@@ -1244,11 +1322,26 @@ object Retrieval extends QueryPack {
         |         FROM proj GROUP BY 1),
         |keyed AS MATERIALIZED (SELECT b.doc_id, b.band, b.bkt, s.sig
         |          FROM bands b JOIN sigs s USING (doc_id)),
-        |cand AS MATERIALIZED (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+        |occ AS MATERIALIZED (SELECT band, bkt, count(*) AS occ,
+        |          min(doc_id) AS bmin FROM keyed GROUP BY 1, 2),
+        |hotb AS (SELECT o.band, o.bkt, o.bmin, k.sig AS bsig,
+        |           ((SELECT nd FROM n_d) > 1572864
+        |            AND o.occ > (SELECT nd FROM n_d) // 8192) AS hot
+        |         FROM occ o JOIN keyed k
+        |           ON k.band = o.band AND k.bkt = o.bkt AND k.doc_id = o.bmin),
+        |cand AS MATERIALIZED (SELECT DISTINCT da, db FROM (
+        |         SELECT a.doc_id AS da, b.doc_id AS db
         |         FROM keyed a JOIN keyed b
         |           ON a.band = b.band AND a.bkt = b.bkt
         |          AND a.doc_id < b.doc_id
-        |          AND bit_count(xor(a.sig, b.sig)) <= 16),
+        |          AND bit_count(xor(a.sig, b.sig)) <= 16
+        |         JOIN hotb h ON h.band = a.band AND h.bkt = a.bkt AND NOT h.hot
+        |         UNION ALL
+        |         SELECT h.bmin AS da, k.doc_id AS db
+        |         FROM keyed k JOIN hotb h
+        |           ON h.band = k.band AND h.bkt = k.bkt AND h.hot
+        |          AND k.doc_id <> h.bmin
+        |          AND bit_count(xor(h.bsig, k.sig)) <= 16) u),
         |cvecs AS MATERIALIZED (SELECT doc_id, list(c ORDER BY j) AS cv
         |          FROM dense GROUP BY 1),
         |nrm AS MATERIALIZED (SELECT doc_id,
