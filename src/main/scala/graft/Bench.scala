@@ -205,6 +205,34 @@ object Bench {
     "q_dedup_semantic" -> 3.4,
     "q_audit_text_recall" -> 3.9)
 
+  // ---- host normalization for the control refs (ADVICE r12 medium) ----
+  // The refs above are absolute seconds measured on ONE box. On a
+  // legitimately slower 32-core host, >=2 controls would exceed 6x+3s
+  // on EVERY pass, every retry pass would burn, and the run would stamp
+  // degraded:true — healthy-but-different hardware indistinguishable
+  // from a co-tenant event. The same fixed CPU spin the calibrations
+  // use is therefore timed single-threaded on the current host and
+  // compared against the reference-host constant; refs and the
+  // absolute floor scale UP by that ratio on a slower host. The scale
+  // never drops below 1 (on a faster host the refs stay valid upper
+  // bounds) and is capped at 4x so one contended measurement cannot
+  // disarm the detector outright; both raw t1 and the applied scale
+  // ship in the artifact so the reader sees what was compared.
+
+  /** Reference-host single-thread seconds for spin(20_000_000): min of
+    * post-JIT reps on the box the controlRefs were measured on. */
+  private[graft] val controlRefT1: Double = 0.0425
+
+  /** Current-host single-thread spin time: 6 reps, first 2 discarded
+    * (JIT warm-up inflates them 2-3x), min of the rest — the min keeps
+    * one clean rep sufficient under transient contention. */
+  private def spinT1(): Double =
+    (1 to 6).map { _ =>
+      val t0 = System.nanoTime()
+      calSink.addAndGet(spin(20000000L))
+      (System.nanoTime() - t0) / 1e9
+    }.drop(2).min
+
   /** Raw cgroup v2 CPU quota ("max 100000" = unthrottled, or
     * "<quota_us> <period_us>"), plus the implied core count. */
   private def cpuMax: (String, Double) =
@@ -327,6 +355,11 @@ object Bench {
     // measured on: full query set, sf0.1, 32 advertised cores
     val ctlActive = args.isEmpty && cpus.toInt == 32 &&
       sfDir.stripSuffix("/").endsWith("sf0.1")
+    // per-host spin-calibrated ref scale (ADVICE r12; scaladoc at
+    // controlRefT1) — measured once up front, before any Spark load
+    val ctlT1 = spinT1()
+    val ctlScale = math.min(4.0, math.max(1.0, ctlT1 / controlRefT1))
+    val scaledRefs = controlRefs.map { case (n, v) => n -> v * ctlScale }
     // a pass is degraded when ANY detector fires: boundary/in-phase
     // calibration, control-set hit, or cross-pass per-query outlier —
     // recomputed each iteration because a later clean pass can expose
@@ -336,6 +369,24 @@ object Bench {
       seqCalDegraded.indices
         .map(i => seqCalDegraded(i) || seqCtlHit(i) || out(i))
     }
+    // ---- one-time build warm (ADVICE r12) ----
+    // Several queries carry build-at-first-EXECUTION work — landed CSV
+    // trees (holdingsBase), bucketed managed tables (bucketedBase),
+    // snapshot trees + stream state (snapshotBase/scd2), the media
+    // fixture + real-embedding decode, the semantic fit memo. That
+    // cost is one-time layout construction, not query cost, yet it
+    // lands in pass 1's timings — easily past the 6x+5s cross-pass
+    // outlier gate, stamping pass 1 'starved' on every run (and with
+    // passes=1, burning retries). Each build-carrying query runs once
+    // UNTIMED here so pass 1 measures the same warm plans passes 2..N
+    // do. Skipped under shuffle tracking: those manual PERF runs want
+    // exactly the cold first-touch bytes this warm-up would consume.
+    val buildCarriers = Seq("q_holdings_overlap", "q_join_bucketed",
+      "q_snapshot_diff", "q_snapshot_scd2_stream", "q_multimodal_decode",
+      "q_embed_real", "q_dedup_semantic")
+    if (!trackShuffle)
+      buildCarriers.filter(selected.contains)
+        .foreach(n => runOne(n, selected(n)))
     var seqRetries = 0
     inSeqPhase = true
     // in-phase sampling cadence: ~10 calibration probes per pass
@@ -365,7 +416,8 @@ object Bench {
       seqCalDegraded +=
         (calLead < halfCores || calIn < halfCores || calTrail < halfCores)
       seqCtlHit +=
-        (ctlActive && controlHit(seqMaps.last, controlRefs, 6.0, 3.0, 2))
+        (ctlActive && controlHit(seqMaps.last, scaledRefs, 6.0,
+          3.0 * ctlScale, 2))
       calLead = calTrail // shared bracket when no sleep intervenes
     }
     inSeqPhase = false
@@ -502,10 +554,13 @@ object Bench {
     // clean-window refs vs this run's shipped per-query numbers —
     // controls moving in lockstep = environment, one query moving
     // alone = code; decidable from this line alone
+    // the shipped ref is the host-SCALED one — the operative threshold
+    // base — with the raw t1 + applied scale alongside (ADVICE r12)
     val ctlJson =
       if (!ctlActive) "null"
-      else controlRefs.toSeq.sortBy(_._1).map { case (n, r) =>
-        "\"" + n + "\":[" + r + "," + round3(seq.getOrElse(n, -1.0)) + "]"
+      else scaledRefs.toSeq.sortBy(_._1).map { case (n, r) =>
+        "\"" + n + "\":[" + round3(r) + "," +
+          round3(seq.getOrElse(n, -1.0)) + "]"
       }.mkString("{", ",", "}")
     val effJson = s""""effpar":{"seq":${round3(calSeq)},"conc":[${
       calConc.map(c => s"[${round3(c._1)},${round3(c._2)}]")
@@ -519,6 +574,8 @@ object Bench {
         outlierFlags(seqMaps.toSeq, 6.0, 5.0).mkString(",")
       }],"seq_retries":$seqRetries,""" +
       s""""seq_degraded":$seqDegraded,"ctl":$ctlJson,""" +
+      s""""ctl_t1":${math.rint(ctlT1 * 1e4) / 1e4},"ctl_ref_t1":$controlRefT1,""" +
+      s""""ctl_scale":${math.rint(ctlScale * 100) / 100},""" +
       s""""conc_passes":${walls.length},"conc_walls":[${
         walls.map(round3).mkString(",")}],"conc_degraded":[${
         passDegraded.mkString(",")}],"degraded_retries":$retries,""" +

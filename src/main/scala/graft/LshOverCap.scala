@@ -67,13 +67,20 @@ object LshOverCap {
       val wall = (System.nanoTime() - t0) / 1e9
       val bytes = settle() - b0
       val md = java.security.MessageDigest.getInstance("MD5")
-      rows.map(_.mkString("")).sorted
+      // \\u0001-separated fields (ADVICE r12): an empty separator aliases
+      // across column boundaries — ("a","bc") vs ("ab","c") would hash
+      // identically and mask a real divergence
+      rows.map(_.mkString("\u0001")).sorted
         .foreach(r => md.update(r.getBytes("UTF-8")))
       val hash = md.digest().map("%02x".format(_)).mkString
       val plan = df.queryExecution.executedPlan.toString
       // the shard-pair join shape must be IN the executed plan: the
-      // explode over the target-shard sequence and both shard keys
-      val shape = if (plan.contains("sa") && plan.contains("tb") &&
+      // explode over the target-shard sequence and both shard keys.
+      // Attribute-anchored (ADVICE r12): plan text renders attributes
+      // as name#exprId, so \\bsa#\\d cannot match an incidental two-char
+      // substring the way a bare contains("sa") could
+      val shape = if ("""\bsa#\d""".r.findFirstIn(plan).isDefined &&
+        """\btb#\d""".r.findFirstIn(plan).isDefined &&
         plan.contains("Generate")) "shard-pair" else "unsharded"
       println(s"[overcap] $label: wall ${round2(wall)} s, " +
         s"${rows.length} pairs, ${bytes / 1048576} MB shuffle, $shape")

@@ -104,7 +104,10 @@ object SfGen {
         val link = Paths.get(s"$outDir/$t.parquet")
         if (Files.isSymbolicLink(link)) Files.delete(link)
         if (!Files.exists(link))
-          Files.createSymbolicLink(link, Paths.get(s"$baseDir/$t.parquet"))
+          // absolute target (ADVICE r12): a relative baseDir would be
+          // resolved against outDir at READ time, yielding a dangling link
+          Files.createSymbolicLink(link,
+            Paths.get(s"$baseDir/$t.parquet").toAbsolutePath.normalize())
         println(s"[sfgen] $t -> symlink to base (not in SPARK_GRAFT_SF_TABLES)")
         return
       }

@@ -15,6 +15,16 @@ object Tables {
   val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Collision-resistant digest for per-fixture table/dir name suffixes.
+    * String.hashCode is 32 bits — two fixture dirs colliding in one JVM
+    * would silently overwrite/rm each other's landed data while the
+    * memo still points at the first (ADVICE r12; Multimodal hit the
+    * same class in r6). Callers digest the ABSOLUTE path so two
+    * spellings of one dir share a build instead of racing. */
+  def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
   // Memoized per (session, dir, name): spark.read.parquet runs a
   // 1-task file-listing/footer job per call, which both violates the
   // lazy-build contract (LazyBuildSpec — building a query must run

