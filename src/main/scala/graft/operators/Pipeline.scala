@@ -53,6 +53,39 @@ object Pipeline extends QueryPack {
         "transform(sequence(1, size(w)-2), i -> concat_ws(' ', slice(w, i, 3)))")))
         .as("g"))
 
+  private val gramIdx =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  /** STANDING dedup index (VERDICT r12 #6): the corpus side of the
+    * incremental dedup persisted once per (process, fixture) as two
+    * bucketed+sorted managed tables — the distinct-3-gram fingerprint
+    * (corpus_id, g) bucketed on g, and per-doc gram counts bucketed on
+    * corpus_id. This is what a daily 100 TB crawl actually re-runs:
+    * the standing corpus is signed ONCE at ingest and every subsequent
+    * batch probe reads the compact signature tables with zero
+    * re-tokenization and zero Exchange on the index side. Write-once
+    * posture of Relational.bucketedBase (A28), extended to the dedup
+    * family. Build runs at first EXECUTION (callers wrap in Deferred). */
+  private[graft] def gramIndex(s: SparkSession, d: String): (String, String) = {
+    val h = Tables.md5hex(new java.io.File(d).getAbsolutePath)
+    gramIdx.computeIfAbsent(h, _ => {
+      val gT = s"graft_gram_idx_$h"
+      val cT = s"graft_gramcnt_idx_$h"
+      val corpus =
+        wordGrams3(Tables.spread(Tables.t(s, d, "documents"), "doc_id"))
+          .filter(col("doc_id") % 10 =!= 0)
+          .select(col("doc_id").as("corpus_id"), col("g"))
+      graft.engine.Layout.writeBucketed(corpus, gT, "g", 8)
+      // counts derive FROM the landed index (one build-time shuffle),
+      // so the two tables cannot drift from each other
+      graft.engine.Layout.writeBucketed(
+        graft.engine.Layout.readTable(s, gT)
+          .groupBy(col("corpus_id")).agg(count(lit(1)).as("nc")),
+        cT, "corpus_id", 8)
+      (gT, cT)
+    })
+  }
+
   /** Distinct lowercase whitespace tokens per doc. */
   private def tokens(docs: DataFrame, cap: Option[Int]): DataFrame = {
     val capped = cap.map(c => docs.filter(col("doc_id") < c)).getOrElse(docs)
@@ -703,6 +736,55 @@ object Pipeline extends QueryPack {
         .orderBy(col("batch_id"), col("corpus_id"))
     }),
 
+    // INCREMENTAL dedup against a STANDING PERSISTED INDEX (VERDICT
+    // r12 #6) — the write-once layout (A28, Relational.bucketedBase)
+    // extended to the dedup family. q_dedup_incremental above still
+    // re-signs the corpus on every run; at 100 TB that re-tokenization
+    // dominates the probe. Here the corpus fingerprint (corpus_id, g)
+    // and the per-doc gram counts land ONCE as bucketed+sorted managed
+    // tables (gramIndex); a daily batch probe then (1) signs only the
+    // batch, (2) shuffles the BATCH once onto the index's g-bucket
+    // layout — the standing index itself is never exchanged (its
+    // bucketed scan already carries the partitioning the merge join
+    // needs), (3) aggregates candidate intersections, (4) picks up
+    // corpus gram counts from the second bucketed table, again with
+    // zero Exchange on the index side. Plan-pinned in PlanSpec;
+    // value-identical to q_dedup_incremental (same oracle SQL) — the
+    // persisted-index round trip must not change a single pair.
+    "q_dedup_index_probe" -> ((s, d) => {
+      val schema = StructType(Seq(
+        StructField("batch_id", org.apache.spark.sql.types.LongType),
+        StructField("corpus_id", org.apache.spark.sql.types.LongType),
+        StructField("inter_n", org.apache.spark.sql.types.LongType),
+        StructField("union_n", org.apache.spark.sql.types.LongType),
+        StructField("jac", org.apache.spark.sql.types.DoubleType)))
+      Deferred.df(s, "dedup_index_probe", schema) { () =>
+        val (gT, cT) = gramIndex(s, d)
+        val idx = graft.engine.Layout.readTable(s, gT)
+        val nc = graft.engine.Layout.readTable(s, cT)
+        val batch =
+          wordGrams3(Tables.spread(Tables.t(s, d, "documents"), "doc_id"))
+            .filter(col("doc_id") % 10 === 0)
+            .select(col("doc_id").as("batch_id"), col("g"))
+        val nb = batch.groupBy(col("batch_id")).agg(count(lit(1)).as("nb"))
+        // merge hints pin the non-broadcast paths: the whole point is
+        // that the INDEX side rides its bucket layout (csv/parquet
+        // stats must not re-pick a broadcast that pins the corpus
+        // fingerprint in every executor)
+        idx.hint("merge").join(batch, Seq("g"))
+          .groupBy(col("batch_id"), col("corpus_id"))
+          .agg(count(lit(1)).as("inter_n"))
+          .join(broadcast(nb), Seq("batch_id"))
+          .join(nc.hint("merge"), Seq("corpus_id"))
+          .filter(col("inter_n") * 3 >= col("nb") + col("nc"))
+          .select(col("batch_id"), col("corpus_id"), col("inter_n"),
+            (col("nb") + col("nc") - col("inter_n")).as("union_n"),
+            round(col("inter_n").cast("double") /
+              (col("nb") + col("nc") - col("inter_n")), 6).as("jac"))
+          .orderBy(col("batch_id"), col("corpus_id"))
+      }
+    }),
+
     // MinHash + LSH banding: near-dup candidate pairs + estimated
     // jaccard from signature agreement. Deterministic md5-derived
     // seeds (permConsts) make the whole pipeline — signatures, band
@@ -1300,6 +1382,25 @@ object Pipeline extends QueryPack {
        |  WHERE rn <= 4)""".stripMargin
   }
 
+  /** Shared by q_dedup_incremental and q_dedup_index_probe: the probe
+    * reads a persisted bucketed index but must compute the SAME pairs. */
+  private val incrementalDedupSql =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |g AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS g
+      |      FROM w, LATERAL (SELECT unnest(generate_series(1, len(w)-2)) AS i) t
+      |      WHERE len(w) >= 3),
+      |nb AS (SELECT doc_id, count(*) AS nb FROM g WHERE doc_id % 10 = 0 GROUP BY doc_id),
+      |nc AS (SELECT doc_id, count(*) AS nc FROM g WHERE doc_id % 10 <> 0 GROUP BY doc_id),
+      |inter AS (SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id, count(*) AS inter_n
+      |          FROM g b JOIN g c USING (g)
+      |          WHERE b.doc_id % 10 = 0 AND c.doc_id % 10 <> 0 GROUP BY 1, 2)
+      |SELECT batch_id, corpus_id, inter_n,
+      |  CAST(nb.nb + nc.nc - inter_n AS BIGINT) AS union_n,
+      |  round(CAST(inter_n AS DOUBLE) / (nb.nb + nc.nc - inter_n), 6) AS jac
+      |FROM inter JOIN nb ON batch_id = nb.doc_id JOIN nc ON corpus_id = nc.doc_id
+      |WHERE inter_n * 3 >= nb.nb + nc.nc
+      |ORDER BY batch_id, corpus_id""".stripMargin
+
   override def oracle: Map[String, String] = Map(
     // FULL sign-LSH ANN mirrored: plane dots, sign buckets, hamming-1
     // multiprobe, candidate equi-join, exact cosine re-rank (round 10;
@@ -1566,22 +1667,11 @@ object Pipeline extends QueryPack {
         |  count(*) AS n_grams
         |FROM isl GROUP BY doc_id, grp ORDER BY doc_id, span_start""".stripMargin,
 
-    "q_dedup_incremental" ->
-      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-        |g AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS g
-        |      FROM w, LATERAL (SELECT unnest(generate_series(1, len(w)-2)) AS i) t
-        |      WHERE len(w) >= 3),
-        |nb AS (SELECT doc_id, count(*) AS nb FROM g WHERE doc_id % 10 = 0 GROUP BY doc_id),
-        |nc AS (SELECT doc_id, count(*) AS nc FROM g WHERE doc_id % 10 <> 0 GROUP BY doc_id),
-        |inter AS (SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id, count(*) AS inter_n
-        |          FROM g b JOIN g c USING (g)
-        |          WHERE b.doc_id % 10 = 0 AND c.doc_id % 10 <> 0 GROUP BY 1, 2)
-        |SELECT batch_id, corpus_id, inter_n,
-        |  CAST(nb.nb + nc.nc - inter_n AS BIGINT) AS union_n,
-        |  round(CAST(inter_n AS DOUBLE) / (nb.nb + nc.nc - inter_n), 6) AS jac
-        |FROM inter JOIN nb ON batch_id = nb.doc_id JOIN nc ON corpus_id = nc.doc_id
-        |WHERE inter_n * 3 >= nb.nb + nc.nc
-        |ORDER BY batch_id, corpus_id""".stripMargin,
+    "q_dedup_incremental" -> incrementalDedupSql,
+
+    // the standing-index probe must reproduce the recompute form
+    // bit-for-bit — one oracle, two plans
+    "q_dedup_index_probe" -> incrementalDedupSql,
 
     "q_dedup_embedding" ->
       """WITH e AS (

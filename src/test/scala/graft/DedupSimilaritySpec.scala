@@ -10,6 +10,16 @@ import graft.operators.Multimodal
   * LSH, decode stub) that the DuckDB oracle can't hash-match. */
 class DedupSimilaritySpec extends SparkTestBase {
 
+  test("q_dedup_index_probe equals q_dedup_incremental row-for-row (persisted-index round trip)") {
+    // the standing bucketed index must not change a single pair vs
+    // the recompute form — same fixture, same threshold, two plans
+    val recompute = q("q_dedup_incremental").collect().map(_.toString).toSeq
+    val probed = q("q_dedup_index_probe").collect().map(_.toString).toSeq
+    assert(probed == recompute,
+      s"index probe diverged: ${probed.size} vs ${recompute.size} rows")
+    assert(recompute.nonEmpty, "vacuous: fixture produced no near-dup pairs")
+  }
+
   test("dot_d matches an independent driver-side dot product") {
     GraftFunctions.register(spark)
     val rows = Tables.t(spark, sf, "embeddings").limit(5)

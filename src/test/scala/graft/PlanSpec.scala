@@ -507,6 +507,32 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("Window"), p)
   }
 
+  test("q_dedup_index_probe: standing index rides its bucket layout — no Exchange above either bucketed scan") {
+    // the write-once dedup index (VERDICT r12 #6): both persisted
+    // tables (grams bucketed on g, counts bucketed on corpus_id) must
+    // be scanned AS bucketed; the planner silently disabling bucketing
+    // would print "Bucketed: false (disabled by query planner)"
+    val p = finalPlan("q_dedup_index_probe").split("== Initial Plan ==")(0)
+    assert(p.contains("Bucketed: true"), p)
+    assert(!p.contains("Bucketed: false"), p)
+    // the index must meet the probe in merge joins — never be the
+    // build side of a broadcast (it is corpus-sized at the design point)
+    assert(p.contains("SortMergeJoin"), p)
+    // exactly one broadcast: the batch gram-count table nb
+    assert(p.split("BroadcastExchange").length - 1 <= 1, p)
+    // the probe pays at most 3 planner-inserted hash Exchanges (batch
+    // onto the g-bucket layout, the candidate-pair aggregation, pairs
+    // onto the count layout); with both scans bucketed-true, every
+    // Exchange input is probe-derived — the standing index itself is
+    // never shuffled. Counted on ENSURE_REQUIREMENTS lines only: the
+    // explicit Tables.spread repartition (REPARTITION_BY_NUM) and its
+    // ReusedExchange reference are probe-side by construction.
+    val ensures = p.linesIterator.count(l =>
+      l.contains("+- Exchange hashpartitioning") &&
+        l.contains("ENSURE_REQUIREMENTS"))
+    assert(ensures <= 3, s"$ensures planner Exchanges:\n$p")
+  }
+
   test("q_bigram_kn: vocabulary-sized partial aggs, one-row nb broadcast") {
     // AQE explain prints the pre-runtime Initial Plan too; judge the
     // Final Plan section only (ADVICE r11: the old disjunction passed
