@@ -133,6 +133,58 @@ object HoldingsContent extends QueryPack {
     })
   }
 
+  private val xbuilt = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Land TWO provider trees with deliberately heterogeneous
+    * constituent id schemes (VERDICT r12 #7 — the A15 "confront" at
+    * holdings granularity). Provider A reports the full-period top-100
+    * per fund under decimal ids ("A" + partkey) and catalog names;
+    * provider B reports the second-half-period top-100 under hex ids
+    * ("B" + hex(partkey)) with token-REVERSED names suffixed " plc" —
+    * same real-world entity, nothing equi-joinable. A cross-provider
+    * user must match by NAME, the Catalog.fuzzyMatch token-blocking
+    * discipline. Both trees land as flat {fund}.csv files and are
+    * re-ingested through Holdings.readHoldings, so the whole
+    * heterogeneous round trip is oracle-checked. */
+  private[graft] def xproviderBase(s: SparkSession, d: String): String = {
+    val h = Tables.md5hex(new java.io.File(d).getAbsolutePath)
+    xbuilt.computeIfAbsent(h, _ => {
+      val dir = new java.io.File(sys.props("java.io.tmpdir"), "graft_xprov_" + h)
+      rm(dir)
+      val li = Tables.t(s, d, "lineitem")
+      // NOT named `split`: that would shadow functions.split below and
+      // auto-tuple its args into Column.apply (runtime literal error)
+      val cutoff = lit(splitTs).cast("timestamp")
+      val part = Tables.t(s, d, "part").select(col("p_partkey"), col("p_name"))
+      // deterministic top-100 per fund: exact-decimal weight desc,
+      // constituent tiebreak (plans as WindowGroupLimit)
+      def top100(w: DataFrame): DataFrame = {
+        val win = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("fund"))
+          .orderBy(col("weight").desc, col("constituent"))
+        w.withColumn("rn", row_number().over(win))
+          .filter(col("rn") <= 100).drop("rn")
+      }
+      val a = top100(weights(li))
+        .join(broadcast(part), col("constituent") === col("p_partkey"))
+        .select(col("fund"),
+          concat(lit("A"), col("constituent").cast("string")).as("cid"),
+          col("p_name").as("name"), col("weight"))
+      val b = top100(weights(li.filter(col("l_shipdate") >= cutoff)))
+        .join(broadcast(part), col("constituent") === col("p_partkey"))
+        .select(col("fund"),
+          concat(lit("B"), lower(hex(col("constituent")))).as("cid"),
+          concat(concat_ws(" ", reverse(split(col("p_name"), " "))),
+            lit(" plc")).as("name"),
+          col("weight"))
+      Holdings.landPerKeyCsv(a,
+        new java.io.File(dir, "provA").getAbsolutePath, "fund")
+      Holdings.landPerKeyCsv(b,
+        new java.io.File(dir, "provB").getAbsolutePath, "fund")
+      dir.getAbsolutePath
+    })
+  }
+
   /** Ingest a landed tree back through the reference's real path:
     * one distributed csv scan, fund id from the filename. */
   private def holdings(s: SparkSession, dir: String): DataFrame =
@@ -180,6 +232,62 @@ object HoldingsContent extends QueryPack {
           .select(col("fund_a"), col("fund_b"), col("n_common"),
             (col("u").cast("double") / lit(1.0e10)).as("overlap_wt"))
           .orderBy(col("fund_a"), col("fund_b"))
+      }
+    }),
+
+    // Cross-PROVIDER constituent matching (VERDICT r12 #7): the same
+    // real-world constituent listed under DIFFERENT identifier spaces
+    // across two landed holdings trees — provider A decimal ids +
+    // catalog names, provider B hex ids + token-reversed names + a
+    // " plc" suffix. Nothing equi-joinable: the match goes through
+    // the Catalog.fuzzyMatch token-blocking discipline, blocked
+    // per-fund — tokens of A names join tokens of B names on
+    // (fund, token), so the work is partitioned by the blocking key
+    // and there is no all-pairs product anywhere; Jaccard >= 0.5 is
+    // applied in INTEGER arithmetic (3*ni >= na+nb) so no borderline
+    // pair can flip vs the oracle. Output carries both providers'
+    // reported weights — the actual confrontation a holdings user
+    // wants (same entity, different reported weight).
+    "q_holdings_xprovider" -> ((s, d) => {
+      val schema = StructType(Seq(
+        StructField("isin", StringType), StructField("a_id", StringType),
+        StructField("b_id", StringType),
+        StructField("n_tok_common", LongType),
+        StructField("jaccard", DoubleType),
+        StructField("weight_a", DoubleType),
+        StructField("weight_b", DoubleType)))
+      graft.plans.Deferred.df(s, "holdings_xprovider", schema) { () =>
+        val base = xproviderBase(s, d)
+        def ingest(sub: String, side: String) =
+          Holdings.readHoldings(s, s"$base/$sub")
+            .select(col("isin"), col("cid").as(s"${side}_id"), col("name"),
+              col("weight").cast("decimal(12,10)").as(s"w$side"))
+        val a = ingest("provA", "a")
+        val b = ingest("provB", "b")
+        def toks(df: DataFrame, side: String) =
+          df.select(col("isin"), col(s"${side}_id"),
+            explode(array_distinct(split(col("name"), " "))).as("tok"))
+        val ta = toks(a, "a")
+        val tb = toks(b, "b")
+        val na = ta.groupBy(col("isin"), col("a_id")).agg(count(lit(1)).as("na"))
+        val nb = tb.groupBy(col("isin"), col("b_id")).agg(count(lit(1)).as("nb"))
+        ta.join(tb, Seq("isin", "tok"))
+          .groupBy(col("isin"), col("a_id"), col("b_id"))
+          .agg(count(lit(1)).as("ni"))
+          .join(na, Seq("isin", "a_id"))
+          .join(nb, Seq("isin", "b_id"))
+          .filter(col("ni") * 3 >= col("na") + col("nb"))
+          .join(a.select(col("isin"), col("a_id"), col("wa")),
+            Seq("isin", "a_id"))
+          .join(b.select(col("isin"), col("b_id"), col("wb")),
+            Seq("isin", "b_id"))
+          .select(col("isin"), col("a_id"), col("b_id"),
+            col("ni").as("n_tok_common"),
+            round(col("ni").cast("double") /
+              (col("na") + col("nb") - col("ni")), 6).as("jaccard"),
+            col("wa").cast("double").as("weight_a"),
+            col("wb").cast("double").as("weight_b"))
+          .orderBy(col("isin"), col("a_id"), col("b_id"))
       }
     }),
 
@@ -243,6 +351,60 @@ object HoldingsContent extends QueryPack {
         |    * 10000000000 AS BIGINT)) AS DOUBLE) / 10000000000.0 AS overlap_wt
         |FROM w a JOIN w b ON a.constituent = b.constituent AND a.fund < b.fund
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_holdings_xprovider" ->
+      """WITH h AS (
+        |  SELECT 'F' || CAST(l_suppkey % 6 AS VARCHAR) AS fund,
+        |         l_partkey AS constituent,
+        |         SUM(CAST(l_quantity AS DECIMAL(18,2))) AS q
+        |  FROM lineitem GROUP BY 1, 2),
+        |t AS (SELECT fund, SUM(q) AS tot FROM h GROUP BY 1),
+        |wa_ AS (SELECT h.fund, constituent,
+        |         CAST(round(CAST(q AS DOUBLE) / CAST(tot AS DOUBLE), 10)
+        |           AS DECIMAL(12,10)) AS w
+        |        FROM h JOIN t ON h.fund = t.fund),
+        |h2 AS (
+        |  SELECT 'F' || CAST(l_suppkey % 6 AS VARCHAR) AS fund,
+        |         l_partkey AS constituent,
+        |         SUM(CAST(l_quantity AS DECIMAL(18,2))) AS q
+        |  FROM lineitem WHERE l_shipdate >= TIMESTAMP '1998-07-01'
+        |  GROUP BY 1, 2),
+        |t2 AS (SELECT fund, SUM(q) AS tot FROM h2 GROUP BY 1),
+        |wb_ AS (SELECT h2.fund, constituent,
+        |         CAST(round(CAST(q AS DOUBLE) / CAST(tot AS DOUBLE), 10)
+        |           AS DECIMAL(12,10)) AS w
+        |        FROM h2 JOIN t2 ON h2.fund = t2.fund),
+        |ra AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY fund
+        |         ORDER BY w DESC, constituent) AS rn FROM wa_),
+        |rb AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY fund
+        |         ORDER BY w DESC, constituent) AS rn FROM wb_),
+        |a AS (SELECT fund, 'A' || CAST(constituent AS VARCHAR) AS a_id,
+        |        p_name AS nm, w AS wa
+        |      FROM ra JOIN part ON constituent = p_partkey WHERE rn <= 100),
+        |b AS (SELECT fund, 'B' || printf('%x', constituent) AS b_id,
+        |        array_to_string(list_reverse(string_split(p_name, ' ')), ' ')
+        |          || ' plc' AS nm,
+        |        w AS wb
+        |      FROM rb JOIN part ON constituent = p_partkey WHERE rn <= 100),
+        |ta AS (SELECT DISTINCT fund, a_id,
+        |         unnest(string_split(nm, ' ')) AS tok FROM a),
+        |tb AS (SELECT DISTINCT fund, b_id,
+        |         unnest(string_split(nm, ' ')) AS tok FROM b),
+        |na AS (SELECT fund, a_id, count(*) AS na FROM ta GROUP BY 1, 2),
+        |nb AS (SELECT fund, b_id, count(*) AS nb FROM tb GROUP BY 1, 2),
+        |inter AS (SELECT ta.fund, a_id, b_id, count(*) AS ni
+        |          FROM ta JOIN tb ON ta.fund = tb.fund AND ta.tok = tb.tok
+        |          GROUP BY 1, 2, 3)
+        |SELECT i.fund AS isin, i.a_id, i.b_id, ni AS n_tok_common,
+        |  round(CAST(ni AS DOUBLE) / (na.na + nb.nb - ni), 6) AS jaccard,
+        |  CAST(a.wa AS DOUBLE) AS weight_a, CAST(b.wb AS DOUBLE) AS weight_b
+        |FROM inter i
+        |JOIN na ON i.fund = na.fund AND i.a_id = na.a_id
+        |JOIN nb ON i.fund = nb.fund AND i.b_id = nb.b_id
+        |JOIN a ON i.fund = a.fund AND i.a_id = a.a_id
+        |JOIN b ON i.fund = b.fund AND i.b_id = b.b_id
+        |WHERE 3 * ni >= na.na + nb.nb
+        |ORDER BY isin, i.a_id, i.b_id""".stripMargin,
 
     "q_holdings_drift" ->
       """WITH h AS (

@@ -94,6 +94,29 @@ class HoldingsSpec extends SparkTestBase {
     } finally System.clearProperty(HoldingsContent.forceShuffleProp)
   }
 
+  test("q_holdings_xprovider: heterogeneous ids resolve by NAME — true cross-id matches present") {
+    val rows = q("q_holdings_xprovider").collect()
+    assert(rows.nonEmpty, "no cross-provider matches at all")
+    // nothing was equi-joinable: id spaces are disjoint by construction
+    assert(rows.forall(r => r.getString(1).startsWith("A") &&
+      r.getString(2).startsWith("B")))
+    // a TRUE match is one whose decimal and hex ids denote the same part
+    val truePairs = rows.filter { r =>
+      r.getString(1).drop(1) ==
+        java.lang.Long.parseLong(r.getString(2).drop(1), 16).toString
+    }
+    assert(truePairs.nonEmpty, "no same-part match survived the name matching")
+    // every pair passed the integer-arithmetic jaccard >= 0.5 gate
+    rows.foreach { r =>
+      val j = r.getDouble(4)
+      assert(j >= 0.5 - 1e-9 && j <= 1.0 + 1e-9, s"jaccard $j out of range")
+    }
+    // the confrontation payload is real: providers report different
+    // periods, so some true match carries diverging weights
+    assert(truePairs.exists(r => r.getDouble(5) != r.getDouble(6)),
+      "all matched weights identical — period split not exercised")
+  }
+
   test("q_holdings_drift: top-50 per fund, rank ordered by |drift|, statuses real") {
     val rows = q("q_holdings_drift").collect()
     val byFund = rows.groupBy(_.getString(0))
