@@ -5,22 +5,38 @@ import java.util.concurrent.atomic.AtomicLong
 import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 import org.apache.spark.sql.SparkSession
 
-/** Round-12 over-cap LSH evidence (VERDICT r11 #4): run
-  * q_dedup_text_lsh against an over-cap fixture (≥ 24·2^16 ≈ 1.57 M
-  * docs, built by SfGen with SPARK_GRAFT_SF_TABLES=documents) with NO
-  * force-props — the shard-pair shape must build from the file-stat
-  * gate and S from the in-plan corpus count — then re-run with S
-  * forced to 1 (the sub-cap single-cell shape on the SAME data) and
-  * assert value identity. One JSON line: n_docs, the w/S the plan
-  * derives, both walls, shuffle bytes, row counts, hash equality.
+/** Over-cap LSH evidence (VERDICT r11 #4, extended to the embedding
+  * family in round 13): run the banded dedup against an over-cap
+  * fixture (≥ 24·2^16 ≈ 1.57 M docs/vectors) with NO force-props —
+  * the shard-pair shape must build from the file-stat gate and S from
+  * the in-plan corpus count — then re-run with S forced to 1 (the
+  * sub-cap single-cell shape on the SAME data) and assert value
+  * identity. One JSON line: n, the w/S the plan derives, both walls,
+  * shuffle bytes, row counts, hash equality.
   *
-  * Usage: runMain graft.LshOverCap [fixtureDir]
+  * Modes (both ride Retrieval.shardPairJoin and the shared 24·2^w
+  * occupancy cap, so one harness covers both):
+  *  - `text` (default): q_dedup_text_lsh over `documents` — fixture
+  *    built by SfGen with SPARK_GRAFT_SF_TABLES=documents (×35 of sf1
+  *    ≈ 1.75 M docs);
+  *  - `embedding`: q_dedup_embedding_lsh over `embeddings` — fixture
+  *    is sf1's embeddings replicated ×100 ≈ 2 M vectors with SfGen's
+  *    rotate-by-r rule (norm-preserving, no exact-dup degeneracy),
+  *    past the 250 MB organic build gate.
+  *
+  * Usage: runMain graft.LshOverCap [fixtureDir] [text|embedding]
   */
 object LshOverCap {
   private def round2(v: Double): Double = math.rint(v * 100) / 100
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/tmp/graft_sf35")
+    val mode = if (args.length > 1) args(1) else "text"
+    val (qname, table) = mode match {
+      case "text"      => ("q_dedup_text_lsh", "documents")
+      case "embedding" => ("q_dedup_embedding_lsh", "embeddings")
+      case other => sys.error(s"unknown mode $other (text|embedding)")
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     require(System.getProperty(operators.Retrieval.forceShardsProp) == null,
       "organic run: no force-prop may be set at launch")
@@ -50,19 +66,20 @@ object LshOverCap {
       cur
     }
 
-    val n = spark.read.parquet(s"$dir/documents.parquet").count()
-    // the same integer derivations the plan applies (Retrieval.scala):
-    // w = smallest width in 8..16 with 24·2^w ≥ n; S = ⌈n / 24·2^16⌉
+    val n = spark.read.parquet(s"$dir/$table.parquet").count()
+    // the same integer derivations the plan applies (Retrieval.scala
+    // band width / Pipeline.annBitsSel): w = smallest width in 8..16
+    // with 24·2^w ≥ n; S = ⌈n / 24·2^16⌉
     val w = (8 to 16).find(b => 24L * (1L << b) >= n).getOrElse(16)
     val s2 = ((n + 1572863L) / 1572864L).toInt
     require(n > 1572864L,
-      s"fixture has $n docs — not over the 24*2^16 cap; rebuild bigger")
+      s"fixture has $n $table rows — not over the 24*2^16 cap; rebuild bigger")
 
     def run(label: String): (Double, Long, String, String) = {
       spark.catalog.clearCache()
       settle(); val b0 = shuffleBytes.get()
       val t0 = System.nanoTime()
-      val df = SparkEntry.queries("q_dedup_text_lsh")(spark, dir)
+      val df = SparkEntry.queries(qname)(spark, dir)
       val rows = df.collect()
       val wall = (System.nanoTime() - t0) / 1e9
       val bytes = settle() - b0
@@ -88,7 +105,7 @@ object LshOverCap {
     }
 
     // organic: S derived in-plan from the corpus count
-    val (wOrg, bOrg, hOrg, shapeOrg) = run(s"organic (expect S=$s2)")
+    val (wOrg, bOrg, hOrg, shapeOrg) = run(s"organic $mode (expect S=$s2)")
     // control: the sub-cap single-cell shape, same data
     System.setProperty(operators.Retrieval.forceShardsProp, "1")
     val (wS1, bS1, hS1, _) = run("forced S=1 control")
@@ -96,7 +113,7 @@ object LshOverCap {
 
     require(shapeOrg == "shard-pair", "organic run did not build the shard shape")
     require(hOrg == hS1, s"VALUE DIVERGENCE: organic $hOrg vs S=1 $hS1")
-    println(s"""{"overcap_lsh":{"dir":"$dir","n_docs":$n,"w":$w,"S":$s2,""" +
+    println(s"""{"overcap_lsh":{"mode":"$mode","dir":"$dir","n_docs":$n,"w":$w,"S":$s2,""" +
       s""""wall_organic":${round2(wOrg)},"wall_s1":${round2(wS1)},""" +
       s""""shuffle_mb_organic":${bOrg / 1048576},"shuffle_mb_s1":${bS1 / 1048576},""" +
       s""""hash_match":${hOrg == hS1},"cpus":$cpus}}""")
