@@ -148,11 +148,19 @@ object SfGen {
       .withColumn("doc_id", col("doc_id") + lit(r * dOff)))
     replicate("embeddings")((b, r) => b
       .withColumn("vec_id", col("vec_id") + lit(r * dOff))
+      // rotate by r MOD the vector width (round 13): the raw-r slice
+      // yields a negative length once r >= dim (factor 100 on 64-float
+      // vectors), silently truncating replicas 65+ — mod keeps every
+      // replica a norm-preserving permutation at any factor
       .withColumn("embedding",
         if (r == 0) col("embedding")
-        else concat(
-          slice(col("embedding"), lit(r + 1), size(col("embedding")) - lit(r)),
-          slice(col("embedding"), lit(1), lit(r))).cast("array<float>")))
+        else {
+          val rot = lit(r) % size(col("embedding"))
+          when(rot === 0, col("embedding")).otherwise(concat(
+            slice(col("embedding"), rot + lit(1),
+              size(col("embedding")) - rot),
+            slice(col("embedding"), lit(1), rot))).cast("array<float>")
+        }))
 
     writeManifest(spark, baseDir, outDir, factor, only)
     Files.createFile(done.toPath)
