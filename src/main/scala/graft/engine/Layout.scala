@@ -24,6 +24,23 @@ object Layout {
       .format("parquet") // managed: lands under spark.sql.warehouse.dir
       .saveAsTable(table)
 
+  /** Append into an EXISTING bucketed managed table, preserving the
+    * bucket spec (Spark validates the spec against the table's
+    * metadata and fails loudly on mismatch — an append can never
+    * silently change the layout). Each append lands one file per
+    * bucket per job; readers union the per-bucket file sets, so the
+    * bucketed-join Exchange elision survives any number of appends.
+    * Small-file accumulation over many appends is `compact`'s job —
+    * the same daily-maintenance pairing a 100 TB deployment runs. */
+  def appendBucketed(df: DataFrame, table: String, key: String,
+      buckets: Int): Unit =
+    df.write
+      .mode("append")
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
+
   def readTable(spark: SparkSession, table: String): DataFrame =
     spark.table(table)
 

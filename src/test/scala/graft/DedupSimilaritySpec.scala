@@ -10,6 +10,23 @@ import graft.operators.Multimodal
   * LSH, decode stub) that the DuckDB oracle can't hash-match. */
 class DedupSimilaritySpec extends SparkTestBase {
 
+  test("q_dedup_index_absorb: appended batch is LIVE in the index and bucketing survives the append") {
+    val df = q("q_dedup_index_absorb")
+    val rows = df.collect()
+    assert(rows.nonEmpty, "no matches at all after absorb")
+    // liveness: at least one match hits a doc that exists in the index
+    // ONLY because the day-1 append absorbed it (corpus_id % 20 == 0)
+    assert(rows.exists(_.getLong(1) % 20 == 0),
+      s"no match against an absorbed doc — append not live: ${rows.mkString(";")}")
+    // the bucketed layout survives the append: the probe plan still
+    // scans both tables as bucketed with no broadcast of the index
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(plan.contains("Bucketed: true"), plan)
+    assert(!plan.contains("Bucketed: false"), plan)
+    assert(plan.contains("SortMergeJoin"), plan)
+  }
+
   test("q_dedup_index_probe equals q_dedup_incremental row-for-row (persisted-index round trip)") {
     // the standing bucketed index must not change a single pair vs
     // the recompute form — same fixture, same threshold, two plans
