@@ -381,10 +381,10 @@ object Bench {
     // UNTIMED here so pass 1 measures the same warm plans passes 2..N
     // do. Skipped under shuffle tracking: those manual PERF runs want
     // exactly the cold first-touch bytes this warm-up would consume.
-    val buildCarriers = Seq("q_holdings_overlap", "q_join_bucketed",
-      "q_snapshot_diff", "q_snapshot_scd2_stream", "q_multimodal_decode",
-      "q_embed_real", "q_dedup_semantic", "q_dedup_index_probe",
-      "q_dedup_index_absorb")
+    val buildCarriers = Seq("q_holdings_overlap", "q_holdings_xprovider",
+      "q_join_bucketed", "q_snapshot_diff", "q_snapshot_scd2_stream",
+      "q_multimodal_decode", "q_embed_real", "q_dedup_semantic",
+      "q_dedup_index_probe", "q_dedup_index_absorb")
     if (!trackShuffle)
       buildCarriers.filter(selected.contains)
         .foreach(n => runOne(n, selected(n)))
