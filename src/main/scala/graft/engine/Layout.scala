@@ -44,6 +44,37 @@ object Layout {
   def readTable(spark: SparkSession, table: String): DataFrame =
     spark.table(table)
 
+  /** Compact a bucketed MANAGED table back to one file per bucket,
+    * preserving the bucket spec — `compact` below would destroy it
+    * (its repartition-by-count rewrite drops the layout, silently
+    * re-introducing the join Exchange the table exists to elide).
+    * appendBucketed adds up to one file per bucket per day; after N
+    * days a bucket is N files and scan/open overhead creeps — this
+    * folds them back. The rewrite repartitions on the bucket key into
+    * exactly `buckets` partitions (repartition's Murmur3 hash is the
+    * same function bucketing uses, so each task holds exactly one
+    * bucket's rows → one output file per bucket), lands in a staging
+    * table, then swaps via catalog rename. The DROP→RENAME window is
+    * the managed-table analog of `compact`'s two-move window; a real
+    * deployment makes the swap a metastore transaction. Returns
+    * (files_before, files_after). */
+  def compactBucketed(spark: SparkSession, table: String, key: String,
+      buckets: Int): (Long, Long) = {
+    import org.apache.spark.sql.functions.col
+    val before = spark.table(table).inputFiles.length.toLong
+    val staging = table + "_compacting"
+    spark.sql(s"DROP TABLE IF EXISTS $staging")
+    spark.table(table)
+      .repartition(buckets, col(key))
+      .write.mode("overwrite")
+      .bucketBy(buckets, key).sortBy(key)
+      .format("parquet").saveAsTable(staging)
+    spark.sql(s"DROP TABLE $table")
+    spark.sql(s"ALTER TABLE $staging RENAME TO $table")
+    val after = spark.table(table).inputFiles.length.toLong
+    (before, after)
+  }
+
   /** Compact a directory of small parquet files into ~`targetMB`-sized
     * ones. Small-files is the canonical 100 TB operational problem
     * (per-file open cost, driver listing pressure, tiny tasks); daily

@@ -53,6 +53,38 @@ class LayoutSpec extends SparkTestBase {
       Tables.t(spark, sf, "embeddings").count())
   }
 
+  test("appendBucketed grows the table; compactBucketed folds files back and keeps the layout live") {
+    // the index-maintenance lifecycle (round 13): write → daily
+    // appends (one file per bucket each) → compaction back to one
+    // file per bucket — values identical throughout, and the bucketed
+    // aggregation still runs with zero Exchange AFTER the swap
+    val base = Tables.t(spark, sf, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val day1 = base.filter(col("o_orderkey") % 2 === 0)
+    val day2 = base.filter(col("o_orderkey") % 2 =!= 0)
+    Layout.writeBucketed(day1, "orders_maint", "o_custkey", 4)
+    val f0 = spark.table("orders_maint").inputFiles.length
+    Layout.appendBucketed(day2, "orders_maint", "o_custkey", 4)
+    val f1 = spark.table("orders_maint").inputFiles.length
+    assert(f1 > f0, s"append added no files ($f0 -> $f1)")
+    assert(spark.table("orders_maint").count() == base.count())
+    val (beforeN, afterN) =
+      Layout.compactBucketed(spark, "orders_maint", "o_custkey", 4)
+    assert(beforeN == f1 && afterN <= 4,
+      s"expected <=4 files after compaction, got $afterN (before $beforeN)")
+    // content identical post-swap
+    val back = Layout.readTable(spark, "orders_maint")
+    assert(back.count() == base.count())
+    assert(back.exceptAll(base).isEmpty && base.exceptAll(back).isEmpty)
+    // the layout is still LIVE: keyed aggregation rides the buckets
+    val agg = back.groupBy("o_custkey").agg(count(lit(1)).as("n"))
+    agg.collect()
+    val p = agg.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"),
+      "compacted bucketed table lost its layout:\n" + p)
+    assert(p.contains("Bucketed: true"), p)
+  }
+
   test("compact collapses a many-small-files dir preserving content") {
     val dir = java.nio.file.Files.createTempDirectory("compact").toString + "/t"
     val src = Tables.t(spark, sf, "lineitem")
