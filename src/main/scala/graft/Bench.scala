@@ -53,6 +53,34 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   private def round3(v: Double): Double = math.rint(v * 1000) / 1000
 
+  /** The FINAL printed line — the only thing the driver's bounded
+    * (~2000-char) tail capture is guaranteed to see whole. Round 14
+    * (VERDICT r13 #1): BENCH_r12/r13 were parsed:null because the r12
+    * self-diagnosis payload (ctl table, seq_cals, ~900-char note) grew
+    * the single combined line past the window, pushing the leading
+    * "value" field out — the exact r01-r03 truncation bug, back. The
+    * headline is now a separate pure function so BenchRetrySpec pins
+    * its worst-case length (<=800 chars incl. 159 queries / 10 failed
+    * names / a long sfDir); everything diagnostic prints on the
+    * bench_diag line ABOVE it. */
+  private[graft] def headlineJson(streams: Int, wall: Double, sfDir: String,
+      seqTotal: Double, nQueries: Int, failed: Seq[String], cpus: String,
+      passes: Int, degraded: Boolean,
+      slowest: Seq[(String, Double)]): String = {
+    // at most 10 failed names and 6 slowest queries: bounded size by
+    // construction; the complete lists live on the detail lines
+    val failedJson =
+      failed.take(10).map("\"" + _ + "\"").mkString("[", ",", "]")
+    val qs = slowest.take(6)
+      .map { case (k, v) => "\"" + k + "\":" + round3(v) }
+      .mkString("{", ",", "}")
+    s"""{"metric":"wall_${streams}streams_warm","value":${round3(wall)},""" +
+      s""""unit":"sec","sf":"$sfDir","n_queries":$nQueries,""" +
+      s""""n_failed":${failed.size},"failed":$failedJson,"cpus":$cpus,""" +
+      s""""passes":$passes,"seq_total":${round3(seqTotal)},""" +
+      s""""degraded":$degraded,"queries":$qs}"""
+  }
+
   // ---- degraded-retry policy (round 10, VERDICT r9 #3) ----
   // Pure functions so the selection semantics are spec-testable
   // (BenchRetrySpec) without running a bench.
@@ -350,24 +378,35 @@ object Bench {
     val seqMaps = scala.collection.mutable.ArrayBuffer[Map[String, Double]]()
     val seqCals = scala.collection.mutable.ArrayBuffer[(Double, Double, Double)]()
     val seqCalDegraded = scala.collection.mutable.ArrayBuffer[Boolean]()
-    val seqCtlHit = scala.collection.mutable.ArrayBuffer[Boolean]()
     // the pinned refs are only meaningful on the surface they were
     // measured on: full query set, sf0.1, 32 advertised cores
     val ctlActive = args.isEmpty && cpus.toInt == 32 &&
       sfDir.stripSuffix("/").endsWith("sf0.1")
     // per-host spin-calibrated ref scale (ADVICE r12; scaladoc at
-    // controlRefT1) — measured once up front, before any Spark load
-    val ctlT1 = spinT1()
-    val ctlScale = math.min(4.0, math.max(1.0, ctlT1 / controlRefT1))
-    val scaledRefs = controlRefs.map { case (n, v) => n -> v * ctlScale }
+    // controlRefT1). ADVICE r13: a single launch-time sample can catch
+    // transient co-tenant contention and inflate the scale up to the
+    // 4x cap, loosening every control threshold for the ENTIRE run
+    // even after the contention clears — so t1 is re-sampled before
+    // every seq pass and the MINIMUM observed so far is the scale
+    // basis. Control hits are recomputed from the stored run maps each
+    // iteration, so a later clean sample retroactively tightens earlier
+    // passes' verdicts too.
+    var ctlT1 = spinT1()
+    def ctlScale = math.min(4.0, math.max(1.0, ctlT1 / controlRefT1))
+    def seqCtlHits: Seq[Boolean] = {
+      val refs = controlRefs.map { case (n, v) => n -> v * ctlScale }
+      seqMaps.toSeq.map(m =>
+        ctlActive && controlHit(m, refs, 6.0, 3.0 * ctlScale, 2))
+    }
     // a pass is degraded when ANY detector fires: boundary/in-phase
     // calibration, control-set hit, or cross-pass per-query outlier —
     // recomputed each iteration because a later clean pass can expose
     // an earlier pass as the starved one retroactively
     def seqDegradedFlags: Seq[Boolean] = {
       val out = outlierFlags(seqMaps.toSeq, 6.0, 5.0)
+      val ctl = seqCtlHits
       seqCalDegraded.indices
-        .map(i => seqCalDegraded(i) || seqCtlHit(i) || out(i))
+        .map(i => seqCalDegraded(i) || ctl(i) || out(i))
     }
     // ---- one-time build warm (ADVICE r12) ----
     // Several queries carry build-at-first-EXECUTION work — landed CSV
@@ -403,6 +442,8 @@ object Bench {
         Thread.sleep(retrySleepMs)
         calLead = effectiveParallelism(cpus.toInt) // post-sleep re-bracket
       }
+      // ADVICE r13: per-pass t1 re-sample, min-so-far is the scale basis
+      ctlT1 = math.min(ctlT1, spinT1())
       var qi = 0
       var calInMin = Double.MaxValue
       seqMaps += selected.map { case (n, f) =>
@@ -416,9 +457,6 @@ object Bench {
       seqCals += ((calLead, calIn, calTrail))
       seqCalDegraded +=
         (calLead < halfCores || calIn < halfCores || calTrail < halfCores)
-      seqCtlHit +=
-        (ctlActive && controlHit(seqMaps.last, scaledRefs, 6.0,
-          3.0 * ctlScale, 2))
       calLead = calTrail // shared bracket when no sleep intervenes
     }
     inSeqPhase = false
@@ -527,18 +565,15 @@ object Bench {
     val qs = seq.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + round3(v) }
       .mkString("{", ",", "}")
-    // headline line carries at most 10 failed names (bounded size for
-    // the capture window); the COMPLETE list goes on the detail line,
-    // and n_failed always states the true count
-    val failedJson = failed.take(10).map("\"" + _ + "\"").mkString("[", ",", "]")
     val failedFullJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     // The driver keeps only the LAST ~2000 chars of this process's
     // output (observed as "tail" in BENCH_r01-r03; all three rounds had
     // parsed=null because the full per-query map pushed the line past
-    // the capture window). So: full detail FIRST (keyed so no parser
-    // mistakes it for the headline), compact machine-readable line
-    // LAST, kept well under the window even after sbt's trailing
-    // "[success] Total time" line.
+    // the capture window — and r12/r13 regressed the same way when the
+    // diagnostics payload grew the combined line past it). So: full
+    // detail FIRST (keyed so no parser mistakes it for the headline),
+    // then ONE bench_diag line with every diagnostic, then the compact
+    // spec-length-pinned headline LAST.
     // Stop Spark BEFORE printing so no executor/stop-time log line can
     // land after the machine-readable lines in the bounded capture.
     val load1 = loadavg
@@ -557,6 +592,7 @@ object Bench {
     // alone = code; decidable from this line alone
     // the shipped ref is the host-SCALED one — the operative threshold
     // base — with the raw t1 + applied scale alongside (ADVICE r12)
+    val scaledRefs = controlRefs.map { case (n, v) => n -> v * ctlScale }
     val ctlJson =
       if (!ctlActive) "null"
       else scaledRefs.toSeq.sortBy(_._1).map { case (n, r) =>
@@ -571,7 +607,7 @@ object Bench {
         seqCals.map(c => s"[${round3(c._1)},${round3(c._2)},${round3(c._3)}]")
           .mkString(",")}],"seq_pass_degraded":[${
         seqPassDegraded.mkString(",")}],"seq_ctl_hit":[${
-        seqCtlHit.mkString(",")}],"seq_outlier":[${
+        seqCtlHits.mkString(",")}],"seq_outlier":[${
         outlierFlags(seqMaps.toSeq, 6.0, 5.0).mkString(",")
       }],"seq_retries":$seqRetries,""" +
       s""""seq_degraded":$seqDegraded,"ctl":$ctlJson,""" +
@@ -589,9 +625,15 @@ object Bench {
         .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
       println(s"""{"bench_shuffle_write_bytes":$sj,"total":${qShuffle.values.sum},"sf":"$sfDir","note":"per-query MAX across $passes sequential passes (cold bytes; warm passes reuse cached subtrees)"}""")
     }
-    val slowest = seq.toSeq.filter(_._2 >= 0).sortBy(-_._2).take(12)
+    val slowest = seq.toSeq.filter(_._2 >= 0).sortBy(-_._2)
+    val slowest12 = slowest.take(12)
       .map { case (k, v) => "\"" + k + "\":" + round3(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"wall_${streams}streams_warm","value":${round3(wall)},"unit":"sec","queries":$slowest,"sf":"$sfDir","seq_total":${round3(seqTotal)},"n_queries":${seq.size},"n_failed":${failed.size},"failed":$failedJson,"cpus":$cpus,"passes":$passes,"loadavg":[$load0,$load1],$effJson,"note":"noop-sink; value=min over NON-degraded ${streams}-stream conc walls ($concPasses cfg + ${walls.length - concPasses} retries, ${retrySleepMs / 1000}s backoff), each [lead,trail]-bracketed by a calibrated CPU-spin (effpar ~ cpus = healthy); queries=12 slowest per-query mins over CLEAN seq passes only (${seqMaps.length} passes, $seqRetries retries; full map on the bench_per_query line); a seq pass is degraded if ANY of: bracket or in-phase calibration (seq_cals=[lead,inMin,trail]) under cpus/2, >=2 pinned control queries >6x their clean-window refs (ctl={name:[ref,run]}, seq_ctl_hit), or any query >6x+5s its cross-pass standing min (seq_outlier); degraded:true = retries never found a healthy window, the number is an environment artifact"}""")
+    // ALL diagnostics on their own keyed line (round 14, VERDICT r13
+    // #1): the calibration/control/retry payload grew past the driver's
+    // tail window when it shared the headline's line
+    println(s"""{"bench_diag":{"queries_slowest":$slowest12,"loadavg":[$load0,$load1],$effJson,"note":"noop-sink; value=min over NON-degraded ${streams}-stream conc walls ($concPasses cfg + ${walls.length - concPasses} retries, ${retrySleepMs / 1000}s backoff), each [lead,trail]-bracketed by a calibrated CPU-spin (effpar ~ cpus = healthy); per-query mins over CLEAN seq passes only (${seqMaps.length} passes, $seqRetries retries; full map on the bench_per_query line); a seq pass is degraded if ANY of: bracket or in-phase calibration (seq_cals=[lead,inMin,trail]) under cpus/2, >=2 pinned control queries >6x their clean-window refs (ctl={name:[ref,run]}, seq_ctl_hit; refs host-scaled by ctl_scale = min per-pass spin t1 / ctl_ref_t1), or any query >6x+5s its cross-pass standing min (seq_outlier); degraded:true = retries never found a healthy window, the number is an environment artifact"}}""")
+    println(headlineJson(streams, wall, sfDir, seqTotal, seq.size, failed,
+      cpus, passes, degraded, slowest))
   }
 }
