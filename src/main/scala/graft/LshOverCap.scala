@@ -21,7 +21,11 @@ import org.apache.spark.sql.SparkSession
   *    ≈ 1.75 M docs);
   *  - `embedding`: q_dedup_embedding_lsh over `embeddings` — fixture
   *    is sf1's embeddings replicated ×100 ≈ 2 M vectors with SfGen's
-  *    rotate-by-r rule (norm-preserving, no exact-dup degeneracy),
+  *    rotate-plus-sign-flip rule (norm-preserving; the flip keyed by
+  *    r/dim keeps replicas past the rotation period distinct — ADVICE
+  *    r13; the recorded round-13 artifact predates the flip, so its
+  *    replicas 64..99 duplicated 0..35 and its near-dup pair counts
+  *    read high — organic-vs-S=1 hash identity was unaffected),
   *    past the 250 MB organic build gate.
   *
   * Usage: runMain graft.LshOverCap [fixtureDir] [text|embedding]

@@ -22,10 +22,14 @@ import org.apache.spark.sql.functions._
   *    the original's, cross-replica token overlap is zero, so the
   *    ideal dedup/LSH workload is exactly N× — superlinearity measured
   *    on top of this is algorithmic, not data artifact;
-  *  - `embeddings.embedding` is rotated by r positions for r > 0:
-  *    norm-preserving and deterministic, so replicas are not exact
-  *    vector duplicates (which would turn every ANN/dedup query into a
-  *    degenerate all-dups run).
+  *  - `embeddings.embedding` is rotated by r mod dim positions for
+  *    r > 0, composed for generations g = r/dim >= 1 with a
+  *    deterministic sign-flip pattern keyed by g (ADVICE r13: rotation
+  *    alone repeats with period dim, so factor > dim would make
+  *    replica r an exact duplicate of replica r-dim): both transforms
+  *    are norm-preserving and deterministic, so replicas are never
+  *    exact vector duplicates at any factor (which would turn every
+  *    ANN/dedup query into a degenerate all-dups run).
   *
   * Emits one PLAIN parquet file per table (matching the driver layout,
   * readable by DuckDB's single-file scan in tools/check.py).
@@ -146,21 +150,38 @@ object SfGen {
       .withColumn("user_id", col("user_id") + lit(r * uOff)))
     replicate("documents")((b, r) => graft.engine.Replica.docText(b, r)
       .withColumn("doc_id", col("doc_id") + lit(r * dOff)))
-    replicate("embeddings")((b, r) => b
-      .withColumn("vec_id", col("vec_id") + lit(r * dOff))
-      // rotate by r MOD the vector width (round 13): the raw-r slice
-      // yields a negative length once r >= dim (factor 100 on 64-float
-      // vectors), silently truncating replicas 65+ — mod keeps every
-      // replica a norm-preserving permutation at any factor
-      .withColumn("embedding",
-        if (r == 0) col("embedding")
-        else {
-          val rot = lit(r) % size(col("embedding"))
-          when(rot === 0, col("embedding")).otherwise(concat(
-            slice(col("embedding"), rot + lit(1),
-              size(col("embedding")) - rot),
-            slice(col("embedding"), lit(1), rot))).cast("array<float>")
-        }))
+    // rotate by r MOD the vector width (round 13): the raw-r slice
+    // yields a negative length once r >= dim — mod keeps every replica
+    // a norm-preserving permutation at any factor. But rotation alone
+    // repeats with period dim (ADVICE r13: at factor 100 over 64-float
+    // vectors, replicas 64..99 exactly duplicate replicas 0..35), so
+    // generations g = r/dim >= 1 compose it with a deterministic
+    // md5-keyed sign-flip pattern — still norm-preserving, and distinct
+    // per generation. g = 0 stays pure rotation, so every fixture with
+    // factor <= dim is bit-identical to what earlier rounds measured.
+    val embDim = spark.read.parquet(s"$baseDir/embeddings.parquet")
+      .select(size(col("embedding"))).head.getInt(0)
+    def flipSigns(g: Int): Array[Float] =
+      (0 until embDim).map { j =>
+        val b = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"sfgen_flip_${g}_$j".getBytes("UTF-8"))(0)
+        if ((b & 1) == 1) -1f else 1f
+      }.toArray
+    replicate("embeddings")((b, r) => {
+      val rot = r % embDim
+      val g = r / embDim
+      val rotated =
+        if (rot == 0) col("embedding")
+        else concat(
+          slice(col("embedding"), lit(rot + 1), lit(embDim - rot)),
+          slice(col("embedding"), lit(1), lit(rot)))
+      val transformed =
+        if (g == 0) rotated
+        else zip_with(rotated, typedLit(flipSigns(g)), (x, sgn) => x * sgn)
+      b.withColumn("vec_id", col("vec_id") + lit(r * dOff))
+        .withColumn("embedding",
+          if (r == 0) col("embedding") else transformed.cast("array<float>"))
+    })
 
     writeManifest(spark, baseDir, outDir, factor, only)
     Files.createFile(done.toPath)

@@ -54,23 +54,37 @@ object Layout {
     * exactly `buckets` partitions (repartition's Murmur3 hash is the
     * same function bucketing uses, so each task holds exactly one
     * bucket's rows → one output file per bucket), lands in a staging
-    * table, then swaps via catalog rename. The DROP→RENAME window is
-    * the managed-table analog of `compact`'s two-move window; a real
-    * deployment makes the swap a metastore transaction. Returns
-    * (files_before, files_after). */
+    * table, then swaps via RENAME-ASIDE (ADVICE r13: the earlier
+    * DROP→RENAME pair left a window where the live name pointed at
+    * nothing and no retry could self-heal): the live table renames to
+    * `_old`, staging renames to the live name, `_old` drops. The data
+    * is reachable under SOME name at every instant, and `recover`
+    * below rolls an interrupted swap back (or finishes its cleanup) on
+    * the next invocation — a real deployment makes the swap a
+    * metastore transaction. Returns (files_before, files_after). */
   def compactBucketed(spark: SparkSession, table: String, key: String,
       buckets: Int): (Long, Long) = {
     import org.apache.spark.sql.functions.col
-    val before = spark.table(table).inputFiles.length.toLong
     val staging = table + "_compacting"
+    val old = table + "_old"
+    // crash recovery, cases in swap order: died between the two
+    // RENAMEs -> live name missing, data intact under _old: roll back
+    // (the staging copy holds the same rows, so rollback loses nothing);
+    // died before the DROP -> live name already points at the compacted
+    // data: just clear the leftovers.
+    if (!spark.catalog.tableExists(table) && spark.catalog.tableExists(old))
+      spark.sql(s"ALTER TABLE $old RENAME TO $table")
+    spark.sql(s"DROP TABLE IF EXISTS $old")
     spark.sql(s"DROP TABLE IF EXISTS $staging")
+    val before = spark.table(table).inputFiles.length.toLong
     spark.table(table)
       .repartition(buckets, col(key))
       .write.mode("overwrite")
       .bucketBy(buckets, key).sortBy(key)
       .format("parquet").saveAsTable(staging)
-    spark.sql(s"DROP TABLE $table")
+    spark.sql(s"ALTER TABLE $table RENAME TO $old")
     spark.sql(s"ALTER TABLE $staging RENAME TO $table")
+    spark.sql(s"DROP TABLE $old")
     val after = spark.table(table).inputFiles.length.toLong
     (before, after)
   }

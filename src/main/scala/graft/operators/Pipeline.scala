@@ -119,8 +119,16 @@ object Pipeline extends QueryPack {
       // day 1: absorb the verdicted batch — append-only maintenance
       val day1 = grams.filter(col("corpus_id") % 20 === 0)
       graft.engine.Layout.appendBucketed(day1, gT, "g", 8)
+      // the appended counts derive FROM the landed index too (ADVICE
+      // r13 — the in-memory batch frame could drift from what actually
+      // landed): re-read the table and filter to the absorbed ids,
+      // which are disjoint from the standing corpus (%20==0 implies
+      // %10==0, excluded at day 0), so the count table stays
+      // one-row-per-doc and both tables describe the same landed bytes
       graft.engine.Layout.appendBucketed(
-        day1.groupBy(col("corpus_id")).agg(count(lit(1)).as("nc")),
+        graft.engine.Layout.readTable(s, gT)
+          .filter(col("corpus_id") % 20 === 0)
+          .groupBy(col("corpus_id")).agg(count(lit(1)).as("nc")),
         cT, "corpus_id", 8)
       (gT, cT)
     })

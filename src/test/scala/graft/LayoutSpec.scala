@@ -85,6 +85,37 @@ class LayoutSpec extends SparkTestBase {
     assert(p.contains("Bucketed: true"), p)
   }
 
+  test("compactBucketed recovers an interrupted rename-aside swap") {
+    // ADVICE r13: the old DROP→RENAME swap could strand the data under
+    // the staging name with the live name dangling. The rename-aside
+    // swap keeps the rows reachable under SOME name at every instant;
+    // this simulates both crash points and shows the next invocation
+    // self-heals.
+    val base = Tables.t(spark, sf, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+    Layout.writeBucketed(base, "orders_rec", "o_custkey", 4)
+    val expected = base.count()
+    // crash point 1: died between RENAME #1 and RENAME #2 — the live
+    // name is gone, all rows sit under _old (and a stale staging table)
+    Layout.writeBucketed(base.limit(10), "orders_rec_compacting",
+      "o_custkey", 4)
+    spark.sql("ALTER TABLE orders_rec RENAME TO orders_rec_old")
+    assert(!spark.catalog.tableExists("orders_rec"))
+    val (_, afterN) = Layout.compactBucketed(spark, "orders_rec",
+      "o_custkey", 4)
+    assert(afterN <= 4)
+    assert(spark.table("orders_rec").count() == expected,
+      "rollback must restore the FULL pre-swap table, not the staging stub")
+    assert(!spark.catalog.tableExists("orders_rec_old"))
+    assert(!spark.catalog.tableExists("orders_rec_compacting"))
+    // crash point 2: died between RENAME #2 and the DROP — the live
+    // name already holds the compacted data, _old is a leftover
+    spark.sql("CREATE TABLE orders_rec_old AS SELECT * FROM orders_rec LIMIT 5")
+    Layout.compactBucketed(spark, "orders_rec", "o_custkey", 4)
+    assert(spark.table("orders_rec").count() == expected)
+    assert(!spark.catalog.tableExists("orders_rec_old"))
+  }
+
   test("compact collapses a many-small-files dir preserving content") {
     val dir = java.nio.file.Files.createTempDirectory("compact").toString + "/t"
     val src = Tables.t(spark, sf, "lineitem")
