@@ -423,7 +423,8 @@ object Bench {
     val buildCarriers = Seq("q_holdings_overlap", "q_holdings_xprovider",
       "q_join_bucketed", "q_snapshot_diff", "q_snapshot_scd2_stream",
       "q_multimodal_decode", "q_embed_real", "q_dedup_semantic",
-      "q_dedup_index_probe", "q_dedup_index_absorb")
+      "q_dedup_index_probe", "q_dedup_index_absorb",
+      "q_dedup_text_index_probe", "q_dedup_text_index_absorb")
     if (!trackShuffle)
       buildCarriers.filter(selected.contains)
         .foreach(n => runOne(n, selected(n)))

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{BooleanType, IntegerType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{BooleanType, DoubleType, IntegerType, LongType, StringType, StructField, StructType}
 
 import graft.engine.{QueryPack, Tables}
 import graft.functions.GraftFunctions
@@ -207,7 +207,268 @@ object Retrieval extends QueryPack {
       .cache()
   }
 
+  // ---- STANDING text-LSH signature index (round 14, VERDICT r13 #2) ----
+  // q_dedup_text_lsh re-derives the WHOLE banded pipeline — corpus df,
+  // centering sums, projections, signatures — on every run; at 100 TB
+  // that re-signing dwarfs any daily probe. The standing-index form
+  // persists the corpus side ONCE as four managed tables (the
+  // gram-index posture of Pipeline.gramIndex applied to the flagship
+  // family):
+  //   graft_lshsig_idx*  (corpus_id, band, bkt, sig)  bucketed on bkt
+  //   graft_lshvec_idx*  (corpus_id, cv, vf, n2f, n2) bucketed on corpus_id
+  //   graft_lshdf_idx*   (tok, df)                    bucketed on tok
+  //   graft_lshstat_idx* (j, sj, nd, w)               64 rows, broadcast-sized
+  // A daily batch probe signs ONLY the batch against the FROZEN stats
+  // (df, centering sums sj, corpus count nd, band width w are READ
+  // from the index, never recomputed — the production contract:
+  // featurization freezes at index build and refreshes only on
+  // rebuild/compaction; batch tokens absent from the frozen df are
+  // OOV and drop out of the features). The batch then meets the
+  // signature table in a sort-merge join on bb = band·2^16 + bkt — an
+  // INJECTIVE packing (bkt < 2^w ≤ 2^16, band < 8), so bb equality IS
+  // (band, bkt) equality, and the single-column key matches the bucket
+  // spec exactly (the planner DISABLES a bucketed scan when the bucket
+  // key is only a subset of the join keys — measured, not assumed) —
+  // and the vector table in corpus_id merge joins, with ZERO Exchange
+  // on the index side (plan-pinned in PlanSpec). No hot-bucket star
+  // path here: a
+  // probed hot bucket costs idx_occ·batch_occ — linear in each side —
+  // unlike the self-join's occ²; the star discipline stays a
+  // recompute-form concern.
+
+  private val lshIdxMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, String, String, String)]()
+  private val lshIdxUMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, String, String, String)]()
+
+  /** The 128×64 md5-derived ±1 plane matrix (the q_dedup_text_lsh
+    * pool, as a reusable frame). */
+  private def rmat128(s: SparkSession): DataFrame =
+    s.range(0, 128).select(col("id").cast("int").as("k"))
+      .crossJoin(s.range(0, 64).select(col("id").cast("int").as("j")))
+      .withColumn("r", expr(
+        "case when cast(conv(substring(md5(concat(cast(k as string), " +
+          "'_', cast(j as string))), 1, 15), 16, 10) as bigint) % 2 = 0 " +
+          "then cast(1 as bigint) else cast(-1 as bigint) end"))
+
+  /** Sign the docs matching `pred` against the FROZEN per-corpus
+    * statistics persisted in `dfT`/`statT`. Returns (keyed, vecs):
+    * keyed = (doc_id, band, bkt, sig); vecs = (doc_id, cv, vf, n2f,
+    * n2). Used identically for the index build and every batch probe,
+    * so build and probe cannot drift. The df join is a merge join —
+    * the vocabulary table stays on its tok-bucket layout (at 100 TB
+    * it is billions of rows; broadcasting it is not an option). */
+  private def lshSign(s: SparkSession, d: String, pred: Column,
+      dfT: String, statT: String): (DataFrame, DataFrame) = {
+    GraftFunctions.register(s)
+    val tf = Tables.spread(Tables.t(s, d, "documents"), "doc_id")
+      .filter(pred)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val emb = tf
+      .join(graft.engine.Layout.readTable(s, dfT).hint("merge"), Seq("tok"))
+      .withColumn("hv",
+        expr("cast(conv(substring(md5(tok), 1, 15), 16, 10) as bigint)"))
+      .groupBy(col("doc_id"), expr("cast(hv % 64 as int)").as("j"))
+      .agg(sum(expr("(case when (hv div 64) % 2 = 0 then 1 else -1 end)" +
+        " * tf * (100000 div df)")).as("v"))
+      .filter(col("v") =!= 0)
+    val docsE = emb.groupBy(col("doc_id")).agg(count(lit(1)).as("nz"))
+      .filter(col("nz") >= 4).select(col("doc_id"))
+    val stats = graft.engine.Layout.readTable(s, statT) // 64 rows
+    val dense = docsE.crossJoin(broadcast(stats))
+      .join(emb, Seq("doc_id", "j"), "left")
+      .select(col("doc_id"), col("j"), col("w"),
+        shiftright(coalesce(col("v"), lit(0L)) * col("nd") - col("sj"), 12)
+          .as("c"))
+      .cache() // feeds projections AND packed vectors
+    val proj = dense.join(broadcast(rmat128(s)), Seq("j"))
+      .filter(col("k") < col("w") * 8)
+      .groupBy(col("doc_id"), col("k"), col("w"))
+      .agg(sum(col("r") * col("c")).as("p"))
+      .cache() // buckets AND sigs read this
+    val buckets = proj.groupBy(col("doc_id"), expr("k div w").as("band"))
+      .agg(sum(when(col("p") >= 0,
+        expr("shiftleft(cast(1 as bigint), k % w)")).otherwise(0L)).as("bkt"))
+    val sigs = proj.filter(col("k") < 63).groupBy(col("doc_id"))
+      .agg(sum(when(col("p") >= 0,
+        expr("shiftleft(cast(1 as bigint), k)")).otherwise(0L)).as("sig"))
+    val keyed = buckets.join(sigs, Seq("doc_id"))
+      // bb: the injective single-column band-bucket key (module scaladoc)
+      .withColumn("bb", col("band") * 65536 + col("bkt"))
+    val vecs = dense.groupBy(col("doc_id"))
+      .agg(expr("transform(sort_array(collect_list(struct(j, c))), x -> x.c)")
+        .as("cv"))
+      .withColumn("vf", expr("transform(cv, x -> cast(x as float))"))
+      .withColumn("n2f", GraftFunctions.dot_d(col("vf"), col("vf")))
+      .withColumn("n2",
+        expr("aggregate(cv, cast(0 as bigint), (acc, x) -> acc + x * x)"))
+    (keyed, vecs)
+  }
+
+  /** Build the four index tables over the docs matching `corpus`.
+    * The frozen stats (df, then sj/nd/w from an emb computed against
+    * the LANDED df table) land first; the corpus signatures are then
+    * produced by the same lshSign every batch probe uses — the
+    * gram-index invariant that everything derives from landed bytes. */
+  private def buildLshIndex(s: SparkSession, d: String, suffix: String,
+      corpus: Column): (String, String, String, String) = {
+    val dfT = s"graft_lshdf_idx$suffix"
+    val statT = s"graft_lshstat_idx$suffix"
+    val sigT = s"graft_lshsig_idx$suffix"
+    val vecT = s"graft_lshvec_idx$suffix"
+    val ctf = Tables.spread(Tables.t(s, d, "documents"), "doc_id")
+      .filter(corpus)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    graft.engine.Layout.writeBucketed(
+      ctf.groupBy(col("tok")).agg(count(lit(1)).as("df")), dfT, "tok", 8)
+    val emb = ctf
+      .join(graft.engine.Layout.readTable(s, dfT).hint("merge"), Seq("tok"))
+      .withColumn("hv",
+        expr("cast(conv(substring(md5(tok), 1, 15), 16, 10) as bigint)"))
+      .groupBy(col("doc_id"), expr("cast(hv % 64 as int)").as("j"))
+      .agg(sum(expr("(case when (hv div 64) % 2 = 0 then 1 else -1 end)" +
+        " * tf * (100000 div df)")).as("v"))
+      .filter(col("v") =!= 0)
+      .cache() // nd, sj, and nothing else — unpersisted below
+    val nD = emb.groupBy(col("doc_id")).agg(count(lit(1)).as("nz"))
+      .filter(col("nz") >= 4).agg(count(lit(1)).as("nd"))
+    val wSel = s.range(8, 17).select(col("id").cast("int").as("wc"))
+      .crossJoin(nD)
+      .agg(coalesce(min(when(
+        expr("shiftleft(cast(1 as bigint), wc)") * 24 >= col("nd"),
+        col("wc"))), lit(16)).as("w"))
+    s.range(0, 64).select(col("id").cast("int").as("j"))
+      .join(emb.groupBy(col("j")).agg(sum(col("v")).as("sj")), Seq("j"), "left")
+      .crossJoin(broadcast(nD)).crossJoin(broadcast(wSel))
+      .select(col("j"), coalesce(col("sj"), lit(0L)).as("sj"),
+        col("nd"), col("w"))
+      .write.mode("overwrite").format("parquet").saveAsTable(statT)
+    val (keyed, vecs) = lshSign(s, d, corpus, dfT, statT)
+    graft.engine.Layout.writeBucketed(
+      keyed.select(col("doc_id").as("corpus_id"), col("bb"), col("band"),
+        col("bkt"), col("sig")), sigT, "bb", 8)
+    graft.engine.Layout.writeBucketed(
+      vecs.select(col("doc_id").as("corpus_id"), col("cv"), col("vf"),
+        col("n2f"), col("n2")), vecT, "corpus_id", 8)
+    emb.unpersist()
+    (sigT, vecT, dfT, statT)
+  }
+
+  /** Standing index over the corpus (doc_id % 10 ≠ 0), built once per
+    * (process, fixture). */
+  private[graft] def lshIndex(s: SparkSession,
+      d: String): (String, String, String, String) =
+    lshIdxMemo.computeIfAbsent(
+      Tables.md5hex(new java.io.File(d).getAbsolutePath),
+      h => buildLshIndex(s, d, s"_$h", col("doc_id") % 10 =!= 0))
+
+  /** Standing index plus an ABSORBED day-1 batch (doc_id % 20 = 0):
+    * the batch is signed with the frozen stats and APPENDED into the
+    * sig/vec tables — Layout.appendBucketed, one new file per bucket,
+    * no rebuild, no touch of the standing rows; df/stats stay frozen
+    * BY DESIGN (they refresh at rebuild, not per day — the absorbed
+    * docs' own signatures used them, so the index stays
+    * self-consistent). */
+  private[graft] def lshIndexAbsorbed(s: SparkSession,
+      d: String): (String, String, String, String) =
+    lshIdxUMemo.computeIfAbsent(
+      Tables.md5hex(new java.io.File(d).getAbsolutePath),
+      h => {
+        val t = buildLshIndex(s, d, s"u_$h", col("doc_id") % 10 =!= 0)
+        val (sigT, vecT, dfT, statT) = t
+        val (k1, v1) = lshSign(s, d, col("doc_id") % 20 === 0, dfT, statT)
+        graft.engine.Layout.appendBucketed(
+          k1.select(col("doc_id").as("corpus_id"), col("bb"), col("band"),
+            col("bkt"), col("sig")), sigT, "bb", 8)
+        graft.engine.Layout.appendBucketed(
+          v1.select(col("doc_id").as("corpus_id"), col("cv"), col("vf"),
+            col("n2f"), col("n2")), vecT, "corpus_id", 8)
+        t
+      })
+
+  /** The daily probe: sign the batch with the frozen stats, meet the
+    * persisted signatures in a (band, bkt) merge join (hamming ≤ 16
+    * inside the join), float-prefilter candidates against the
+    * persisted vectors (merge on corpus_id; the batch vectors are the
+    * broadcast side — daily-batch-sized by contract, the same posture
+    * as the gram probe's nb broadcast), then the integer-exact cosine
+    * ≥ 0.9 gate on float survivors only (the recompute form's
+    * float-survivor barrier, scaladoc at q_dedup_text_lsh). */
+  private def lshIndexProbe(s: SparkSession, d: String,
+      tables: (String, String, String, String), batch: Column): DataFrame = {
+    val (sigT, vecT, dfT, statT) = tables
+    val idxSig = graft.engine.Layout.readTable(s, sigT)
+    val idxVec = graft.engine.Layout.readTable(s, vecT)
+    val (bk, bv) = lshSign(s, d, batch, dfT, statT)
+    val bKeyed = bk.select(col("doc_id").as("batch_id"),
+      col("bb").as("bb_b"), col("sig").as("sig_b"))
+    val bSide = bv.select(col("doc_id").as("batch_id"), col("cv").as("cvb"),
+      col("vf").as("vfb"), col("n2f").as("n2b"), col("n2").as("nb"))
+    // bb equality IS (band, bkt) equality — injective packing, module
+    // scaladoc; the single-column key keeps the bucketed scan live
+    val cand = idxSig.hint("merge").join(bKeyed,
+        col("bb") === col("bb_b") && expr("bit_count(sig ^ sig_b)") <= 16)
+      .select(col("batch_id"), col("corpus_id")).distinct()
+    val fdot = GraftFunctions.dot_d(col("vfa"), col("vfb"))
+    val flt = cand
+      .join(idxVec.hint("merge").select(col("corpus_id"),
+        col("vf").as("vfa"), col("n2f").as("n2a")), Seq("corpus_id"))
+      .join(broadcast(bSide.select(col("batch_id"), col("vfb"), col("n2b"))),
+        Seq("batch_id"))
+      .filter(fdot > 0 && fdot * fdot >= lit(0.7744) * col("n2a") * col("n2b"))
+      .select(col("batch_id"), col("corpus_id")).distinct()
+    flt
+      .join(idxVec.hint("merge").select(col("corpus_id"),
+        col("cv").as("cva"), col("n2").as("na")), Seq("corpus_id"))
+      .join(broadcast(bSide.select(col("batch_id"), col("cvb"), col("nb"))),
+        Seq("batch_id"))
+      .select(col("batch_id"), col("corpus_id"),
+        expr("aggregate(zip_with(cva, cvb, (x, y) -> x * y), " +
+          "cast(0 as bigint), (acc, x) -> acc + x)").as("dot"),
+        col("na"), col("nb"))
+      .filter(col("dot") > 0 &&
+        col("dot").cast("decimal(38,0)") * col("dot") * 100 >=
+          col("na").cast("decimal(38,0)") * col("nb") * 81)
+      .select(col("batch_id"), col("corpus_id"),
+        round(col("dot").cast("double") /
+          sqrt(col("na").cast("double") * col("nb").cast("double")), 6)
+          .as("cos"))
+      .orderBy(col("batch_id"), col("corpus_id"))
+  }
+
+  private val lshProbeSchema = StructType(Seq(
+    StructField("batch_id", LongType),
+    StructField("corpus_id", LongType),
+    StructField("cos", DoubleType)))
+
   val queries: Map[String, Q] = Map(
+
+    // Daily near-dup probe against the STANDING text-LSH signature
+    // index (scaladoc block above lshSign): batch = doc_id % 10 = 0,
+    // corpus = the persisted rest. Value discipline: the oracle
+    // recomputes the frozen-stats pipeline from raw text, so the
+    // persisted round trip — four tables, bucket layouts, OOV
+    // semantics — must not change a single verdict.
+    "q_dedup_text_index_probe" -> ((s, d) =>
+      Deferred.df(s, "dedup_text_index_probe", lshProbeSchema) { () =>
+        lshIndexProbe(s, d, lshIndex(s, d), col("doc_id") % 10 === 0)
+      }),
+
+    // Index MAINTENANCE twin: day-1's verdicted batch (doc_id % 20 =
+    // 0) is absorbed by bucketed APPEND — write proportional to the
+    // day's crawl — then day-2's probe (doc_id % 20 = 10) runs against
+    // the UPDATED index through the same zero-index-Exchange plan. The
+    // oracle recomputes against corpus ∪ absorbed batch from raw text,
+    // so the append round trip is value-checked.
+    "q_dedup_text_index_absorb" -> ((s, d) =>
+      Deferred.df(s, "dedup_text_index_absorb", lshProbeSchema) { () =>
+        lshIndexProbe(s, d, lshIndexAbsorbed(s, d), col("doc_id") % 20 === 10)
+      }),
+
 
     // TEXT-CONTENT embeddings (round-6, VERDICT r5 #3): a 64-dim
     // feature-hashed tf·idf projection over documents.text in PURE
@@ -1239,6 +1500,86 @@ object Retrieval extends QueryPack {
        |ORDER BY c.doc_id""".stripMargin
   }
 
+  /** Shared frozen-stats oracle for the standing-index probe family:
+    * `candPred` selects the index side (a) and the probe side (b) of
+    * the candidate join — the only thing that differs between the
+    * probe and the absorb twin. */
+  private def lshIndexOracle(candPred: String): String =
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      |             FROM documents),
+      |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok WHERE tok <> ''
+      |       GROUP BY 1, 2),
+      |df AS (SELECT tok, count(*) AS df FROM tf WHERE doc_id % 10 <> 0
+      |       GROUP BY 1),
+      |h AS (SELECT tf.doc_id, tf.tf, df.df,
+      |        ('0x' || substr(md5(tf.tok), 1, 15))::BIGINT AS hv
+      |      FROM tf JOIN df USING (tok)),
+      |emb0 AS (SELECT doc_id, CAST(hv % 64 AS INT) AS j,
+      |           SUM((CASE WHEN (hv // 64) % 2 = 0 THEN 1 ELSE -1 END)
+      |               * tf * (100000 // df)) AS v
+      |         FROM h GROUP BY 1, 2),
+      |emb AS (SELECT doc_id, j, CAST(v AS BIGINT) AS v FROM emb0 WHERE v <> 0),
+      |docs_e AS (SELECT doc_id FROM emb GROUP BY 1 HAVING count(*) >= 4),
+      |n_d AS (SELECT count(*) AS nd FROM docs_e WHERE doc_id % 10 <> 0),
+      |sj AS (SELECT j, CAST(SUM(v) AS BIGINT) AS sj FROM emb
+      |       WHERE doc_id % 10 <> 0 GROUP BY 1),
+      |dense AS MATERIALIZED (SELECT d.doc_id, g.j,
+      |            ((COALESCE(e.v, 0) * (SELECT nd FROM n_d)
+      |              - COALESCE(s.sj, 0)) >> 12) AS c
+      |          FROM docs_e d CROSS JOIN range(64) g(j)
+      |          LEFT JOIN emb e ON e.doc_id = d.doc_id AND e.j = g.j
+      |          LEFT JOIN sj s ON s.j = g.j),
+      |wsel AS (SELECT coalesce(min(CASE WHEN 24 * (1::BIGINT << w.range)
+      |                  >= (SELECT nd FROM n_d) THEN w.range END), 16) AS w
+      |         FROM range(8, 17) w),
+      |rmat AS (SELECT t1.range AS k, t2.range AS j,
+      |           CASE WHEN ('0x' || substr(md5(t1.range::VARCHAR || '_'
+      |                      || t2.range::VARCHAR), 1, 15))::BIGINT % 2 = 0
+      |                THEN 1::BIGINT ELSE (-1)::BIGINT END AS r
+      |         FROM range(128) t1 CROSS JOIN range(64) t2),
+      |proj AS MATERIALIZED (SELECT d.doc_id, r.k, SUM(r.r * d.c) AS p
+      |         FROM dense d JOIN rmat r ON r.j = d.j
+      |         WHERE r.k < 8 * (SELECT w FROM wsel) GROUP BY 1, 2),
+      |bands AS MATERIALIZED (SELECT doc_id, k // (SELECT w FROM wsel) AS band,
+      |            CAST(SUM(CASE WHEN p >= 0
+      |                          THEN (1::BIGINT << CAST(k % (SELECT w FROM wsel) AS INT))
+      |                          ELSE 0 END) AS BIGINT) AS bkt
+      |          FROM proj GROUP BY 1, 2),
+      |sigs AS MATERIALIZED (SELECT doc_id,
+      |           CAST(SUM(CASE WHEN p >= 0 AND k < 63
+      |                         THEN (1::BIGINT << CAST(k AS INT))
+      |                         ELSE 0 END) AS BIGINT) AS sig
+      |         FROM proj GROUP BY 1),
+      |keyed AS MATERIALIZED (SELECT b.doc_id, b.band, b.bkt, s.sig
+      |          FROM bands b JOIN sigs s USING (doc_id)),
+      |cand AS MATERIALIZED (SELECT DISTINCT b.doc_id AS batch_id,
+      |           a.doc_id AS corpus_id
+      |         FROM keyed a JOIN keyed b
+      |           ON a.band = b.band AND a.bkt = b.bkt
+      |          AND $candPred
+      |          AND bit_count(xor(a.sig, b.sig)) <= 16),
+      |cvecs AS MATERIALIZED (SELECT doc_id, list(c ORDER BY j) AS cv
+      |          FROM dense GROUP BY 1),
+      |nrm AS MATERIALIZED (SELECT doc_id,
+      |          CAST(list_sum(list_transform(cv, x -> x * x)) AS BIGINT) AS n2
+      |        FROM cvecs),
+      |dots AS (SELECT c2.batch_id, c2.corpus_id,
+      |           CAST(list_sum(list_transform(range(1, 65),
+      |                i -> a.cv[i] * b.cv[i])) AS BIGINT) AS dot
+      |         FROM cand c2
+      |         JOIN cvecs a ON a.doc_id = c2.corpus_id
+      |         JOIN cvecs b ON b.doc_id = c2.batch_id)
+      |SELECT d.batch_id, d.corpus_id,
+      |  round(CAST(d.dot AS DOUBLE)
+      |        / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)), 6) AS cos
+      |FROM dots d
+      |JOIN nrm na ON na.doc_id = d.corpus_id
+      |JOIN nrm nb ON nb.doc_id = d.batch_id
+      |WHERE d.dot > 0
+      |  AND 100 * CAST(d.dot AS HUGEINT) * d.dot
+      |      >= 81 * CAST(na.n2 AS HUGEINT) * nb.n2
+      |ORDER BY 1, 2""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q_bpe_apply" -> bpeApplySql,
 
@@ -1364,6 +1705,22 @@ object Retrieval extends QueryPack {
         |      >= 81 * CAST(na.n2 AS HUGEINT) * nb.n2
         |ORDER BY 1, 2""".stripMargin,
 
+    // FROZEN-STATS probe oracle (standing text-LSH index): identical
+    // pipeline to q_dedup_text_lsh's oracle EXCEPT every corpus
+    // statistic — df, centering sums sj, the doc count nd, the band
+    // width w — is computed over the CORPUS side only (doc_id % 10 <>
+    // 0), and applied to batch docs through the inner df join (OOV
+    // batch tokens drop out, exactly as the persisted-index join
+    // drops them). Candidates are corpus×batch, never a self-join.
+    "q_dedup_text_index_probe" -> lshIndexOracle(
+      "a.doc_id % 10 <> 0 AND b.doc_id % 10 = 0"),
+
+    // Absorb twin: the index side is corpus ∪ the day-1 absorbed batch
+    // (doc_id % 20 = 0, signed with the SAME frozen corpus stats —
+    // matching the append path, which never refreshes df/stats); the
+    // probe side is day-2 (doc_id % 20 = 10).
+    "q_dedup_text_index_absorb" -> lshIndexOracle(
+      "(a.doc_id % 10 <> 0 OR a.doc_id % 20 = 0) AND b.doc_id % 20 = 10"),
 
     "q_tfidf" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok

@@ -533,6 +533,56 @@ class PlanSpec extends SparkTestBase {
     assert(ensures <= 3, s"$ensures planner Exchanges:\n$p")
   }
 
+  test("q_dedup_text_index_probe: the standing LSH index is never exchanged or broadcast") {
+    // round 14 (VERDICT r13 #2): all three bucketed index tables (sig
+    // on bkt, vec on corpus_id, df on tok) must be scanned AS bucketed
+    // and meet the batch in merge joins with the shuffle always on the
+    // BATCH side. A tree walk beats line counting here: the probe side
+    // legitimately carries many Exchanges (tokenize, tf, emb, proj,
+    // distinct), so the invariant is positional — no Exchange/Broadcast
+    // between any index-table scan and the join that consumes it.
+    import org.apache.spark.sql.execution.SparkPlan
+    val df = q("q_dedup_text_index_probe")
+    df.collect()
+    val inner = df.queryExecution.executedPlan.collect {
+      case d: graft.plans.DeferredExec => d.body.inner
+    }.head
+    val bad = scala.collection.mutable.Buffer[String]()
+    def kids(n: SparkPlan): Seq[SparkPlan] = n match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        Seq(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        Seq(q.plan)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+        Seq(r.child)
+      case other => other.children
+    }
+    def isIndexScan(n: SparkPlan): Boolean = n match {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.tableIdentifier.map(_.table).exists(t =>
+          t.startsWith("graft_lshsig_idx") || t.startsWith("graft_lshvec_idx") ||
+            t.startsWith("graft_lshdf_idx"))
+      case _ => false
+    }
+    def walk(n: SparkPlan, shuffled: Boolean): Unit = {
+      if (isIndexScan(n) && shuffled) bad += n.verboseString(10)
+      val s2 =
+        if (n.nodeName.contains("Exchange")) true
+        else if (n.nodeName.contains("Join")) false
+        else shuffled
+      kids(n).foreach(walk(_, s2))
+    }
+    walk(inner, shuffled = false)
+    assert(bad.isEmpty, s"index scans behind an Exchange:\n${bad.mkString("\n")}")
+    // and the index scans really ride their bucket layout (a planner
+    // that silently disabled bucketing would shuffle-free by accident
+    // at 1 file, then regress at scale)
+    val p = inner.toString
+    assert(p.contains("Bucketed: true"), p)
+    assert(!p.contains("Bucketed: false"), p)
+    assert(p.contains("SortMergeJoin"), p)
+  }
+
   test("q_bigram_kn: vocabulary-sized partial aggs, one-row nb broadcast") {
     // AQE explain prints the pre-runtime Initial Plan too; judge the
     // Final Plan section only (ADVICE r11: the old disjunction passed

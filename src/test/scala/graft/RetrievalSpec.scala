@@ -376,4 +376,23 @@ class RetrievalSpec extends SparkTestBase {
       assert(got == top, s"sparse top-20 mismatch for query $qid")
     }
   }
+
+  test("standing LSH index: absorb appends exactly the day-1 signatures") {
+    // the maintenance contract (round 14): the absorbed index differs
+    // from the standing one by PRECISELY the day-1 batch's rows — in
+    // both the signature and the vector table — and the standing rows
+    // are untouched (append, never rebuild)
+    val (sigT, vecT, _, _) = operators.Retrieval.lshIndex(spark, sf)
+    val (sigU, vecU, _, _) = operators.Retrieval.lshIndexAbsorbed(spark, sf)
+    val day1Sig = spark.table(sigU).filter(col("corpus_id") % 20 === 0)
+    assert(day1Sig.count() > 0, "vacuous: no day-1 docs signed at this sf")
+    assert(day1Sig.count() ==
+      spark.table(sigU).count() - spark.table(sigT).count())
+    assert(spark.table(vecU).filter(col("corpus_id") % 20 === 0).count() ==
+      spark.table(vecU).count() - spark.table(vecT).count())
+    // standing rows bit-identical across the two builds
+    val standingU = spark.table(sigU).filter(col("corpus_id") % 20 =!= 0)
+    assert(standingU.exceptAll(spark.table(sigT)).isEmpty &&
+      spark.table(sigT).exceptAll(standingU).isEmpty)
+  }
 }
