@@ -67,7 +67,12 @@ object Pipeline extends QueryPack {
     * posture of Relational.bucketedBase (A28), extended to the dedup
     * family. Build runs at first EXECUTION (callers wrap in Deferred). */
   private[graft] def gramIndex(s: SparkSession, d: String): (String, String) = {
-    val h = Tables.md5hex(new java.io.File(d).getAbsolutePath)
+    // bucket count derived from the source bytes (VERDICT r13 #4 —
+    // the constant 8 capped index-side parallelism at 8 tasks); the
+    // count is part of the table name so a forced-count build (the
+    // across-bucket-counts plan spec) never collides with the default
+    val bk = graft.engine.Layout.bucketsFor(s"$d/documents.parquet")
+    val h = Tables.md5hex(new java.io.File(d).getAbsolutePath) + s"b$bk"
     gramIdx.computeIfAbsent(h, _ => {
       val gT = s"graft_gram_idx_$h"
       val cT = s"graft_gramcnt_idx_$h"
@@ -75,13 +80,13 @@ object Pipeline extends QueryPack {
         wordGrams3(Tables.spread(Tables.t(s, d, "documents"), "doc_id"))
           .filter(col("doc_id") % 10 =!= 0)
           .select(col("doc_id").as("corpus_id"), col("g"))
-      graft.engine.Layout.writeBucketed(corpus, gT, "g", 8)
+      graft.engine.Layout.writeBucketed(corpus, gT, "g", bk)
       // counts derive FROM the landed index (one build-time shuffle),
       // so the two tables cannot drift from each other
       graft.engine.Layout.writeBucketed(
         graft.engine.Layout.readTable(s, gT)
           .groupBy(col("corpus_id")).agg(count(lit(1)).as("nc")),
-        cT, "corpus_id", 8)
+        cT, "corpus_id", bk)
       (gT, cT)
     })
   }
@@ -102,7 +107,8 @@ object Pipeline extends QueryPack {
     * daily index rebuild (re-signing the corpus) and a write
     * proportional to the day's crawl. */
   private[graft] def gramIndexAbsorbed(s: SparkSession, d: String): (String, String) = {
-    val h = Tables.md5hex(new java.io.File(d).getAbsolutePath)
+    val bk = graft.engine.Layout.bucketsFor(s"$d/documents.parquet")
+    val h = Tables.md5hex(new java.io.File(d).getAbsolutePath) + s"b$bk"
     gramIdxU.computeIfAbsent(h, _ => {
       val gT = s"graft_gram_idxu_$h"
       val cT = s"graft_gramcnt_idxu_$h"
@@ -111,14 +117,14 @@ object Pipeline extends QueryPack {
           .select(col("doc_id").as("corpus_id"), col("g"))
       // day 0: the standing corpus lands exactly as gramIndex does
       graft.engine.Layout.writeBucketed(
-        grams.filter(col("corpus_id") % 10 =!= 0), gT, "g", 8)
+        grams.filter(col("corpus_id") % 10 =!= 0), gT, "g", bk)
       graft.engine.Layout.writeBucketed(
         graft.engine.Layout.readTable(s, gT)
           .groupBy(col("corpus_id")).agg(count(lit(1)).as("nc")),
-        cT, "corpus_id", 8)
+        cT, "corpus_id", bk)
       // day 1: absorb the verdicted batch — append-only maintenance
       val day1 = grams.filter(col("corpus_id") % 20 === 0)
-      graft.engine.Layout.appendBucketed(day1, gT, "g", 8)
+      graft.engine.Layout.appendBucketed(day1, gT, "g", bk)
       // the appended counts derive FROM the landed index too (ADVICE
       // r13 — the in-memory batch frame could drift from what actually
       // landed): re-read the table and filter to the absorbed ids,
@@ -129,7 +135,7 @@ object Pipeline extends QueryPack {
         graft.engine.Layout.readTable(s, gT)
           .filter(col("corpus_id") % 20 === 0)
           .groupBy(col("corpus_id")).agg(count(lit(1)).as("nc")),
-        cT, "corpus_id", 8)
+        cT, "corpus_id", bk)
       (gT, cT)
     })
   }

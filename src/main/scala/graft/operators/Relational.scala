@@ -32,16 +32,21 @@ object Relational extends QueryPack {
     * digest of the ABSOLUTE fixture path so differently-scaled (or
     * differently-spelled) fixtures never collide in-session. */
   private[graft] def bucketedBase(s: SparkSession, d: String): (String, String) = {
-    val h = Tables.md5hex(new java.io.File(d).getAbsolutePath)
+    // ONE derived count for both tables (Layout.bucketsFor, from the
+    // larger side): co-bucketed joins elide BOTH Exchanges only when
+    // the counts match — deriving per-table would silently reintroduce
+    // one side's shuffle the first time the sizes diverge
+    val bk = graft.engine.Layout.bucketsFor(s"$d/orders.parquet")
+    val h = Tables.md5hex(new java.io.File(d).getAbsolutePath) + s"b$bk"
     bucketed.computeIfAbsent(h, _ => {
       val oT = s"graft_orders_bkt_$h"
       val cT = s"graft_customer_bkt_$h"
       graft.engine.Layout.writeBucketed(
         Tables.t(s, d, "orders")
           .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
-        oT, "o_custkey", 8)
+        oT, "o_custkey", bk)
       graft.engine.Layout.writeBucketed(
-        Tables.t(s, d, "customer"), cT, "c_custkey", 8)
+        Tables.t(s, d, "customer"), cT, "c_custkey", bk)
       (oT, cT)
     })
   }
@@ -76,7 +81,7 @@ object Relational extends QueryPack {
 
     // The A28 memoized-layout claim on the QUERY surface (VERDICT r11
     // missing #3): customer and orders land ONCE as co-bucketed +
-    // sorted managed tables (engine/Layout.writeBucketed, 8 buckets on
+    // sorted managed tables (engine/Layout.writeBucketed, Layout.bucketsFor-derived buckets on
     // the customer key); the per-customer aggregate and the join then
     // run with ZERO hash-partitioning Exchange — the aggregation rides
     // the bucketed scan's partitioning and the join matches bucket

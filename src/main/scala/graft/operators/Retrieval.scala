@@ -241,6 +241,12 @@ object Retrieval extends QueryPack {
   private val lshIdxUMemo = new java.util.concurrent.ConcurrentHashMap[
     String, (String, String, String, String)]()
 
+  /** Data-derived bucket count for the LSH index tables (VERDICT r13
+    * #4 — Layout.bucketsFor scaladoc): all four tables share one count
+    * so the co-keyed joins stay aligned. */
+  private def lshBuckets(d: String): Int =
+    graft.engine.Layout.bucketsFor(s"$d/documents.parquet")
+
   /** The 128×64 md5-derived ±1 plane matrix (the q_dedup_text_lsh
     * pool, as a reusable frame). */
   private def rmat128(s: SparkSession): DataFrame =
@@ -314,6 +320,7 @@ object Retrieval extends QueryPack {
     * gram-index invariant that everything derives from landed bytes. */
   private def buildLshIndex(s: SparkSession, d: String, suffix: String,
       corpus: Column): (String, String, String, String) = {
+    val bk = lshBuckets(d)
     val dfT = s"graft_lshdf_idx$suffix"
     val statT = s"graft_lshstat_idx$suffix"
     val sigT = s"graft_lshsig_idx$suffix"
@@ -324,7 +331,7 @@ object Retrieval extends QueryPack {
       .filter(col("tok") =!= "")
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
     graft.engine.Layout.writeBucketed(
-      ctf.groupBy(col("tok")).agg(count(lit(1)).as("df")), dfT, "tok", 8)
+      ctf.groupBy(col("tok")).agg(count(lit(1)).as("df")), dfT, "tok", bk)
     val emb = ctf
       .join(graft.engine.Layout.readTable(s, dfT).hint("merge"), Seq("tok"))
       .withColumn("hv",
@@ -350,10 +357,10 @@ object Retrieval extends QueryPack {
     val (keyed, vecs) = lshSign(s, d, corpus, dfT, statT)
     graft.engine.Layout.writeBucketed(
       keyed.select(col("doc_id").as("corpus_id"), col("bb"), col("band"),
-        col("bkt"), col("sig")), sigT, "bb", 8)
+        col("bkt"), col("sig")), sigT, "bb", bk)
     graft.engine.Layout.writeBucketed(
       vecs.select(col("doc_id").as("corpus_id"), col("cv"), col("vf"),
-        col("n2f"), col("n2")), vecT, "corpus_id", 8)
+        col("n2f"), col("n2")), vecT, "corpus_id", bk)
     emb.unpersist()
     (sigT, vecT, dfT, statT)
   }
@@ -363,7 +370,7 @@ object Retrieval extends QueryPack {
   private[graft] def lshIndex(s: SparkSession,
       d: String): (String, String, String, String) =
     lshIdxMemo.computeIfAbsent(
-      Tables.md5hex(new java.io.File(d).getAbsolutePath),
+      Tables.md5hex(new java.io.File(d).getAbsolutePath) + s"b${lshBuckets(d)}",
       h => buildLshIndex(s, d, s"_$h", col("doc_id") % 10 =!= 0))
 
   /** Standing index plus an ABSORBED day-1 batch (doc_id % 20 = 0):
@@ -376,17 +383,18 @@ object Retrieval extends QueryPack {
   private[graft] def lshIndexAbsorbed(s: SparkSession,
       d: String): (String, String, String, String) =
     lshIdxUMemo.computeIfAbsent(
-      Tables.md5hex(new java.io.File(d).getAbsolutePath),
+      Tables.md5hex(new java.io.File(d).getAbsolutePath) + s"b${lshBuckets(d)}",
       h => {
+        val bk = lshBuckets(d)
         val t = buildLshIndex(s, d, s"u_$h", col("doc_id") % 10 =!= 0)
         val (sigT, vecT, dfT, statT) = t
         val (k1, v1) = lshSign(s, d, col("doc_id") % 20 === 0, dfT, statT)
         graft.engine.Layout.appendBucketed(
           k1.select(col("doc_id").as("corpus_id"), col("bb"), col("band"),
-            col("bkt"), col("sig")), sigT, "bb", 8)
+            col("bkt"), col("sig")), sigT, "bb", bk)
         graft.engine.Layout.appendBucketed(
           v1.select(col("doc_id").as("corpus_id"), col("cv"), col("vf"),
-            col("n2f"), col("n2")), vecT, "corpus_id", 8)
+            col("n2f"), col("n2")), vecT, "corpus_id", bk)
         t
       })
 

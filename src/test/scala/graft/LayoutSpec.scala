@@ -85,6 +85,23 @@ class LayoutSpec extends SparkTestBase {
     assert(p.contains("Bucketed: true"), p)
   }
 
+  test("bucketsFor: fixture floor, power-of-two growth with bytes, force prop") {
+    // every test fixture sits far under one 32 MB budget unit -> floor
+    assert(Layout.bucketsFor(s"$sf/documents.parquet") == 8)
+    // growth: a 5 MB file at a 1 MB budget needs 5 buckets -> pow2 -> 8
+    // from floor 2; at floor 16 the floor wins
+    val f = java.nio.file.Files.createTempFile("bk", ".bin")
+    java.nio.file.Files.write(f, new Array[Byte](5 * 1024 * 1024))
+    assert(Layout.bucketsFor(f.toString, floor = 2, budgetMB = 1) == 8)
+    assert(Layout.bucketsFor(f.toString, floor = 16, budgetMB = 1) == 16)
+    assert(Layout.bucketsFor(f.toString, floor = 2, budgetMB = 64) == 2)
+    // the force prop pins the count outright (tests / stress runs)
+    System.setProperty(Layout.forceBucketsProp, "32")
+    try assert(Layout.bucketsFor(f.toString, floor = 2, budgetMB = 1) == 32)
+    finally System.clearProperty(Layout.forceBucketsProp)
+    java.nio.file.Files.delete(f)
+  }
+
   test("compactBucketed recovers an interrupted rename-aside swap") {
     // ADVICE r13: the old DROP→RENAME swap could strand the data under
     // the staging name with the live name dangling. The rename-aside

@@ -583,6 +583,30 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("SortMergeJoin"), p)
   }
 
+  test("standing index probe stays index-side-Exchange-free at a second bucket count") {
+    // VERDICT r13 #4: the bucket count is now derived from data
+    // (Layout.bucketsFor — fixture floor 8); the zero-index-Exchange
+    // plan shape must hold at OTHER counts too, or the derivation
+    // would silently regress the probe the first time a corpus crosses
+    // a budget boundary. Forced to 16 via the knob; the memo keys and
+    // table names carry the count, so this build never collides with
+    // the default-count one.
+    System.setProperty(graft.engine.Layout.forceBucketsProp, "16")
+    try {
+      val df = q("q_dedup_index_probe")
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      assert(p.contains("Bucketed: true"), p)
+      assert(!p.contains("Bucketed: false"), p)
+      assert(p.contains("SortMergeJoin"), p)
+      val ensures = p.linesIterator.count(l =>
+        l.contains("+- Exchange hashpartitioning") &&
+          l.contains("ENSURE_REQUIREMENTS"))
+      assert(ensures <= 3, s"$ensures planner Exchanges at 16 buckets:\n$p")
+    } finally System.clearProperty(graft.engine.Layout.forceBucketsProp)
+  }
+
   test("q_bigram_kn: vocabulary-sized partial aggs, one-row nb broadcast") {
     // AQE explain prints the pre-runtime Initial Plan too; judge the
     // Final Plan section only (ADVICE r11: the old disjunction passed
