@@ -424,7 +424,8 @@ object Bench {
       "q_join_bucketed", "q_snapshot_diff", "q_snapshot_scd2_stream",
       "q_multimodal_decode", "q_embed_real", "q_dedup_semantic",
       "q_dedup_index_probe", "q_dedup_index_absorb",
-      "q_dedup_text_index_probe", "q_dedup_text_index_absorb")
+      "q_dedup_text_index_probe", "q_dedup_text_index_absorb",
+      "q_holdings_drift_dates")
     if (!trackShuffle)
       buildCarriers.filter(selected.contains)
         .foreach(n => runOne(n, selected(n)))
