@@ -110,11 +110,28 @@ object Layout {
     spark.sql(s"DROP TABLE IF EXISTS $old")
     spark.sql(s"DROP TABLE IF EXISTS $staging")
     val before = spark.table(table).inputFiles.length.toLong
-    spark.table(table)
-      .repartition(buckets, col(key))
-      .write.mode("overwrite")
-      .bucketBy(buckets, key).sortBy(key)
-      .format("parquet").saveAsTable(staging)
+    // Force the bucketed scan for the rewrite (round 14, measured):
+    // with auto bucketed scan, EnsureRequirements elides the
+    // repartition Exchange (the scan's HashPartitioning satisfies it)
+    // and DisableUnnecessaryBucketedScan THEN disables the bucketed
+    // read (nothing above "needs" it) — the two rules compose into a
+    // write with NO partitioning at all, emitting files-per-task ×
+    // buckets instead of one file per bucket (256 → 118 observed at
+    // sf0.1 before this fix). Forced, the scan's 8..N partitions ARE
+    // the buckets, the Exchange still elides, and compaction becomes
+    // a SHUFFLE-FREE per-bucket file merge — the cheapest possible
+    // rewrite. The repartition stays as the safety net for a session
+    // where bucketed reading is disabled outright.
+    val autoScanKey = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val savedAuto = spark.conf.get(autoScanKey, "true")
+    try {
+      spark.conf.set(autoScanKey, "false")
+      spark.table(table)
+        .repartition(buckets, col(key))
+        .write.mode("overwrite")
+        .bucketBy(buckets, key).sortBy(key)
+        .format("parquet").saveAsTable(staging)
+    } finally spark.conf.set(autoScanKey, savedAuto)
     spark.sql(s"ALTER TABLE $table RENAME TO $old")
     spark.sql(s"ALTER TABLE $staging RENAME TO $table")
     spark.sql(s"DROP TABLE $old")

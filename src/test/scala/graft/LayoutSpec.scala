@@ -72,6 +72,16 @@ class LayoutSpec extends SparkTestBase {
       Layout.compactBucketed(spark, "orders_maint", "o_custkey", 4)
     assert(beforeN == f1 && afterN <= 4,
       s"expected <=4 files after compaction, got $afterN (before $beforeN)")
+    // ONE file per bucket, not files-per-task × buckets (round 14: the
+    // rewrite's Exchange used to be elided while the bucketed scan was
+    // simultaneously disabled, so tasks held mixed buckets and the
+    // "compacted" table kept a per-task file fan-out) — the bucket id
+    // is the _NNNNN suffix in each file name
+    val perBucket = spark.table("orders_maint").inputFiles
+      .flatMap("_(\\d{5})\\.".r.findFirstMatchIn(_).map(_.group(1)))
+      .groupBy(identity).map(_._2.length)
+    assert(perBucket.nonEmpty && perBucket.forall(_ == 1),
+      s"files per bucket after compaction: $perBucket")
     // content identical post-swap
     val back = Layout.readTable(spark, "orders_maint")
     assert(back.count() == base.count())
