@@ -425,6 +425,7 @@ object Bench {
       "q_multimodal_decode", "q_embed_real", "q_dedup_semantic",
       "q_dedup_index_probe", "q_dedup_index_absorb",
       "q_dedup_text_index_probe", "q_dedup_text_index_absorb",
+      "q_dedup_emb_index_probe", "q_dedup_emb_index_absorb",
       "q_holdings_drift_dates")
     if (!trackShuffle)
       buildCarriers.filter(selected.contains)

@@ -27,6 +27,31 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(plan.contains("SortMergeJoin"), plan)
   }
 
+  test("standing embedding index: absorb appends exactly the day-1 signatures") {
+    // the maintenance contract, third family (round 14): the absorbed
+    // index differs from the standing one by PRECISELY the day-1
+    // batch's rows — in both the signature and the vector table — and
+    // the standing rows are untouched (append, never rebuild)
+    val (sigT, vecT, _) = operators.Pipeline.embIndex(spark, sf)
+    val (sigU, vecU, _) = operators.Pipeline.embIndexAbsorbed(spark, sf)
+    val day1Sig = spark.table(sigU).filter(col("corpus_id") % 20 === 0)
+    assert(day1Sig.count() > 0, "vacuous: no day-1 vectors signed at this sf")
+    assert(day1Sig.count() ==
+      spark.table(sigU).count() - spark.table(sigT).count())
+    assert(spark.table(vecU).filter(col("corpus_id") % 20 === 0).count() ==
+      spark.table(vecU).count() - spark.table(vecT).count())
+    // standing rows bit-identical across the two builds
+    val standingU = spark.table(sigU).filter(col("corpus_id") % 20 =!= 0)
+    assert(standingU.exceptAll(spark.table(sigT)).isEmpty &&
+      spark.table(sigT).exceptAll(standingU).isEmpty)
+    // liveness at the query surface: day-2's probe can match an
+    // absorbed vector only because the append landed
+    val rows = q("q_dedup_emb_index_absorb").collect()
+    assert(rows.nonEmpty, "no pairs at all after absorb")
+    assert(rows.exists(_.getLong(1) % 20 == 0),
+      s"no match against an absorbed vector — append not live")
+  }
+
   test("q_dedup_index_probe equals q_dedup_incremental row-for-row (persisted-index round trip)") {
     // the standing bucketed index must not change a single pair vs
     // the recompute form — same fixture, same threshold, two plans

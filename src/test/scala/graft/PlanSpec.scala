@@ -549,16 +549,18 @@ class PlanSpec extends SparkTestBase {
     assert(ensures <= 3, s"$ensures planner Exchanges:\n$p")
   }
 
-  test("q_dedup_text_index_probe: the standing LSH index is never exchanged or broadcast") {
-    // round 14 (VERDICT r13 #2): all three bucketed index tables (sig
-    // on bkt, vec on corpus_id, df on tok) must be scanned AS bucketed
-    // and meet the batch in merge joins with the shuffle always on the
-    // BATCH side. A tree walk beats line counting here: the probe side
-    // legitimately carries many Exchanges (tokenize, tf, emb, proj,
-    // distinct), so the invariant is positional — no Exchange/Broadcast
-    // between any index-table scan and the join that consumes it.
+  /** Shared index-probe invariant (text-LSH round 14, embedding-LSH
+    * same round): every bucketed index table must be scanned AS
+    * bucketed and meet the batch in merge joins with the shuffle
+    * always on the BATCH side. A tree walk beats line counting here:
+    * the probe side legitimately carries many Exchanges (tokenize, tf,
+    * emb, proj, distinct), so the invariant is positional — no
+    * Exchange/Broadcast between any index-table scan and the join that
+    * consumes it. */
+  private def assertIndexNeverShuffled(name: String,
+      tablePrefixes: Seq[String]): Unit = {
     import org.apache.spark.sql.execution.SparkPlan
-    val df = q("q_dedup_text_index_probe")
+    val df = q(name)
     df.collect()
     val inner = df.queryExecution.executedPlan.collect {
       case d: graft.plans.DeferredExec => d.body.inner
@@ -575,9 +577,8 @@ class PlanSpec extends SparkTestBase {
     }
     def isIndexScan(n: SparkPlan): Boolean = n match {
       case f: org.apache.spark.sql.execution.FileSourceScanExec =>
-        f.tableIdentifier.map(_.table).exists(t =>
-          t.startsWith("graft_lshsig_idx") || t.startsWith("graft_lshvec_idx") ||
-            t.startsWith("graft_lshdf_idx"))
+        f.tableIdentifier.map(_.table)
+          .exists(t => tablePrefixes.exists(t.startsWith))
       case _ => false
     }
     def walk(n: SparkPlan, shuffled: Boolean): Unit = {
@@ -597,6 +598,19 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("Bucketed: true"), p)
     assert(!p.contains("Bucketed: false"), p)
     assert(p.contains("SortMergeJoin"), p)
+  }
+
+  test("q_dedup_text_index_probe: the standing LSH index is never exchanged or broadcast") {
+    // round 14 (VERDICT r13 #2): sig on bb, vec on corpus_id, df on tok
+    assertIndexNeverShuffled("q_dedup_text_index_probe",
+      Seq("graft_lshsig_idx", "graft_lshvec_idx", "graft_lshdf_idx"))
+  }
+
+  test("q_dedup_emb_index_probe: the standing embedding index is never exchanged or broadcast") {
+    // round 14: the third near-dup family on the write-once layout —
+    // signatures bucketed on the packed tb key, vectors on corpus_id
+    assertIndexNeverShuffled("q_dedup_emb_index_probe",
+      Seq("graft_embsig_idx", "graft_embvec_idx"))
   }
 
   test("standing index probe stays index-side-Exchange-free at a second bucket count") {
