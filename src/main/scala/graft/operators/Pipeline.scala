@@ -366,14 +366,15 @@ object Pipeline extends QueryPack {
     * (merge on corpus_id; the batch vectors broadcast — daily-batch-
     * sized by contract, the gram probe's nb posture). Top-50 by cosine
     * with a total tie-break, the family's q_dedup_embedding_lsh
-    * output discipline. */
-  private def embIndexProbe(s: SparkSession, d: String,
-      tables: (String, String, String), batch: Column): DataFrame = {
+    * output discipline. Takes the batch as a FRAME so the streaming
+    * runner can probe each micro-batch through the identical plan
+    * (StreamRunner.runEmbProbeIndexed). */
+  private[graft] def embIndexProbeOn(s: SparkSession,
+      tables: (String, String, String), b: DataFrame): DataFrame = {
     GraftFunctions.register(s)
     val (sigT, vecT, statT) = tables
     val idxSig = graft.engine.Layout.readTable(s, sigT)
     val idxVec = graft.engine.Layout.readTable(s, vecT)
-    val b = Tables.t(s, d, "embeddings").filter(batch)
     val bKeyed = embSign(s, b, statT)
       .select(col("vec_id").as("batch_id"), col("tb"))
     val bVec = embVecs(b).select(col("vec_id").as("batch_id"),
@@ -388,6 +389,10 @@ object Pipeline extends QueryPack {
       .orderBy(desc("cos_sim"), col("batch_id"), col("corpus_id"))
       .limit(50)
   }
+
+  private def embIndexProbe(s: SparkSession, d: String,
+      tables: (String, String, String), batch: Column): DataFrame =
+    embIndexProbeOn(s, tables, Tables.t(s, d, "embeddings").filter(batch))
 
   private val embProbeSchema = StructType(Seq(
     StructField("batch_id", org.apache.spark.sql.types.LongType),

@@ -327,6 +327,40 @@ object StreamRunner {
     q.awaitTermination()
   }
 
+  /** Streaming embedding near-dup probe against the STANDING sign-LSH
+    * index (round 14 — the embedding family's streaming half,
+    * completing the gram/text/embedding standing-index symmetry):
+    * embedding shards stream one file per trigger; each micro-batch's
+    * new vectors (vec_id % 10 = 0, the batch query's crawl slice) sign
+    * with the FROZEN width, merge-join the persisted signatures, and
+    * exact-cosine re-rank — the identical plan q_dedup_emb_index_probe
+    * pins, per micro-batch. Each batch keeps its LOCAL top-50: any
+    * pair in the global top-50 ranks at least as high within its own
+    * micro-batch, so the per-batch outputs are a superset of the
+    * global winners and ONE global re-rank over the union reproduces
+    * the batch query exactly — asserted row-for-row in StreamingSpec.
+    * Returns the number of distinct micro-batch ids processed. */
+  def runEmbProbeIndexed(spark: SparkSession, corpusDir: String,
+      streamDir: String, outDir: String, checkpoint: String): Int = {
+    val tables = graft.operators.Pipeline.embIndex(spark, corpusDir)
+    val schema = graft.engine.Tables.t(spark, corpusDir, "embeddings").schema
+    val seen = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(streamDir)
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        seen.add(id)
+        writeVerdictBatch(graft.operators.Pipeline.embIndexProbeOn(
+          spark, tables, batch.filter(col("vec_id") % 10 === 0)), outDir, id)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    seen.size()
+  }
+
   /** Drive the crawl stream through per-micro-batch incremental dedup
     * into a parquet sink (AvailableNow). */
   def runIncrementalDedup(spark: SparkSession, dir: String,

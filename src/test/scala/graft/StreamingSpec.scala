@@ -271,6 +271,34 @@ class StreamingSpec extends SparkTestBase {
     assert(stream.exceptAll(batch).isEmpty && batch.exceptAll(stream).isEmpty)
   }
 
+  test("streaming embedding probe composes to batch q_dedup_emb_index_probe " +
+      "across >=3 micro-batches") {
+    // round 14, the embedding family's streaming half: per-batch
+    // top-50s are a superset of the global top-50's members (a pair's
+    // rank within its own micro-batch is at least its global rank), so
+    // a single global re-rank over the union must reproduce the batch
+    // query row-for-row — including order and every cosine bit
+    val work = java.nio.file.Files
+      .createTempDirectory("graft-embprobe").toString
+    val em = graft.engine.Tables.t(spark, sf, "embeddings")
+    (0 until 3).foreach { i =>
+      em.filter(col("vec_id") % 3 === i).coalesce(1)
+        .write.mode("append").parquet(s"$work/shard")
+    }
+    val n = StreamRunner.runEmbProbeIndexed(spark, sf,
+      s"$work/shard", s"$work/out", s"$work/ckpt")
+    assert(n >= 3, s"expected >=3 micro-batches, got $n")
+    val union = spark.read.parquet(s"$work/out").drop("micro_batch_id")
+    val global = union
+      .orderBy(desc("cos_sim"), col("batch_id"), col("corpus_id")).limit(50)
+      .collect().map(_.toString).toSeq
+    val batchQ = q("q_dedup_emb_index_probe")
+      .collect().map(_.toString).toSeq
+    assert(batchQ.nonEmpty, "vacuous: batch probe returned no pairs")
+    assert(global == batchQ,
+      s"stream union re-rank diverged: ${global.size} vs ${batchQ.size} rows")
+  }
+
   test("incremental dedup verdicts compose across >=3 micro-batches " +
       "(maxFilesPerTrigger=1)") {
     val work = java.nio.file.Files
