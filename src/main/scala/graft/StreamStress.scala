@@ -104,6 +104,43 @@ object StreamStress {
         dirBytes(new java.io.File(s"$work/dedupidx_ckpt"))},"out_bytes":${
         dirBytes(new java.io.File(s"$work/dedupidx_out"))}}""")
 
+    // ---- 1c. streaming EMBEDDING probe against the standing sign-LSH
+    // index (round 14 — the third standing-index family's sf-scale
+    // stress row). Embedding shards stream one file per trigger; each
+    // micro-batch keeps its LOCAL top-50, and since any global-top-50
+    // pair ranks at least as high within its own batch, one global
+    // re-rank over the union must reproduce the batch query
+    // row-for-row (the StreamingSpec superset argument, asserted here
+    // at sf scale too — including order and every cosine bit).
+    val em = graft.engine.Tables.t(spark, sfDir, "embeddings")
+    val nEmbFiles = 5
+    (0 until nEmbFiles).foreach { i =>
+      em.filter(col("vec_id") % nEmbFiles === i).coalesce(1)
+        .write.mode("append").parquet(s"$work/embshard")
+    }
+    val tEmbIdx = System.nanoTime()
+    graft.operators.Pipeline.embIndex(spark, sfDir)
+    val embIdxBuildWall = (System.nanoTime() - tEmbIdx) / 1e9
+    val tEmbStream = System.nanoTime()
+    val nEmbBatches = StreamRunner.runEmbProbeIndexed(spark, sfDir,
+      s"$work/embshard", s"$work/embprobe_out", s"$work/embprobe_ckpt")
+    val embWall = (System.nanoTime() - tEmbStream) / 1e9
+    val unionTop = spark.read.parquet(s"$work/embprobe_out")
+      .drop("micro_batch_id")
+      .orderBy(desc("cos_sim"), col("batch_id"), col("corpus_id")).limit(50)
+      .collect().map(_.toString).toSeq
+    val batchTop = SparkEntry.queries("q_dedup_emb_index_probe")(spark, sfDir)
+      .collect().map(_.toString).toSeq
+    require(nEmbBatches >= nEmbFiles,
+      s"expected >= $nEmbFiles embedding micro-batches, got $nEmbBatches")
+    require(batchTop.nonEmpty && unionTop == batchTop,
+      s"emb stream union re-rank diverged: ${unionTop.size} vs ${batchTop.size}")
+    println(s"""{"scenario":"emb_probe_indexed","sf":"$sfDir","wall_sec":${
+      round2(embWall)},"index_build_sec":${round2(embIdxBuildWall)},""" +
+      s""""micro_batches":$nEmbBatches,"top50_equal":true,"ckpt_bytes":${
+        dirBytes(new java.io.File(s"$work/embprobe_ckpt"))},"out_bytes":${
+        dirBytes(new java.io.File(s"$work/embprobe_out"))}}""")
+
     // ---- 2. SCD2 snapshot ingest, one file per trigger vs drain-all ----
     val base = graft.operators.Snapshots.snapshotBase(spark, sfDir)
     def ingest(tag: String, fpt: Option[Int]): (String, Double) = {
