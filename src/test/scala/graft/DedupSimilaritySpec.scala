@@ -52,6 +52,25 @@ class DedupSimilaritySpec extends SparkTestBase {
       s"no match against an absorbed vector — append not live")
   }
 
+  test("emb index survives compaction: probe rows identical after compactBucketed") {
+    // the full daily lifecycle for the third family: build → absorb
+    // (append, 1 extra file per touched bucket) → compact (fold back
+    // to one file per bucket) → probe — the probe's verdicts must not
+    // move by a bit across the swap, and the appends must actually
+    // have been folded
+    val before = q("q_dedup_emb_index_absorb").collect().map(_.toString).toSeq
+    assert(before.nonEmpty, "vacuous: no pairs before compaction")
+    val (sigU, vecU, _) = operators.Pipeline.embIndexAbsorbed(spark, sf)
+    val bk = graft.engine.Layout.bucketsFor(s"$sf/embeddings.parquet")
+    val (b1, a1) = graft.engine.Layout.compactBucketed(spark, sigU, "tb", bk)
+    val (b2, a2) = graft.engine.Layout
+      .compactBucketed(spark, vecU, "corpus_id", bk)
+    assert(b1 > a1 && a1 <= bk, s"sig files $b1 -> $a1 (buckets $bk)")
+    assert(b2 > a2 && a2 <= bk, s"vec files $b2 -> $a2 (buckets $bk)")
+    val after = q("q_dedup_emb_index_absorb").collect().map(_.toString).toSeq
+    assert(after == before, "probe diverged after compaction")
+  }
+
   test("q_dedup_index_probe equals q_dedup_incremental row-for-row (persisted-index round trip)") {
     // the standing bucketed index must not change a single pair vs
     // the recompute form — same fixture, same threshold, two plans
