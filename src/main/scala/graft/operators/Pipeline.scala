@@ -842,6 +842,69 @@ object Pipeline extends QueryPack {
       }
     }),
 
+    // Per-doc dedup DISPOSITION LINEAGE — the cascade a corpus curator
+    // actually audits: stage 1 exact dedup (normalized-text hash, keep
+    // the longest then lowest id), stage 2 near-dup components over
+    // the SURVIVORS (the q_dedup_prefix_join exact jaccard ≥ 0.9 pair
+    // set restricted to both-endpoints-survivors — pairwise jaccard
+    // doesn't depend on other docs, so restricting the all-docs pair
+    // set IS the survivor pair set), each doc labeled with WHICH stage
+    // removed it and WHO won. This answers the operational question
+    // "why did doc X disappear from the training set" with a
+    // hash-checkable audit trail; at 100 TB it is the lineage table a
+    // curation run ships alongside the kept corpus. Oracled end-to-end
+    // (exact window + the q_dedup_apply recursive-closure CTEs on the
+    // survivor slice).
+    "q_dedup_cascade" -> ((s, d) => {
+      val idT = Tables.t(s, d, "documents").schema("doc_id").dataType
+      Deferred.df(s, "dedup_cascade", StructType(Seq(
+        StructField("doc_id", idT),
+        StructField("stage", org.apache.spark.sql.types.StringType),
+        StructField("winner_id", idT)))) { () =>
+        val docs = Tables.t(s, d, "documents")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("h")).orderBy(desc("n_chars"), col("doc_id"))
+        val ex = docs
+          .withColumn("h", md5(lower(trim(col("text")))))
+          .select(col("doc_id"), col("h"), col("n_chars"))
+          .withColumn("rn", row_number().over(w))
+          .withColumn("ex_winner", first(col("doc_id")).over(w))
+          .select(col("doc_id"), col("rn"), col("ex_winner"))
+        val surv = ex.filter(col("rn") === 1).select(col("doc_id"))
+        // both-endpoint survivor restriction of the shared pair set
+        // (CacheManager reuses the verified prefix-join fragment);
+        // localCheckpoint before the component loop — q_dedup_apply's
+        // eviction argument applies verbatim
+        val pairs = queries("q_dedup_prefix_join")(s, d)
+          .select(col("da"), col("db"))
+          .join(surv.select(col("doc_id").as("da")), Seq("da"))
+          .join(surv.select(col("doc_id").as("db")), Seq("db"))
+          .localCheckpoint()
+        val cc = connectedComponents(pairs)
+        val nearDropped =
+          col("cluster_id").isNotNull && col("cluster_id") =!= col("doc_id")
+        // winners resolve TRANSITIVELY: an exact-dropped doc's
+        // hash-group winner can itself fall to stage 2, so the exact
+        // branch chases one more hop through the cluster labels —
+        // after which every winner is kept (a near winner is its
+        // cluster's minimum, which keeps itself). One-hop closure
+        // spec'd in DedupSimilaritySpec.
+        docs.select(col("doc_id"))
+          .join(ex, Seq("doc_id"))
+          .join(cc, col("doc_id") === col("node"), "left")
+          .join(cc.select(col("node").as("ex_winner"),
+            col("cluster_id").as("wcc")), Seq("ex_winner"), "left")
+          .select(col("doc_id"),
+            when(col("rn") > 1, lit("exact"))
+              .when(nearDropped, lit("near"))
+              .otherwise(lit("kept")).as("stage"),
+            when(col("rn") > 1, coalesce(col("wcc"), col("ex_winner")))
+              .when(nearDropped, col("cluster_id"))
+              .otherwise(col("doc_id")).as("winner_id"))
+          .orderBy(col("doc_id"))
+      }
+    }),
+
     // EXACT duplicated-substring spans (the ExactSubstr pass of
     // "Deduplicating Training Data Makes Language Models Better",
     // Lee et al. 2022, §3.1 generalized to word grams): every maximal
@@ -1929,6 +1992,48 @@ object Pipeline extends QueryPack {
         |  coalesce(l.cluster_id, d.doc_id) AS cluster_id,
         |  coalesce(l.cluster_id, d.doc_id) = d.doc_id AS is_kept
         |FROM documents d LEFT JOIN lbl l ON d.doc_id = l.node
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // the cascade mirror: exact window, then the q_dedup_apply
+    // recursive-closure CTEs computed on the SURVIVOR slice
+    "q_dedup_cascade" ->
+      """WITH RECURSIVE
+        |nrm AS (SELECT doc_id, n_chars, md5(lower(trim(text))) AS h FROM documents),
+        |ex AS (SELECT doc_id, h,
+        |         row_number() OVER (PARTITION BY h ORDER BY n_chars DESC, doc_id) AS rn,
+        |         first_value(doc_id) OVER (PARTITION BY h ORDER BY n_chars DESC, doc_id) AS ex_winner
+        |       FROM nrm),
+        |surv AS (SELECT doc_id FROM ex WHERE rn = 1),
+        |t AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+        |      WHERE doc_id IN (SELECT doc_id FROM surv)),
+        |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
+        |       FROM t, LATERAL (SELECT unnest(generate_series(1, len(w)-2)) AS i) u
+        |       WHERE len(w) >= 3),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter_n
+        |          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |pairs AS (SELECT da, db
+        |  FROM inter JOIN cnt ca ON da = ca.doc_id JOIN cnt cb ON db = cb.doc_id
+        |  WHERE inter_n * 10 >= (ca.n + cb.n - inter_n) * 9),
+        |edges AS (SELECT da AS a, db AS b FROM pairs
+        |          UNION ALL SELECT db, da FROM pairs),
+        |reach AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        |lbl AS (SELECT a AS node, least(a, min(b)) AS cluster_id
+        |        FROM reach GROUP BY a)
+        |SELECT d.doc_id,
+        |  CASE WHEN e.rn > 1 THEN 'exact'
+        |       WHEN l.cluster_id IS NOT NULL AND l.cluster_id <> d.doc_id THEN 'near'
+        |       ELSE 'kept' END AS stage,
+        |  CASE WHEN e.rn > 1 THEN coalesce(lw.cluster_id, e.ex_winner)
+        |       WHEN l.cluster_id IS NOT NULL AND l.cluster_id <> d.doc_id THEN l.cluster_id
+        |       ELSE d.doc_id END AS winner_id
+        |FROM documents d JOIN ex e USING (doc_id)
+        |  LEFT JOIN lbl l ON d.doc_id = l.node
+        |  LEFT JOIN lbl lw ON e.ex_winner = lw.node
         |ORDER BY d.doc_id""".stripMargin,
 
     "q_dedup_substring" ->

@@ -71,6 +71,32 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(after == before, "probe diverged after compaction")
   }
 
+  test("q_dedup_cascade: every drop points at a kept winner, stages partition the corpus") {
+    val rows = q("q_dedup_cascade").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val total = Tables.t(spark, sf, "documents").count()
+    assert(rows.length == total, "one lineage row per doc")
+    val byStage = rows.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byStage.getOrElse("kept", 0) > 0)
+    assert(byStage.getOrElse("exact", 0) + byStage.getOrElse("near", 0) > 0,
+      "fixture must exercise at least one drop stage")
+    val stageOf = rows.map(r => r._1 -> r._2).toMap
+    rows.foreach { case (id, stage, winner) =>
+      if (stage == "kept") assert(winner == id, s"kept doc $id winner $winner")
+      else {
+        assert(winner != id, s"$stage doc $id won itself")
+        // winner chains resolve in ONE hop: every winner is kept
+        assert(stageOf(winner) == "kept",
+          s"$stage doc $id points at non-kept winner $winner (${stageOf(winner)})")
+      }
+    }
+    // near winners are the cluster minimum (the connectedComponents
+    // contract): no near-dropped doc may precede its winner
+    rows.filter(_._2 == "near").foreach { case (id, _, winner) =>
+      assert(winner < id, s"near doc $id has non-minimal winner $winner")
+    }
+  }
+
   test("q_dedup_index_probe equals q_dedup_incremental row-for-row (persisted-index round trip)") {
     // the standing bucketed index must not change a single pair vs
     // the recompute form — same fixture, same threshold, two plans
