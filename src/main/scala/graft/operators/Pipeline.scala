@@ -888,9 +888,12 @@ object Pipeline extends QueryPack {
         // branch chases one more hop through the cluster labels —
         // after which every winner is kept (a near winner is its
         // cluster's minimum, which keeps itself). One-hop closure
-        // spec'd in DedupSimilaritySpec.
-        docs.select(col("doc_id"))
-          .join(ex, Seq("doc_id"))
+        // spec'd in DedupSimilaritySpec. `ex` already carries exactly
+        // one row per doc (window over the full table) — no join back
+        // onto documents; the only corpus-sized shuffles are the hash
+        // window and the final doc_id sort, and the cc sides are
+        // dup-cluster-sized (broadcast at any realistic dup rate).
+        ex
           .join(cc, col("doc_id") === col("node"), "left")
           .join(cc.select(col("node").as("ex_winner"),
             col("cluster_id").as("wcc")), Seq("ex_winner"), "left")
