@@ -955,6 +955,40 @@ object Pipeline extends QueryPack {
         .orderBy(col("doc_id"), col("span_start"))
     }),
 
+    // The substring pass's APPLY step (Lee et al. 2022 §3.1 — detect
+    // THEN CUT): every word position covered by a q_dedup_substring
+    // span is removed and the survivors re-join in order, yielding the
+    // cleaned text a substring-level dedup actually ships. Shape: the
+    // span list aggregates per doc (few spans per doc — duplicated
+    // text, not corpus size), joins the doc ONCE on doc_id, and the
+    // cut is a pure codegen'd higher-order expression (transform +
+    // exists + filter) — no per-word explode, no shuffle beyond the
+    // span agg; the CacheManager reuses q_dedup_substring's shared
+    // gram fragment. Oracled: DuckDB recomputes spans from raw grams
+    // and rebuilds each doc word-by-word — string-exact.
+    "q_dedup_span_apply" -> ((s, d) => {
+      val spans = queries("q_dedup_substring")(s, d)
+        .groupBy(col("doc_id"))
+        .agg(expr("sort_array(collect_list(struct(span_start, span_end)))")
+          .as("spans"))
+      val kept = expr(
+        """transform(filter(transform(w, (x, i) ->
+          |  struct(x as x, i + 1 as p)), t ->
+          |  case when spans is null then true
+          |       else not exists(spans, sp ->
+          |         t.p >= sp.span_start and t.p <= sp.span_end) end),
+          |  t -> t.x)""".stripMargin)
+      Tables.spread(Tables.t(s, d, "documents"), "doc_id")
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .join(spans, Seq("doc_id"), "left")
+        .withColumn("kept", kept)
+        .select(col("doc_id"),
+          concat_ws(" ", col("kept")).as("clean_text"),
+          size(col("kept")).cast("long").as("n_kept"),
+          (size(col("w")) - size(col("kept"))).cast("long").as("n_removed"))
+        .orderBy(col("doc_id"))
+    }),
+
     // INCREMENTAL dedup — the shape a daily ingest actually runs: a
     // new batch (doc_id % 10 = 0 stands in for today's crawl) deduped
     // AGAINST the standing corpus without re-pairing the corpus with
@@ -2038,6 +2072,35 @@ object Pipeline extends QueryPack {
         |  LEFT JOIN lbl l ON d.doc_id = l.node
         |  LEFT JOIN lbl lw ON e.ex_winner = lw.node
         |ORDER BY d.doc_id""".stripMargin,
+
+    // span APPLY mirror: the q_dedup_substring span CTEs, then each
+    // doc rebuilt word-by-word skipping covered positions
+    "q_dedup_span_apply" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |g AS (SELECT doc_id, i AS pos, array_to_string(w[i:i+4], ' ') AS g
+        |      FROM w, LATERAL (SELECT unnest(generate_series(1, len(w)-4)) AS i) t
+        |      WHERE len(w) >= 5),
+        |dup AS (SELECT g FROM g GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+        |hit AS (SELECT doc_id, pos FROM g JOIN dup USING (g)),
+        |isl AS (SELECT doc_id, pos,
+        |          pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        |        FROM hit),
+        |spans AS (SELECT doc_id, min(pos) AS s, max(pos) + 4 AS e
+        |          FROM isl GROUP BY doc_id, grp),
+        |tok AS (SELECT doc_id, u.i AS p, w[u.i] AS x
+        |        FROM w, LATERAL (SELECT unnest(generate_series(1, len(w))) AS i) u),
+        |keep AS (SELECT t.doc_id, t.p, t.x FROM tok t
+        |         WHERE NOT EXISTS (SELECT 1 FROM spans s
+        |           WHERE s.doc_id = t.doc_id AND t.p BETWEEN s.s AND s.e)),
+        |clean AS (SELECT doc_id, string_agg(x, ' ' ORDER BY p) AS clean_text,
+        |            count(*) AS n_kept
+        |          FROM keep GROUP BY doc_id)
+        |SELECT w.doc_id,
+        |  coalesce(c.clean_text, '') AS clean_text,
+        |  coalesce(c.n_kept, 0) AS n_kept,
+        |  len(w.w) - coalesce(c.n_kept, 0) AS n_removed
+        |FROM w LEFT JOIN clean c USING (doc_id)
+        |ORDER BY w.doc_id""".stripMargin,
 
     "q_dedup_substring" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

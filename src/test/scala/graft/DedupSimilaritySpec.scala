@@ -71,6 +71,35 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(after == before, "probe diverged after compaction")
   }
 
+  test("q_dedup_span_apply: counts reconcile, kept words are an ordered subsequence") {
+    val docs = Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val spanned = q("q_dedup_substring").collect().map(_.getLong(0)).toSet
+    assert(spanned.nonEmpty, "fixture must plant cross-doc substrings")
+    val rows = q("q_dedup_span_apply").collect()
+    assert(rows.length == docs.size, "one cleaned row per doc")
+    rows.foreach { r =>
+      val (id, clean) = (r.getLong(0), r.getString(1))
+      val (nk, nr) = (r.getLong(2), r.getLong(3))
+      val orig = docs(id).split(" ", -1)
+      assert(nk + nr == orig.length, s"doc $id: $nk kept + $nr removed != ${orig.length}")
+      if (!spanned(id))
+        assert(nr == 0 && clean == docs(id), s"span-free doc $id must pass through")
+      else {
+        assert(nr >= 5, s"doc $id has a >=5-word span but removed only $nr")
+        val cw = if (clean.isEmpty) Array.empty[String] else clean.split(" ", -1)
+        assert(cw.length == nk, s"doc $id: clean_text word count != n_kept")
+        var i = 0
+        cw.foreach { cwd =>
+          while (i < orig.length && orig(i) != cwd) i += 1
+          assert(i < orig.length, s"doc $id: cleaned text is not a subsequence")
+          i += 1
+        }
+      }
+    }
+  }
+
   test("q_dedup_cascade: every drop points at a kept winner, stages partition the corpus") {
     val rows = q("q_dedup_cascade").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
