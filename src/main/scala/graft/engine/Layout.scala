@@ -1,6 +1,7 @@
 package graft.engine
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{broadcast, col}
 
 /** Physical data layout for repeated big-big joins (100 TB design
   * point): bucketed + sorted tables co-locate join keys at write time,
@@ -46,6 +47,80 @@ object Layout {
       while (b < need && b < (1 << 22)) b <<= 1
       b
     }
+
+  /** Shared memo key for the standing-index builders (ADVICE r14: the
+    * per-family keys hashed only fixture dir + bucket count, so a
+    * second session in the same JVM with a DIFFERENT warehouse was
+    * served table names that resolve in the wrong — or no — catalog).
+    * The key now discriminates on the session's warehouse dir too; the
+    * managed tables live there, so (warehouse, fixture, buckets)
+    * uniquely identifies the landed bytes. All six index memos (gram,
+    * text-LSH, embedding-LSH × standing/absorbed) route through here. */
+  def indexMemoKey(s: SparkSession, dir: String, buckets: Int): String =
+    Tables.md5hex(s.conf.get("spark.sql.warehouse.dir", "") + "|" +
+      new java.io.File(dir).getAbsolutePath) + s"b$buckets"
+
+  /** Sys prop overriding the probe-broadcast gate below: "off" forces
+    * the shuffle fallback (the value-identity sweep in LayoutSpec),
+    * "on" forces the broadcast. Unset = file-stat decision. */
+  val forceProbeBroadcastProp = "graft.probe.broadcast.force"
+
+  /** Whether a daily-batch frame DERIVED FROM `path` may be broadcast
+    * (VERDICT r14 nit + ADVICE r14: the index-probe batch sides were
+    * broadcast ungated — correct under the "a day's crawl ≪ the
+    * corpus" contract, but a 100 TB deployment's batch can exceed the
+    * executor broadcast budget, and the posture was documented, not
+    * enforced). Same driver-side file-stat idiom as
+    * HoldingsContent.overlapBroadcastOk: the batch is a slice of the
+    * source at `path`, so source bytes bound batch bytes; at or under
+    * 128 MB of source the batch broadcast is safe at any slice. */
+  def probeBroadcastOk(path: String, capMB: Int = 128): Boolean =
+    Option(System.getProperty(forceProbeBroadcastProp)) match {
+      case Some("off") => false
+      case Some("on")  => true
+      case _ => dirBytes(new java.io.File(path)) <= capMB * 1048576L
+    }
+
+  /** The gated batch side of an index-probe join: broadcast below the
+    * cap, sort-merge above it (the hint keeps stats-driven re-planning
+    * from re-picking a broadcast that would pin an oversized batch in
+    * every executor). Both shapes produce identical values — the probe
+    * joins are equi-joins on batch keys — pinned in LayoutSpec. */
+  def probeSide(df: DataFrame, path: String): DataFrame =
+    if (probeBroadcastOk(path)) broadcast(df) else df.hint("merge")
+
+  // ---- Tombstone purge (VERDICT r14 #1: the standing-index DELETE /
+  // retention path). A bucketed managed table supports no row DELETE;
+  // the purge is a TOMBSTONE sidecar — `<table>_tomb`, one column, the
+  // purged doc ids — that readers anti-join away. The anti-join
+  // broadcasts the tombstone set (retention purges are request-sized,
+  // never corpus-sized; a broadcast hash join's output partitioning is
+  // the streamed side's, so the index scan's bucket partitioning — and
+  // every downstream Exchange elision — survives the filter, pinned in
+  // PlanSpec). compactBucketed folds tombstones into the rewrite and
+  // drops the sidecar: purge cost is one tiny append at delete time
+  // plus the compaction the table runs anyway.
+
+  private def tombTable(table: String): String = table + "_tomb"
+
+  /** Record a retention purge: append the ids (column `idCol`) to the
+    * tombstone sidecar. Idempotent in effect — re-tombstoning an id is
+    * a duplicate row the anti-join doesn't care about. */
+  def tombstone(spark: SparkSession, table: String, ids: DataFrame,
+      idCol: String): Unit =
+    ids.select(col(idCol)).distinct()
+      .write.mode("append").format("parquet").saveAsTable(tombTable(table))
+
+  /** Read `table` minus its tombstoned ids (plain read when no purge
+    * has ever run). This is the ONLY read path for purgeable indexes —
+    * a reader that misses the sidecar resurrects deleted data. */
+  def readPurged(spark: SparkSession, table: String,
+      idCol: String): DataFrame = {
+    val t = spark.table(table)
+    if (spark.catalog.tableExists(tombTable(table)))
+      t.join(broadcast(spark.table(tombTable(table))), Seq(idCol), "left_anti")
+    else t
+  }
 
   /** Write `df` as a bucketed+sorted managed table. */
   def writeBucketed(df: DataFrame, table: String, key: String,
@@ -95,9 +170,14 @@ object Layout {
     * below rolls an interrupted swap back (or finishes its cleanup) on
     * the next invocation — a real deployment makes the swap a
     * metastore transaction. Returns (files_before, files_after). */
+  /** `foldTombstonesOn`: fold the tombstone sidecar into the rewrite —
+    * the staging copy is built from readPurged on that id column, and
+    * the sidecar drops once the swap completes. Crash between swap and
+    * sidecar-drop is benign: the anti-join re-applies against rows that
+    * no longer exist (a no-op) and the next compaction finishes the
+    * drop — purge-idempotent by construction. */
   def compactBucketed(spark: SparkSession, table: String, key: String,
-      buckets: Int): (Long, Long) = {
-    import org.apache.spark.sql.functions.col
+      buckets: Int, foldTombstonesOn: Option[String] = None): (Long, Long) = {
     val staging = table + "_compacting"
     val old = table + "_old"
     // crash recovery, cases in swap order: died between the two
@@ -126,7 +206,8 @@ object Layout {
     val savedAuto = spark.conf.get(autoScanKey, "true")
     try {
       spark.conf.set(autoScanKey, "false")
-      spark.table(table)
+      foldTombstonesOn.map(readPurged(spark, table, _))
+        .getOrElse(spark.table(table))
         .repartition(buckets, col(key))
         .write.mode("overwrite")
         .bucketBy(buckets, key).sortBy(key)
@@ -135,6 +216,8 @@ object Layout {
     spark.sql(s"ALTER TABLE $table RENAME TO $old")
     spark.sql(s"ALTER TABLE $staging RENAME TO $table")
     spark.sql(s"DROP TABLE $old")
+    if (foldTombstonesOn.isDefined)
+      spark.sql(s"DROP TABLE IF EXISTS ${tombTable(table)}")
     val after = spark.table(table).inputFiles.length.toLong
     (before, after)
   }

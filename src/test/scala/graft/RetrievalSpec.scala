@@ -395,4 +395,58 @@ class RetrievalSpec extends SparkTestBase {
     assert(standingU.exceptAll(spark.table(sigT)).isEmpty &&
       spark.table(sigT).exceptAll(standingU).isEmpty)
   }
+
+  test("re-freeze rebuilds from the landed manifest: probe ≡ a from-scratch build over the same membership") {
+    // VERDICT r14 #2: lshIndexRefrozen reads WHO the index covers from
+    // the persisted membership manifest (old-width signatures are
+    // discarded — scaladoc states the contract) and rebuilds df/stats/
+    // signatures from raw text. The pin: a day-2 probe against the
+    // refrozen index is row-identical to one against an index built
+    // directly from the membership PREDICATES — i.e. the manifest
+    // round-trips the corpus exactly, absorb included.
+    val refr = operators.Retrieval.lshIndexRefrozen(spark, sf)
+    val fresh = operators.Retrieval.buildLshIndex(spark, sf, "_freshref",
+      _.filter(col("doc_id") % 10 =!= 0 || col("doc_id") % 20 === 0))
+    def probe(t: (String, String, String, String)) =
+      operators.Retrieval.lshIndexProbe(spark, sf, t,
+        col("doc_id") % 20 === 10).collect().map(_.toString).toSeq
+    val pr = probe(refr)
+    val pf = probe(fresh)
+    assert(pr == pf, "refrozen probe diverged from the from-scratch build")
+    // the re-freeze REALLY re-froze: day-1's absorbed docs now count
+    // in the df table (they were absorbed under the OLD frozen df,
+    // which by design never saw them)
+    val oldDf = spark.table(operators.Retrieval.lshIndexAbsorbed(spark, sf)._3)
+    val newDf = spark.table(refr._3)
+    val oldMass = oldDf.agg(sum(col("df"))).collect()(0).getLong(0)
+    val newMass = newDf.agg(sum(col("df"))).collect()(0).getLong(0)
+    assert(newMass > oldMass,
+      s"refrozen df mass $newMass not above the stale $oldMass — " +
+        "day-1 docs did not enter the new featurization")
+    // manifest round trip: refrozen membership = old membership
+    val oldMem = spark.table(
+      operators.Retrieval.lshMemTable(operators.Retrieval.lshIndexAbsorbed(spark, sf)._1))
+    val newMem = spark.table(operators.Retrieval.lshMemTable(refr._1))
+    assert(oldMem.exceptAll(newMem).isEmpty && newMem.exceptAll(oldMem).isEmpty)
+  }
+
+  test("q_dedup_text_index_drift: gauges stay in their algebraic ranges and reconcile with the frozen vocabulary") {
+    val r = q("q_dedup_text_index_drift").collect()
+    assert(r.length == 1, "one gauge row per probe")
+    val (nTok, nOov, oovRate, dfShift) =
+      (r(0).getLong(0), r(0).getLong(1), r(0).getDouble(2), r(0).getDouble(3))
+    assert(nTok > 0 && nOov >= 0 && nOov <= nTok)
+    assert(math.abs(oovRate - nOov.toDouble / nTok) < 1e-6)
+    // L1 distance between two (sub-)distributions is bounded by 2
+    assert(dfShift >= 0.0 && dfShift <= 2.0, s"df_shift $dfShift")
+    // reconcile n_oov against a direct recompute over the landed df
+    val (_, _, dfT, _) = operators.Retrieval.lshIndex(spark, sf)
+    val frozen = spark.table(dfT).select(col("tok"))
+    val oovDirect = graft.engine.Tables
+      .t(spark, sf, "documents").filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .join(frozen, Seq("tok"), "left_anti").count()
+    assert(oovDirect == nOov, s"direct OOV $oovDirect vs gauge $nOov")
+  }
 }
