@@ -417,7 +417,7 @@ object Pipeline extends QueryPack {
     * the same embSign every batch probe uses — build and probe cannot
     * drift (the gram-index invariant: everything derives from landed
     * bytes). */
-  private def buildEmbIndex(s: SparkSession, d: String, suffix: String,
+  private[graft] def buildEmbIndex(s: SparkSession, d: String, suffix: String,
       corpus: Column): (String, String, String) = {
     GraftFunctions.register(s)
     val bk = graft.engine.Layout.bucketsFor(s"$d/embeddings.parquet")
@@ -457,16 +457,26 @@ object Pipeline extends QueryPack {
       h => {
         val bk = graft.engine.Layout.bucketsFor(s"$d/embeddings.parquet")
         val t = buildEmbIndex(s, d, s"u_$h", col("vec_id") % 10 =!= 0)
-        val (sigT, vecT, statT) = t
-        val day1 = Tables.t(s, d, "embeddings").filter(col("vec_id") % 20 === 0)
-        graft.engine.Layout.appendBucketed(
-          embSign(s, day1, statT).select(col("vec_id").as("corpus_id"),
-            col("tb")), sigT, "tb", bk)
-        graft.engine.Layout.appendBucketed(
-          embVecs(day1).select(col("vec_id").as("corpus_id"),
-            col("embedding"), col("nrm")), vecT, "corpus_id", bk)
+        absorbEmbBatch(s, d, t, bk, col("vec_id") % 20 === 0)
         t
       })
+
+  /** One absorb day for an embedding index: sign the batch with the
+    * FROZEN width, append signatures and vectors (one new file per
+    * touched bucket). Factored (round 15) so the multi-day soak bench
+    * and the throwaway-index lifecycle specs absorb without touching
+    * the shared memoized index (ADVICE r14). */
+  private[graft] def absorbEmbBatch(s: SparkSession, d: String,
+      t: (String, String, String), bk: Int, batch: Column): Unit = {
+    val (sigT, vecT, statT) = t
+    val day = Tables.t(s, d, "embeddings").filter(batch)
+    graft.engine.Layout.appendBucketed(
+      embSign(s, day, statT).select(col("vec_id").as("corpus_id"),
+        col("tb")), sigT, "tb", bk)
+    graft.engine.Layout.appendBucketed(
+      embVecs(day).select(col("vec_id").as("corpus_id"),
+        col("embedding"), col("nrm")), vecT, "corpus_id", bk)
+  }
 
   /** The daily probe: sign the batch with the frozen width, meet the
     * persisted signatures in a tb merge join, distinct the candidate

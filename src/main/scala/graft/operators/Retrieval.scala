@@ -403,25 +403,34 @@ object Retrieval extends QueryPack {
     lshIdxUMemo.computeIfAbsent(
       graft.engine.Layout.indexMemoKey(s, d, lshBuckets(d)),
       h => {
-        val bk = lshBuckets(d)
         val t = buildLshIndex(s, d, s"u_$h",
           _.filter(col("doc_id") % 10 =!= 0))
-        val (sigT, vecT, dfT, statT) = t
-        val day1 = (df: DataFrame) => df.filter(col("doc_id") % 20 === 0)
-        val (k1, v1) = lshSign(s, d, day1, dfT, statT)
-        graft.engine.Layout.appendBucketed(
-          k1.select(col("doc_id").as("corpus_id"), col("bb"), col("band"),
-            col("bkt"), col("sig")), sigT, "bb", bk)
-        graft.engine.Layout.appendBucketed(
-          v1.select(col("doc_id").as("corpus_id"), col("cv"), col("vf"),
-            col("n2f"), col("n2")), vecT, "corpus_id", bk)
-        // the membership manifest absorbs too — the re-freeze contract
-        // is that the manifest alone names the covered corpus
-        graft.engine.Layout.appendBucketed(
-          day1(Tables.spread(Tables.t(s, d, "documents"), "doc_id"))
-            .select(col("doc_id")), lshMemTable(sigT), "doc_id", bk)
+        absorbLshBatch(s, d, t, lshBuckets(d),
+          _.filter(col("doc_id") % 20 === 0))
         t
       })
+
+  /** One absorb day for a text-LSH index: sign the batch with the
+    * FROZEN stats, append signatures, vectors, and the membership
+    * manifest (the re-freeze contract: the manifest alone names the
+    * covered corpus). Factored (round 15) for the multi-day soak bench
+    * and throwaway-index lifecycle specs (ADVICE r14: never mutate the
+    * shared memoized index in a test). */
+  private[graft] def absorbLshBatch(s: SparkSession, d: String,
+      t: (String, String, String, String), bk: Int,
+      sel: DataFrame => DataFrame): Unit = {
+    val (sigT, vecT, dfT, statT) = t
+    val (k1, v1) = lshSign(s, d, sel, dfT, statT)
+    graft.engine.Layout.appendBucketed(
+      k1.select(col("doc_id").as("corpus_id"), col("bb"), col("band"),
+        col("bkt"), col("sig")), sigT, "bb", bk)
+    graft.engine.Layout.appendBucketed(
+      v1.select(col("doc_id").as("corpus_id"), col("cv"), col("vf"),
+        col("n2f"), col("n2")), vecT, "corpus_id", bk)
+    graft.engine.Layout.appendBucketed(
+      sel(Tables.spread(Tables.t(s, d, "documents"), "doc_id"))
+        .select(col("doc_id")), lshMemTable(sigT), "doc_id", bk)
+  }
 
   private val lshIdxRMemo = new java.util.concurrent.ConcurrentHashMap[
     String, (String, String, String, String)]()

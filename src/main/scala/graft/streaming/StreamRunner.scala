@@ -364,6 +364,131 @@ object StreamRunner {
     seen.size()
   }
 
+  /** ONE DAY of the closed dedup loop (round 15, VERDICT r14 #5):
+    * probe the standing gram index with `newDocs`, land the verdicts
+    * (replay-idempotent partition overwrite), then ABSORB the kept
+    * docs — the ones with no ≥ 0.5-jaccard match — into the index by
+    * bucketed append, so tomorrow's batch dedups against an index that
+    * already holds today's keepers. The keep decision reads the
+    * verdicts BACK from the landed partition (never the in-memory
+    * plan), so absorb follows bytes on disk — the gramIndexAbsorbed
+    * landed-state discipline. Intra-batch near-dups do NOT pair with
+    * each other (the q_dedup_incremental batch×corpus contract); both
+    * land and meet the next rebuild's self-dedup.
+    *
+    * Replay exactness (at-least-once foreachBatch): the COUNT append
+    * lands LAST and is the absorb's commit record. A replay (detected
+    * by the batch's verdict partition already existing) re-derives the
+    * remaining work from landed state — ids already counted are
+    * skipped; ids whose grams landed but whose counts did not (a crash
+    * between the two appends) get ONLY their counts appended, derived
+    * FROM the landed grams so the heal cannot drift from the bytes on
+    * disk; untouched ids absorb from scratch. The index-sized id scans
+    * run ONLY on the replay path — the happy path appends blind. The
+    * grams-and-counts pair itself reads one localCheckpoint'd frame,
+    * so the two appends can never disagree. StreamingSpec pins
+    * stream ≡ sequential-batch-chain, replay no-op, and the
+    * half-commit heal. */
+  def probeAbsorbStep(spark: SparkSession, gT: String, cT: String,
+      buckets: Int, newDocs: DataFrame, outDir: String, batchId: Long,
+      srcPath: String): Unit = {
+    import graft.engine.Layout
+    // ALL reads and writes go through the batch frame's OWN session:
+    // foreachBatch hands each micro-batch a CLONED session, and an
+    // append through the clone invalidates only the clone's relation
+    // cache — reading the table through the outer session would serve
+    // batch N+1 a stale file list that silently misses batch N's
+    // absorbed rows (observed: the loop's index never grew). One
+    // session end-to-end keeps every step self-consistent; the loop
+    // runner refreshes the caller's session once the stream drains.
+    val ss = newDocs.sparkSession
+    val replay = new java.io.File(s"$outDir/micro_batch_id=$batchId").exists()
+    val g = graft.operators.Pipeline.wordGrams3(newDocs)
+      .select(col("doc_id").as("corpus_id"), col("g")).localCheckpoint()
+    val bg = g.select(col("corpus_id").as("batch_id"), col("g"))
+    val nb = bg.groupBy(col("batch_id")).agg(count(lit(1)).as("nb"))
+    // the probe sees the index MINUS this batch's own ids: a replay
+    // after a crashed absorb would otherwise find the batch's keepers
+    // already in the index (self-pairs, intra-batch pairs the original
+    // attempt never saw) and land different verdicts than the first
+    // attempt — the anti-join makes the verdict write deterministic
+    // across replays; on the happy path it excludes nothing. Broadcast
+    // anti preserves the index scan's bucket partitioning (readPurged's
+    // argument).
+    val bIds = g.select(col("corpus_id")).distinct()
+    val verdicts = Layout.readTable(ss, gT)
+      .join(Layout.probeSide(bIds, srcPath), Seq("corpus_id"), "left_anti")
+      .hint("merge")
+      .join(bg, Seq("g"))
+      .groupBy(col("batch_id"), col("corpus_id"))
+      .agg(count(lit(1)).as("inter_n"))
+      .join(Layout.probeSide(nb, srcPath), Seq("batch_id"))
+      .join(Layout.readTable(ss, cT)
+        .join(Layout.probeSide(bIds, srcPath), Seq("corpus_id"), "left_anti")
+        .hint("merge"), Seq("corpus_id"))
+      .filter(col("inter_n") * 3 >= col("nb") + col("nc"))
+      .select(col("batch_id"), col("corpus_id"), col("inter_n"),
+        (col("nb") + col("nc") - col("inter_n")).as("union_n"),
+        round(col("inter_n").cast("double") /
+          (col("nb") + col("nc") - col("inter_n")), 6).as("jac"))
+    writeVerdictBatch(verdicts, outDir, batchId)
+    val dupIds = ss.read.parquet(s"$outDir/micro_batch_id=$batchId")
+      .select(col("batch_id").as("corpus_id")).distinct()
+    var keep = g.join(dupIds, Seq("corpus_id"), "left_anti")
+    if (replay) {
+      val counted = Layout.readTable(ss, cT)
+        .select(col("corpus_id")).distinct()
+      val landedG = Layout.readTable(ss, gT)
+        .select(col("corpus_id")).distinct()
+      val orphan = landedG.join(counted, Seq("corpus_id"), "left_anti")
+        .join(keep, Seq("corpus_id"), "left_semi").localCheckpoint()
+      if (orphan.limit(1).count() > 0)
+        Layout.appendBucketed(
+          Layout.readTable(ss, gT)
+            .join(orphan, Seq("corpus_id"), "left_semi")
+            .groupBy(col("corpus_id")).agg(count(lit(1)).as("nc")),
+          cT, "corpus_id", buckets)
+      keep = keep.join(landedG, Seq("corpus_id"), "left_anti")
+    }
+    val kept = keep.localCheckpoint()
+    Layout.appendBucketed(kept, gT, "g", buckets)
+    Layout.appendBucketed(
+      kept.groupBy(col("corpus_id")).agg(count(lit(1)).as("nc")),
+      cT, "corpus_id", buckets)
+  }
+
+  /** The closed daily loop as ONE stream: each micro-batch (a day's
+    * crawl file) probes, verdicts, and absorbs through
+    * [[probeAbsorbStep]] — the index the stream probes GROWS as the
+    * stream runs, which is the production shape a daily ingest
+    * pipeline actually has. Returns distinct micro-batch ids
+    * processed. */
+  def runProbeAbsorbLoop(spark: SparkSession, corpusDir: String,
+      streamDir: String, gT: String, cT: String, buckets: Int,
+      outDir: String, checkpoint: String): Int = {
+    val schema = graft.engine.Tables.t(spark, corpusDir, "documents").schema
+    val src = s"$corpusDir/documents.parquet"
+    val seen = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(streamDir)
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        seen.add(id)
+        probeAbsorbStep(spark, gT, cT, buckets, batch, outDir, id, src)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // the appends ran through the stream's CLONED session (see
+    // probeAbsorbStep's session note) — invalidate the caller's cached
+    // relations so it sees the grown index, not a stale file list
+    spark.catalog.refreshTable(gT)
+    spark.catalog.refreshTable(cT)
+    seen.size()
+  }
+
   /** Drive the crawl stream through per-micro-batch incremental dedup
     * into a parquet sink (AvailableNow). */
   def runIncrementalDedup(spark: SparkSession, dir: String,

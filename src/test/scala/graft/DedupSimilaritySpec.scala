@@ -52,22 +52,35 @@ class DedupSimilaritySpec extends SparkTestBase {
       s"no match against an absorbed vector — append not live")
   }
 
-  test("emb index survives compaction: probe rows identical after compactBucketed") {
-    // the full daily lifecycle for the third family: build → absorb
-    // (append, 1 extra file per touched bucket) → compact (fold back
-    // to one file per bucket) → probe — the probe's verdicts must not
-    // move by a bit across the swap, and the appends must actually
-    // have been folded
-    val before = q("q_dedup_emb_index_absorb").collect().map(_.toString).toSeq
-    assert(before.nonEmpty, "vacuous: no pairs before compaction")
-    val (sigU, vecU, _) = operators.Pipeline.embIndexAbsorbed(spark, sf)
+  test("emb index survives compaction after >=3 absorb days: probe rows identical (throwaway index)") {
+    // the full daily lifecycle for the third family, on a THROWAWAY
+    // build (ADVICE r14: the earlier form compacted the shared
+    // memoized index in place, hiding an ordering coupling — any
+    // reordering or re-entry broke its file-count assertion even
+    // though the data stayed correct): build → 3 absorb days → compact
+    // → probe, verdicts bit-identical across the swap, appends really
+    // folded. Three appends, not one (VERDICT r14 #7): each absorb
+    // adds up to one file per touched bucket, so the fold has real
+    // multi-day fan-in to collapse.
+    val t = operators.Pipeline.buildEmbIndex(spark, sf, "_cmplc",
+      col("vec_id") % 10 =!= 0)
+    val (sigT, vecT, _) = t
     val bk = graft.engine.Layout.bucketsFor(s"$sf/embeddings.parquet")
-    val (b1, a1) = graft.engine.Layout.compactBucketed(spark, sigU, "tb", bk)
+    Seq(0, 10, 20).foreach(dy => operators.Pipeline.absorbEmbBatch(
+      spark, sf, t, bk, col("vec_id") % 40 === dy))
+    def probe() = operators.Pipeline.embIndexProbeOn(spark, t,
+      graft.engine.Tables.t(spark, sf, "embeddings")
+        .filter(col("vec_id") % 40 === 30),
+      s"$sf/embeddings.parquet").collect().map(_.toString).toSeq
+    val before = probe()
+    assert(before.nonEmpty, "vacuous: no pairs before compaction")
+    val (b1, a1) = graft.engine.Layout.compactBucketed(spark, sigT, "tb", bk)
     val (b2, a2) = graft.engine.Layout
-      .compactBucketed(spark, vecU, "corpus_id", bk)
+      .compactBucketed(spark, vecT, "corpus_id", bk)
     assert(b1 > a1 && a1 <= bk, s"sig files $b1 -> $a1 (buckets $bk)")
     assert(b2 > a2 && a2 <= bk, s"vec files $b2 -> $a2 (buckets $bk)")
-    val after = q("q_dedup_emb_index_absorb").collect().map(_.toString).toSeq
+    assert(b1 >= bk + 3, s"3 absorb days left only $b1 sig files pre-fold")
+    val after = probe()
     assert(after == before, "probe diverged after compaction")
   }
 
