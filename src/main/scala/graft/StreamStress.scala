@@ -141,6 +141,84 @@ object StreamStress {
         dirBytes(new java.io.File(s"$work/embprobe_ckpt"))},"out_bytes":${
         dirBytes(new java.io.File(s"$work/embprobe_out"))}}""")
 
+    // ---- 1d. the CLOSED probe→verdict→absorb loop (round 15, VERDICT
+    // r14 #5): two crawl days stream through runProbeAbsorbLoop — each
+    // micro-batch probes the standing gram index, lands verdicts, and
+    // absorbs its keepers, so day 2 dedups against an index already
+    // holding day 1's keepers. Equivalence at sf scale: the final
+    // index AND the verdicts must equal a sequential chain built from
+    // the BATCH primitives (gramIndexProbeOn + appendBucketed) on an
+    // identical index copy.
+    import graft.engine.Layout
+    val bkLoop = Layout.bucketsFor(s"$sfDir/documents.parquet")
+    def buildLoopIdx(sfx: String): (String, String) = {
+      val (gT, cT) = (s"gram_loopstress_$sfx", s"gramcnt_loopstress_$sfx")
+      Layout.writeBucketed(graft.operators.Pipeline
+        .wordGrams3(docs.filter(col("doc_id") % 10 =!= 0))
+        .select(col("doc_id").as("corpus_id"), col("g")), gT, "g", bkLoop)
+      Layout.writeBucketed(Layout.readTable(spark, gT)
+        .groupBy(col("corpus_id")).agg(count(lit(1)).as("nc")),
+        cT, "corpus_id", bkLoop)
+      (gT, cT)
+    }
+    val loopCrawl = s"$work/loopcrawl"
+    docs.filter(col("doc_id") % 20 === 0).coalesce(1)
+      .write.mode("append").parquet(loopCrawl)
+    val tNow = System.currentTimeMillis()
+    new java.io.File(loopCrawl).listFiles()
+      .foreach(_.setLastModified(tNow - 120000))
+    docs.filter(col("doc_id") % 20 === 10).coalesce(1)
+      .write.mode("append").parquet(s"$work/loopday2")
+    new java.io.File(s"$work/loopday2").listFiles()
+      .filter(_.getName.endsWith(".parquet")).foreach { f =>
+        val dst = new java.io.File(loopCrawl, f.getName)
+        java.nio.file.Files.move(f.toPath, dst.toPath)
+        dst.setLastModified(tNow)
+      }
+    val tLoopIdx = System.nanoTime()
+    val (gS, cS) = buildLoopIdx("s")
+    val loopIdxWall = (System.nanoTime() - tLoopIdx) / 1e9
+    val tLoop = System.nanoTime()
+    val nLoop = StreamRunner.runProbeAbsorbLoop(spark, sfDir, loopCrawl,
+      gS, cS, bkLoop, s"$work/loop_out", s"$work/loop_ckpt")
+    val loopWall = (System.nanoTime() - tLoop) / 1e9
+    require(nLoop >= 2, s"expected 2 one-file triggers, got $nLoop")
+    val (gB, cB) = buildLoopIdx("b")
+    val tChain = System.nanoTime()
+    val chainV = Seq(col("doc_id") % 20 === 0, col("doc_id") % 20 === 10)
+      .flatMap { pred =>
+        val v = graft.operators.Pipeline.gramIndexProbeOn(spark, sfDir,
+          Layout.readTable(spark, gB), Layout.readTable(spark, cB), pred)
+          .localCheckpoint()
+        val keep = graft.operators.Pipeline.wordGrams3(docs.filter(pred))
+          .select(col("doc_id").as("corpus_id"), col("g"))
+          .join(v.select(col("batch_id").as("corpus_id")).distinct(),
+            Seq("corpus_id"), "left_anti").localCheckpoint()
+        Layout.appendBucketed(keep, gB, "g", bkLoop)
+        Layout.appendBucketed(keep.groupBy(col("corpus_id"))
+          .agg(count(lit(1)).as("nc")), cB, "corpus_id", bkLoop)
+        v.collect().map(_.toString).toSeq
+      }
+    val chainWall = (System.nanoTime() - tChain) / 1e9
+    val loopV = spark.read.parquet(s"$work/loop_out").drop("micro_batch_id")
+      .collect().map(_.toString).toSeq
+    require(chainV.nonEmpty && loopV.sorted == chainV.sorted,
+      s"loop verdicts diverged: ${loopV.size} vs ${chainV.size}")
+    val gDiff = Layout.readTable(spark, gS)
+      .exceptAll(Layout.readTable(spark, gB)).count() +
+      Layout.readTable(spark, gB)
+        .exceptAll(Layout.readTable(spark, gS)).count()
+    require(gDiff == 0, s"loop index diverged from the batch chain: $gDiff")
+    val absorbed = Layout.readTable(spark, cS)
+      .filter(col("corpus_id") % 10 === 0).count()
+    require(absorbed > 0, "loop absorbed nothing — the closed-loop claim is vacuous")
+    println(s"""{"scenario":"probe_absorb_loop","sf":"$sfDir","wall_sec":${
+      round2(loopWall)},"index_build_sec":${round2(loopIdxWall)},""" +
+      s""""chain_wall_sec":${round2(chainWall)},"micro_batches":$nLoop,""" +
+      s""""verdict_rows":${loopV.size},"absorbed_docs":$absorbed,""" +
+      s""""chain_equal":true,"ckpt_bytes":${
+        dirBytes(new java.io.File(s"$work/loop_ckpt"))}}""")
+
     // ---- 2. SCD2 snapshot ingest, one file per trigger vs drain-all ----
     val base = graft.operators.Snapshots.snapshotBase(spark, sfDir)
     def ingest(tag: String, fpt: Option[Int]): (String, Double) = {

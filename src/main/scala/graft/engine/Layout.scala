@@ -54,8 +54,13 @@ object Layout {
     * served table names that resolve in the wrong — or no — catalog).
     * The key now discriminates on the session's warehouse dir too; the
     * managed tables live there, so (warehouse, fixture, buckets)
-    * uniquely identifies the landed bytes. All six index memos (gram,
-    * text-LSH, embedding-LSH × standing/absorbed) route through here. */
+    * uniquely identifies the landed bytes. All index memos (gram,
+    * text-LSH, embedding-LSH × standing/absorbed/purged/refrozen)
+    * route through here. Remaining documented assumption: the fixture
+    * dir is IMMUTABLE for the process lifetime — an in-place
+    * regeneration at unchanged byte size would be served a stale
+    * index; regenerate into a new path (the driver's testdata
+    * discipline) or restart the process. */
   def indexMemoKey(s: SparkSession, dir: String, buckets: Int): String =
     Tables.md5hex(s.conf.get("spark.sql.warehouse.dir", "") + "|" +
       new java.io.File(dir).getAbsolutePath) + s"b$buckets"
