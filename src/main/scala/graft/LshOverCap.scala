@@ -23,10 +23,13 @@ import org.apache.spark.sql.SparkSession
   *    is sf1's embeddings replicated ×100 ≈ 2 M vectors with SfGen's
   *    rotate-plus-sign-flip rule (norm-preserving; the flip keyed by
   *    r/dim keeps replicas past the rotation period distinct — ADVICE
-  *    r13; the recorded round-13 artifact predates the flip, so its
-  *    replicas 64..99 duplicated 0..35 and its near-dup pair counts
-  *    read high — organic-vs-S=1 hash identity was unaffected),
-  *    past the 250 MB organic build gate.
+  *    r13), past the 250 MB organic build gate. The standing row was
+  *    RE-MEASURED in round 15 on a post-sign-flip fixture (VERDICT
+  *    r14 #4): S=2 organic 373.55 s vs forced-S=1 398.72 s,
+  *    hash-identical, +2.2% shuffle — SCALING.md §1 carries the JSON;
+  *    the superseded round-13 numbers came from a fixture whose
+  *    replicas 64..99 duplicated 0..35 (pair counts read high there,
+  *    though hash identity between the two shapes was unaffected).
   *
   * Usage: runMain graft.LshOverCap [fixtureDir] [text|embedding]
   */
