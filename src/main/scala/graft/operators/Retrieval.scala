@@ -1884,7 +1884,8 @@ object Retrieval extends QueryPack {
         |  round(CAST(n_oov AS DOUBLE) / CAST(n_tok AS DOUBLE), 6) AS oov_rate,
         |  round(CAST(l1num AS DOUBLE) /
         |    (CAST(s_b AS DOUBLE) * CAST(s_c AS DOUBLE)), 6) AS df_shift
-        |FROM tot, l1, sb, sc""".stripMargin,
+        |FROM tot, l1, sb, sc
+        |ORDER BY n_tok""".stripMargin,
 
     "q_tfidf" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
