@@ -478,6 +478,21 @@ object Pipeline extends QueryPack {
         col("embedding"), col("nrm")), vecT, "corpus_id", bk)
   }
 
+  /** Retention purge for an embedding index (round 15 — §6d's
+    * tombstone lifecycle, third family): ids tombstone in both the
+    * signature and vector tables; probes anti-join them away via the
+    * purge-aware reads in embIndexProbeOn, and compactBucketed folds
+    * them at the next maintenance pass. The frozen width is
+    * unaffected (it derives from a count, not from rows — a rebuild
+    * re-derives it, the §6c refresh point). */
+  private[graft] def purgeEmbIndex(s: SparkSession,
+      t: (String, String, String), ids: DataFrame): Unit = {
+    val (sigT, vecT, _) = t
+    val byCorpus = ids.select(col("vec_id").as("corpus_id"))
+    graft.engine.Layout.tombstone(s, sigT, byCorpus, "corpus_id")
+    graft.engine.Layout.tombstone(s, vecT, byCorpus, "corpus_id")
+  }
+
   /** The daily probe: sign the batch with the frozen width, meet the
     * persisted signatures in a tb merge join, distinct the candidate
     * pairs, then exact-cosine re-rank against the persisted vectors
@@ -494,8 +509,10 @@ object Pipeline extends QueryPack {
       srcPath: String): DataFrame = {
     GraftFunctions.register(s)
     val (sigT, vecT, statT) = tables
-    val idxSig = graft.engine.Layout.readTable(s, sigT)
-    val idxVec = graft.engine.Layout.readTable(s, vecT)
+    // purge-aware reads (round 15) — plain reads until a retention
+    // purge lands a tombstone sidecar; see Layout.readPurged
+    val idxSig = graft.engine.Layout.readPurged(s, sigT, "corpus_id")
+    val idxVec = graft.engine.Layout.readPurged(s, vecT, "corpus_id")
     val bKeyed = embSign(s, b, statT)
       .select(col("vec_id").as("batch_id"), col("tb"))
     val bVec = embVecs(b).select(col("vec_id").as("batch_id"),
@@ -1173,8 +1190,13 @@ object Pipeline extends QueryPack {
     "q_dedup_index_probe" -> ((s, d) =>
       Deferred.df(s, "dedup_index_probe", gramProbeSchema) { () =>
         val (gT, cT) = gramIndex(s, d)
-        gramIndexProbeOn(s, d, graft.engine.Layout.readTable(s, gT),
-          graft.engine.Layout.readTable(s, cT), col("doc_id") % 10 === 0)
+        // readPurged everywhere (round 15): plain reads until a purge
+        // lands a sidecar — the uniform read path makes EVERY standing
+        // index purgeable without a per-query opt-in
+        gramIndexProbeOn(s, d,
+          graft.engine.Layout.readPurged(s, gT, "corpus_id"),
+          graft.engine.Layout.readPurged(s, cT, "corpus_id"),
+          col("doc_id") % 10 === 0)
       }),
 
     // INDEX MAINTENANCE (round 13): day-1's verdicted batch is
@@ -1189,8 +1211,10 @@ object Pipeline extends QueryPack {
     "q_dedup_index_absorb" -> ((s, d) =>
       Deferred.df(s, "dedup_index_absorb", gramProbeSchema) { () =>
         val (gT, cT) = gramIndexAbsorbed(s, d)
-        gramIndexProbeOn(s, d, graft.engine.Layout.readTable(s, gT),
-          graft.engine.Layout.readTable(s, cT), col("doc_id") % 20 === 10)
+        gramIndexProbeOn(s, d,
+          graft.engine.Layout.readPurged(s, gT, "corpus_id"),
+          graft.engine.Layout.readPurged(s, cT, "corpus_id"),
+          col("doc_id") % 20 === 10)
       }),
 
     // RETENTION PURGE (VERDICT r14 #1 — the last lifecycle gap in the

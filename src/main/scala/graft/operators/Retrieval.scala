@@ -432,8 +432,41 @@ object Retrieval extends QueryPack {
         .select(col("doc_id")), lshMemTable(sigT), "doc_id", bk)
   }
 
+  /** Retention purge for a text-LSH index (round 15 — the gram
+    * family's §6d tombstone lifecycle extended to this family): the
+    * ids tombstone in the signature AND vector tables (readers
+    * anti-join them away via Layout.readPurged; compactBucketed folds
+    * them later) — and in the MEMBERSHIP MANIFEST, which is the
+    * subtle one: a re-freeze rebuilds from the manifest, so a purge
+    * that left the ids there would RESURRECT the deleted docs at the
+    * next rebuild, silently undoing a retention erasure. df/stat stay
+    * frozen: a deleted doc's df mass ages out at the next re-freeze,
+    * the same staleness contract absorb already has (and the drift
+    * gauge sees the decay). */
+  private[graft] def purgeLshIndex(s: SparkSession,
+      t: (String, String, String, String), ids: DataFrame): Unit = {
+    val (sigT, vecT, _, _) = t
+    val byCorpus = ids.select(col("doc_id").as("corpus_id"))
+    graft.engine.Layout.tombstone(s, sigT, byCorpus, "corpus_id")
+    graft.engine.Layout.tombstone(s, vecT, byCorpus, "corpus_id")
+    graft.engine.Layout.tombstone(s, lshMemTable(sigT),
+      ids.select(col("doc_id")), "doc_id")
+  }
+
   private val lshIdxRMemo = new java.util.concurrent.ConcurrentHashMap[
     String, (String, String, String, String)]()
+
+  /** Re-freeze an ARBITRARY landed index (the memoized
+    * lshIndexRefrozen below wires it to the shared absorbed index):
+    * membership comes from the PURGE-AWARE manifest read, so a
+    * re-freeze after a retention purge rebuilds over the survivors
+    * only — spec-pinned in RetrievalSpec (the resurrection test). */
+  private[graft] def refreezeLsh(s: SparkSession, d: String, suffix: String,
+      t: (String, String, String, String)): (String, String, String, String) = {
+    val member = graft.engine.Layout
+      .readPurged(s, lshMemTable(t._1), "doc_id").select(col("doc_id"))
+    buildLshIndex(s, d, suffix, _.join(member, Seq("doc_id"), "left_semi"))
+  }
 
   /** RE-FREEZE (VERDICT r14 #2, the other half of the drift story):
     * when the drift monitor (q_dedup_text_index_drift) says the frozen
@@ -457,13 +490,7 @@ object Retrieval extends QueryPack {
       d: String): (String, String, String, String) =
     lshIdxRMemo.computeIfAbsent(
       graft.engine.Layout.indexMemoKey(s, d, lshBuckets(d)),
-      h => {
-        val old = lshIndexAbsorbed(s, d)
-        val member = graft.engine.Layout
-          .readTable(s, lshMemTable(old._1)).select(col("doc_id"))
-        buildLshIndex(s, d, s"r_$h",
-          _.join(member, Seq("doc_id"), "left_semi"))
-      })
+      h => refreezeLsh(s, d, s"r_$h", lshIndexAbsorbed(s, d)))
 
   /** The daily probe: sign the batch with the frozen stats, meet the
     * persisted signatures in a (band, bkt) merge join (hamming ≤ 16
@@ -476,8 +503,12 @@ object Retrieval extends QueryPack {
   private[graft] def lshIndexProbe(s: SparkSession, d: String,
       tables: (String, String, String, String), batch: Column): DataFrame = {
     val (sigT, vecT, dfT, statT) = tables
-    val idxSig = graft.engine.Layout.readTable(s, sigT)
-    val idxVec = graft.engine.Layout.readTable(s, vecT)
+    // purge-aware reads (round 15): a plain read when no retention
+    // purge has ever run; a layout-preserving broadcast anti-join
+    // otherwise — readPurged is the only legal read path for
+    // purgeable tables (its scaladoc contract)
+    val idxSig = graft.engine.Layout.readPurged(s, sigT, "corpus_id")
+    val idxVec = graft.engine.Layout.readPurged(s, vecT, "corpus_id")
     val (bk, bv) = lshSign(s, d, _.filter(batch), dfT, statT)
     val bKeyed = bk.select(col("doc_id").as("batch_id"),
       col("bb").as("bb_b"), col("sig").as("sig_b"))

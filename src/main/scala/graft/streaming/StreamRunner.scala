@@ -416,14 +416,14 @@ object StreamRunner {
     // anti preserves the index scan's bucket partitioning (readPurged's
     // argument).
     val bIds = g.select(col("corpus_id")).distinct()
-    val verdicts = Layout.readTable(ss, gT)
+    val verdicts = Layout.readPurged(ss, gT, "corpus_id")
       .join(Layout.probeSide(bIds, srcPath), Seq("corpus_id"), "left_anti")
       .hint("merge")
       .join(bg, Seq("g"))
       .groupBy(col("batch_id"), col("corpus_id"))
       .agg(count(lit(1)).as("inter_n"))
       .join(Layout.probeSide(nb, srcPath), Seq("batch_id"))
-      .join(Layout.readTable(ss, cT)
+      .join(Layout.readPurged(ss, cT, "corpus_id")
         .join(Layout.probeSide(bIds, srcPath), Seq("corpus_id"), "left_anti")
         .hint("merge"), Seq("corpus_id"))
       .filter(col("inter_n") * 3 >= col("nb") + col("nc"))

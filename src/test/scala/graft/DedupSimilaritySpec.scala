@@ -84,6 +84,33 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(after == before, "probe diverged after compaction")
   }
 
+  test("emb-index retention purge: probe equals a fresh build on the survivors") {
+    // round 15, §6d's third family: tombstone a retention set in both
+    // tables; the purge-aware probe must equal a FRESH index built
+    // over the survivors (valid comparison here because the frozen
+    // width derives from a corpus COUNT that stays in the same 24·2^w
+    // band, so both indexes sign identically — the §6c argument)
+    val t = operators.Pipeline.buildEmbIndex(spark, sf, "_prg",
+      col("vec_id") % 10 =!= 0)
+    def probe(tt: (String, String, String)) =
+      operators.Pipeline.embIndexProbeOn(spark, tt,
+        Tables.t(spark, sf, "embeddings").filter(col("vec_id") % 10 === 0),
+        s"$sf/embeddings.parquet").collect().map(_.toString).toSeq
+    val before = probe(t)
+    assert(before.nonEmpty)
+    val purgeIds = Tables.t(spark, sf, "embeddings")
+      .filter(col("vec_id") % 10 =!= 0 && col("vec_id") % 30 === 7)
+      .select(col("vec_id"))
+    assert(purgeIds.count() > 0, "no purgeable vectors at this sf")
+    operators.Pipeline.purgeEmbIndex(spark, t, purgeIds)
+    assert(graft.engine.Layout.readPurged(spark, t._2, "corpus_id")
+      .filter(col("corpus_id") % 30 === 7).count() == 0)
+    val fresh = operators.Pipeline.buildEmbIndex(spark, sf, "_prgf",
+      col("vec_id") % 10 =!= 0 && col("vec_id") % 30 =!= 7)
+    assert(probe(t) == probe(fresh),
+      "purged probe diverged from a fresh survivor build")
+  }
+
   test("q_dedup_span_apply: counts reconcile, kept words are an ordered subsequence") {
     val docs = Tables.t(spark, sf, "documents")
       .select(col("doc_id"), col("text")).collect()

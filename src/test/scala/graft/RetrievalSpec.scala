@@ -430,6 +430,61 @@ class RetrievalSpec extends SparkTestBase {
     assert(oldMem.exceptAll(newMem).isEmpty && newMem.exceptAll(oldMem).isEmpty)
   }
 
+  test("text-index retention purge: exact pair removal under frozen stats; re-freeze does not resurrect purged docs") {
+    // round 15, §6d extended to the text family. Purge contract under
+    // FROZEN stats: tombstoning corpus ids removes EXACTLY the pairs
+    // against those ids — every other verdict is bit-identical,
+    // because candidates and cosines are per-pair functions of the
+    // frozen featurization (unlike a fresh build, which would also
+    // shift df mass; that shift belongs to the re-freeze, below).
+    import graft.engine.{Layout, Tables}
+    val bk = Layout.bucketsFor(s"$sf/documents.parquet")
+    val t = operators.Retrieval.buildLshIndex(spark, sf, "_prg",
+      _.filter(col("doc_id") % 10 =!= 0))
+    operators.Retrieval.absorbLshBatch(spark, sf, t, bk,
+      _.filter(col("doc_id") % 20 === 0))
+    def probe(tt: (String, String, String, String)) =
+      operators.Retrieval.lshIndexProbe(spark, sf, tt,
+        col("doc_id") % 20 === 10).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val before = probe(t)
+    assert(before.nonEmpty, "vacuous: no verdicts before the purge")
+    val purgeIds = Tables.t(spark, sf, "documents")
+      .filter((col("doc_id") % 10 =!= 0 || col("doc_id") % 20 === 0) &&
+        col("doc_id") % 30 === 3)
+      .select(col("doc_id"))
+    assert(purgeIds.count() > 0, "no purgeable docs at this sf")
+    // non-vacuity at the table level: some purged ids were really in
+    // the vector table, and the purged read drops them
+    val vecHad = spark.table(t._2).join(
+      purgeIds.select(col("doc_id").as("corpus_id")), Seq("corpus_id"),
+      "left_semi").count()
+    assert(vecHad > 0, "purge set missed the vector table entirely")
+    operators.Retrieval.purgeLshIndex(spark, t, purgeIds)
+    assert(Layout.readPurged(spark, t._2, "corpus_id")
+      .filter(col("corpus_id") % 30 === 3).count() == 0)
+    val purgedSet = purgeIds.collect().map(_.getLong(0)).toSet
+    val after = probe(t)
+    assert(after == before.filterNot(p => purgedSet(p._2)),
+      "purge did not remove exactly the purged-corpus pairs")
+    // RE-FREEZE after purge: membership comes from the PURGE-AWARE
+    // manifest read, so the rebuild covers survivors only — equal to
+    // a from-scratch build over the surviving predicate, and no
+    // purged doc reappears anywhere (the resurrection pin)
+    val refr = operators.Retrieval.refreezeLsh(spark, sf, "_prgr", t)
+    val fresh = operators.Retrieval.buildLshIndex(spark, sf, "_prgf",
+      _.filter((col("doc_id") % 10 =!= 0 || col("doc_id") % 20 === 0) &&
+        col("doc_id") % 30 =!= 3))
+    assert(probe(refr) == probe(fresh),
+      "post-purge re-freeze diverged from a from-scratch survivor build")
+    assert(spark.table(operators.Retrieval.lshMemTable(refr._1))
+      .filter(col("doc_id") % 30 === 3).count() == 0,
+      "re-freeze resurrected purged docs into the manifest")
+    assert(spark.table(refr._2)
+      .filter(col("corpus_id") % 30 === 3).count() == 0,
+      "re-freeze resurrected purged docs into the vector table")
+  }
+
   test("q_dedup_text_index_drift: gauges stay in their algebraic ranges and reconcile with the frozen vocabulary") {
     val r = q("q_dedup_text_index_drift").collect()
     assert(r.length == 1, "one gauge row per probe")
