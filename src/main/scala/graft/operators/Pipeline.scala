@@ -1408,6 +1408,48 @@ object Pipeline extends QueryPack {
         embIndexProbe(s, d, embIndexAbsorbed(s, d), col("vec_id") % 20 === 10)
       }),
 
+    // GROWTH/OCCUPANCY drift gauge for the standing embedding index
+    // (round 15 — the text family got its frozen-stats drift monitor
+    // this round; this is the §6c analogue for the frozen WIDTH): the
+    // width ab froze at build against the then-corpus count, and §6c's
+    // rebuild policy is stated in occupancy terms ("rebuild at ~4×
+    // growth"). This gauge makes that policy measurable per
+    // maintenance cycle: current corpus size vs the frozen design
+    // capacity 24·2^ab, plus the actual signature-bucket occupancy
+    // (avg and max over the packed tb key — the quantity that
+    // multiplies candidate volume). Everything derives from the LANDED
+    // index tables through purge-aware reads; the oracle recomputes
+    // the whole signing pipeline from raw embeddings, so a stale stat
+    // row or resurrected signature is a hash mismatch. At scale: one
+    // map-side-combinable count over the sig table's bucket layout +
+    // two scalars — no vectors move.
+    "q_dedup_emb_index_drift" -> ((s, d) =>
+      Deferred.df(s, "dedup_emb_index_drift", StructType(Seq(
+        StructField("n_vec", org.apache.spark.sql.types.LongType),
+        StructField("ab", org.apache.spark.sql.types.IntegerType),
+        StructField("cap", org.apache.spark.sql.types.LongType),
+        StructField("growth", org.apache.spark.sql.types.DoubleType),
+        StructField("occ_avg", org.apache.spark.sql.types.DoubleType),
+        StructField("occ_max", org.apache.spark.sql.types.LongType)))) { () =>
+        val (sigT, vecT, statT) = embIndex(s, d)
+        val occ = graft.engine.Layout.readPurged(s, sigT, "corpus_id")
+          .groupBy(col("tb")).agg(count(lit(1)).as("k"))
+        val nv = graft.engine.Layout.readPurged(s, vecT, "corpus_id")
+          .agg(count(lit(1)).as("n_vec"))
+        occ.agg(sum(col("k")).as("sig_rows"), count(lit(1)).as("nb"),
+            max(col("k")).as("occ_max"))
+          .crossJoin(broadcast(graft.engine.Layout.readTable(s, statT)))
+          .crossJoin(broadcast(nv))
+          .select(col("n_vec"), col("ab"),
+            expr("shiftleft(cast(24 as bigint), ab)").as("cap"),
+            round(col("n_vec").cast("double") /
+              expr("cast(shiftleft(cast(24 as bigint), ab) as double)"), 6)
+              .as("growth"),
+            round(col("sig_rows").cast("double") / col("nb"), 6)
+              .as("occ_avg"),
+            col("occ_max"))
+      }),
+
     // Brute-force cosine top-k vs the vec_id=0 query vector.
     "q_similarity_topk" -> ((s, d) => {
       GraftFunctions.register(s)
@@ -1961,6 +2003,28 @@ object Pipeline extends QueryPack {
          |FROM cand JOIN en a ON corpus_id = a.vec_id
          |  JOIN en q ON batch_id = q.vec_id
          |ORDER BY cos_sim DESC, batch_id, corpus_id LIMIT 50""".stripMargin,
+
+    // the embedding drift gauge: the full signing pipeline recomputed
+    // from raw embeddings over the corpus slice with the frozen width,
+    // then occupancy over the packed tb key — a stale stat row or a
+    // resurrected signature is a hash mismatch
+    "q_dedup_emb_index_drift" ->
+      s"""WITH ${annBucketCtesWith(" WHERE vec_id % 10 <> 0")},
+         |occ AS (SELECT tbl * 65536 + bkt AS tb, count(*) AS k
+         |        FROM eb WHERE vec_id % 10 <> 0 GROUP BY 1),
+         |agg AS (SELECT sum(k) AS sig_rows, count(*) AS nb,
+         |          max(k) AS occ_max FROM occ),
+         |nv AS (SELECT count(*) AS n_vec FROM embeddings
+         |       WHERE vec_id % 10 <> 0)
+         |SELECT CAST(n_vec AS BIGINT) AS n_vec,
+         |  CAST((SELECT ab FROM absel) AS INT) AS ab,
+         |  CAST(24::BIGINT << (SELECT ab FROM absel) AS BIGINT) AS cap,
+         |  round(CAST(n_vec AS DOUBLE) /
+         |    CAST(24::BIGINT << (SELECT ab FROM absel) AS DOUBLE), 6) AS growth,
+         |  round(CAST(sig_rows AS DOUBLE) / nb, 6) AS occ_avg,
+         |  CAST(occ_max AS BIGINT) AS occ_max
+         |FROM agg, nv
+         |ORDER BY n_vec""".stripMargin,
 
     "q_similarity_batch_ann" ->
       s"""WITH $annBucketCtes,

@@ -84,6 +84,26 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(after == before, "probe diverged after compaction")
   }
 
+  test("q_dedup_emb_index_drift: gauges reconcile with the landed index tables") {
+    val r = q("q_dedup_emb_index_drift").collect()
+    assert(r.length == 1)
+    val (nVec, ab, cap, growth, occAvg, occMax) = (r(0).getLong(0),
+      r(0).getInt(1), r(0).getLong(2), r(0).getDouble(3),
+      r(0).getDouble(4), r(0).getLong(5))
+    assert(nVec > 0 && ab >= 8 && ab <= 16 && cap == 24L * (1L << ab))
+    assert(math.abs(growth - nVec.toDouble / cap) < 1e-6)
+    // the frozen-width selection invariant at build time: growth ≤ 1
+    // for a fresh index (ab was chosen so 24·2^ab ≥ corpus count)
+    assert(growth <= 1.0, s"fresh index already over capacity: $growth")
+    assert(occAvg >= 1.0 && occMax >= math.ceil(occAvg).toLong,
+      s"occupancy gauges inconsistent: avg $occAvg max $occMax")
+    // reconcile against the landed tables directly
+    val (sigT, vecT, _) = operators.Pipeline.embIndex(spark, sf)
+    assert(spark.table(vecT).count() == nVec)
+    assert(spark.table(sigT).groupBy(col("tb")).count()
+      .agg(max("count")).collect()(0).getLong(0) == occMax)
+  }
+
   test("emb-index retention purge: probe equals a fresh build on the survivors") {
     // round 15, §6d's third family: tombstone a retention set in both
     // tables; the purge-aware probe must equal a FRESH index built
