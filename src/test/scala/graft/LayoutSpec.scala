@@ -221,6 +221,121 @@ class LayoutSpec extends SparkTestBase {
     assert(!Layout.probeBroadcastOk(s"$sf/documents.parquet", capMB = 0))
   }
 
+  test("compactBucketed detects a concurrent append and folds it into the rewrite") {
+    // VERDICT r15 #2: an appendBucketed landing between the staging
+    // build and the rename-aside swap used to be silently dropped with
+    // `_old`. The drift detector re-lists the live table after each
+    // staging build and rebuilds on change — the late append must
+    // SURVIVE the compaction.
+    val base = Tables.t(spark, sf, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val main = base.filter(col("o_orderkey") % 2 === 0)
+    val late = base.filter(col("o_orderkey") % 2 =!= 0)
+    Layout.writeBucketed(main, "orders_race", "o_custkey", 4)
+    var fired = false
+    val (_, afterN) = Layout.compactBucketed(spark, "orders_race",
+      "o_custkey", 4, onStaged = () => {
+        if (!fired) { // once — the retry's rebuild must then converge
+          fired = true
+          Layout.appendBucketed(late, "orders_race", "o_custkey", 4)
+        }
+      })
+    assert(fired)
+    assert(afterN <= 4, s"retry lost the one-file-per-bucket shape: $afterN")
+    val back = Layout.readTable(spark, "orders_race")
+    assert(back.count() == base.count(),
+      "the append that landed during the rewrite was dropped at the swap")
+    assert(back.exceptAll(base).isEmpty && base.exceptAll(back).isEmpty)
+  }
+
+  test("compactBucketed fold preserves a tombstone landed during the rewrite") {
+    // ADVICE r15: the fold used to drop the ENTIRE sidecar after the
+    // swap, including tombstones appended after the staging copy was
+    // read — a purge landing mid-fold resurrected its docs. The fold
+    // now snapshots the sidecar's files: snapshot ids fold (physically
+    // gone), later ids survive in the sidecar for readers + next fold.
+    val base = Tables.t(spark, sf, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+    Layout.writeBucketed(base, "orders_latetomb", "o_orderkey", 4)
+    val early = base.filter(col("o_orderkey") % 5 === 0).select("o_orderkey")
+    val lateIds = base.filter(col("o_orderkey") % 5 === 1).select("o_orderkey")
+    Layout.tombstone(spark, "orders_latetomb", early, "o_orderkey")
+    var fired = false
+    Layout.compactBucketed(spark, "orders_latetomb", "o_orderkey", 4,
+      foldTombstonesOn = Some("o_orderkey"), onStaged = () => {
+        if (!fired) {
+          fired = true
+          Layout.tombstone(spark, "orders_latetomb", lateIds, "o_orderkey")
+        }
+      })
+    assert(fired)
+    // snapshot ids physically folded away
+    assert(spark.table("orders_latetomb")
+      .filter(col("o_orderkey") % 5 === 0).count() == 0,
+      "fold did not remove the snapshotted tombstones")
+    // the late purge survives: sidecar intact, reader still excludes it
+    assert(spark.catalog.tableExists("orders_latetomb_tomb"),
+      "the mid-fold purge was discarded with the sidecar")
+    val sidecar = spark.table("orders_latetomb_tomb")
+    assert(sidecar.exceptAll(lateIds).isEmpty &&
+      lateIds.exceptAll(sidecar).isEmpty,
+      "sidecar after the fold must hold exactly the late purge's ids")
+    assert(Layout.readPurged(spark, "orders_latetomb", "o_orderkey")
+      .filter(col("o_orderkey") % 5 === 1).count() == 0,
+      "reader resurrected the mid-fold purge")
+    // a SECOND fold (no concurrent purge) completes the delete
+    Layout.compactBucketed(spark, "orders_latetomb", "o_orderkey", 4,
+      foldTombstonesOn = Some("o_orderkey"))
+    assert(!spark.catalog.tableExists("orders_latetomb_tomb"))
+    assert(spark.table("orders_latetomb")
+      .filter(col("o_orderkey") % 5 === 1).count() == 0)
+    val expect = base.filter(col("o_orderkey") % 5 =!= 0 &&
+      col("o_orderkey") % 5 =!= 1)
+    val back = Layout.readTable(spark, "orders_latetomb")
+    assert(back.exceptAll(expect).isEmpty && expect.exceptAll(back).isEmpty)
+  }
+
+  test("readPurged tombstone gate: shuffled-hash fallback is value-identical") {
+    // VERDICT r15 #3: the sidecar broadcast is now gated on the
+    // sidecar's own landed bytes — a purge backlog degrades to a
+    // shuffled hash anti-join instead of an executor OOM. Both shapes
+    // must read identical survivor sets.
+    val base = Tables.t(spark, sf, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+    Layout.writeBucketed(base, "orders_tombgate", "o_orderkey", 4)
+    Layout.tombstone(spark, "orders_tombgate",
+      base.filter(col("o_orderkey") % 3 === 0).select("o_orderkey"),
+      "o_orderkey")
+    val bc = Layout.readPurged(spark, "orders_tombgate", "o_orderkey")
+    assert(bc.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin"), "gate should broadcast at test scale")
+    val bcRows = bc.collect().map(_.toString).sorted.toSeq
+    System.setProperty(Layout.forceTombBroadcastProp, "off")
+    try {
+      val sh = Layout.readPurged(spark, "orders_tombgate", "o_orderkey")
+      assert(!sh.queryExecution.executedPlan.toString
+        .contains("BroadcastHashJoin"), "forced-off fallback still broadcasts")
+      assert(sh.collect().map(_.toString).sorted.toSeq == bcRows,
+        "fallback diverged from the broadcast shape")
+    } finally System.clearProperty(Layout.forceTombBroadcastProp)
+    // the file-stat default: a request-sized sidecar is under the cap
+    assert(Layout.tombBroadcastOk(spark, "orders_tombgate"))
+    assert(!Layout.tombBroadcastOk(spark, "orders_tombgate", capMB = 0))
+  }
+
+  test("probeBroadcastOk expansion factor tightens the gate for exploded frames") {
+    // ADVICE r15: a gram-exploded frame is ~6-8x its source slice —
+    // the expansion factor scales the stat so the 128 MB cap bounds
+    // the FRAME, not the source
+    val f = java.nio.file.Files.createTempFile("exp", ".bin")
+    java.nio.file.Files.write(f, new Array[Byte](20 * 1024 * 1024))
+    assert(Layout.probeBroadcastOk(f.toString, capMB = 128))
+    assert(!Layout.probeBroadcastOk(f.toString, capMB = 128,
+      expansion = Layout.gramExpansion),
+      "a 20 MB source explodes past 128 MB at 8x — the gate must trip")
+    java.nio.file.Files.delete(f)
+  }
+
   test("compact collapses a many-small-files dir preserving content") {
     val dir = java.nio.file.Files.createTempDirectory("compact").toString + "/t"
     val src = Tables.t(spark, sf, "lineitem")
