@@ -221,8 +221,20 @@ object Pipeline extends QueryPack {
     * 5-gram also occurs in ANOTHER document of the slice. Grams are
     * keyed by xxhash64, never the raw string (scaladoc at the
     * q_dedup_substring entry — measured 2.2× shuffle cut); the island
-    * merge windows PER DOC, so runs merge in parallel across docs. */
-  private def dupSpans(docs: DataFrame): DataFrame = {
+    * merge windows PER DOC, so runs merge in parallel across docs.
+    *
+    * `transient`: release the positional-gram cache as soon as the
+    * spans materialize (eager localCheckpoint of the dup-sized span
+    * frame, then unpersist). The full-corpus callers (q_dedup_substring
+    * / q_dedup_span_apply) keep the default — their cached fragment is
+    * plan-identical across queries, so CacheManager shares ONE entry —
+    * but the cascade's survivor-slice call descends from a
+    * localCheckpoint whose lineage is unique per run: without the
+    * eager release, every cascade invocation pinned a fresh
+    * corpus-sized gram frame for the session's lifetime (ADVICE r15,
+    * the multi-day-soak accumulation). */
+  private def dupSpans(docs: DataFrame,
+      transient: Boolean = false): DataFrame = {
     val g = docs
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= 5)
@@ -237,7 +249,7 @@ object Pipeline extends QueryPack {
       .filter(col("nd") >= 2).select(col("gh"))
     val win = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("pos"))
-    g.join(dup, Seq("gh")).select(col("doc_id"), col("pos"))
+    val spans = g.join(dup, Seq("gh")).select(col("doc_id"), col("pos"))
       .withColumn("grp", col("pos") - row_number().over(win))
       .groupBy(col("doc_id"), col("grp"))
       .agg(min(col("pos")).as("span_start"),
@@ -246,6 +258,12 @@ object Pipeline extends QueryPack {
       .select(col("doc_id"), col("span_start"), col("span_end"),
         (col("span_end") - col("span_start") + 1).as("span_len"),
         col("n_grams"))
+    if (!transient) spans
+    else {
+      val out = spans.localCheckpoint()
+      g.unpersist()
+      out
+    }
   }
 
   /** Distinct lowercase whitespace tokens per doc. */
@@ -1059,7 +1077,7 @@ object Pipeline extends QueryPack {
         val survDocs = Tables.spread(docs, "doc_id")
           .join(lin.filter(col("stage0") === "kept").select(col("doc_id")),
             Seq("doc_id"), "left_semi")
-        val cov = dupSpans(survDocs)
+        val cov = dupSpans(survDocs, transient = true)
           .groupBy(col("doc_id")).agg(sum(col("span_len")).as("cov"))
         val nw = docs.select(col("doc_id"),
           size(split(col("text"), " ")).cast("long").as("nw"))

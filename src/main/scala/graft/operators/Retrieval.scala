@@ -622,7 +622,10 @@ object Retrieval extends QueryPack {
           .crossJoin(broadcast(sb)).crossJoin(broadcast(sc))
           .agg(sum(abs(col("dfb").cast("decimal(38,0)") * col("s_c") -
             col("df").cast("decimal(38,0)") * col("s_b"))).as("l1num"))
-        tot.crossJoin(broadcast(l1))
+        // the gauge is ONE row: materialize it eagerly and release the
+        // batch-df join's cache (ADVICE r15 — repeated gauge reads in a
+        // multi-day session accumulated unreleased cached frames)
+        val out = tot.crossJoin(broadcast(l1))
           .crossJoin(broadcast(sb)).crossJoin(broadcast(sc))
           .select(col("n_tok"), col("n_oov"),
             round(col("n_oov").cast("double") / col("n_tok"), 6)
@@ -630,6 +633,9 @@ object Retrieval extends QueryPack {
             round(col("l1num").cast("double") /
               (col("s_b").cast("double") * col("s_c").cast("double")), 6)
               .as("df_shift"))
+          .localCheckpoint()
+        j.unpersist()
+        out
       }),
 
 

@@ -383,12 +383,14 @@ object StreamRunner {
     * skipped; ids whose grams landed but whose counts did not (a crash
     * between the two appends) get ONLY their counts appended, derived
     * FROM the landed grams so the heal cannot drift from the bytes on
-    * disk; untouched ids absorb from scratch. The index-sized id scans
-    * run ONLY on the replay path — the happy path appends blind. The
-    * grams-and-counts pair itself reads one localCheckpoint'd frame,
-    * so the two appends can never disagree. StreamingSpec pins
-    * stream ≡ sequential-batch-chain, replay no-op, and the
-    * half-commit heal. */
+    * disk; untouched ids absorb from scratch. The gram-table-sized id
+    * scan runs ONLY on the replay path; the happy path pays one
+    * row-per-doc anti-join against the count table (the re-ingest
+    * guard below — ADVICE r15). The grams-and-counts pair itself reads
+    * one localCheckpoint'd frame, so the two appends can never
+    * disagree. StreamingSpec pins stream ≡ sequential-batch-chain,
+    * replay no-op, the half-commit heal, and the later-batch
+    * re-ingest no-op. */
   def probeAbsorbStep(spark: SparkSession, gT: String, cT: String,
       buckets: Int, newDocs: DataFrame, outDir: String, batchId: Long,
       srcPath: String): Unit = {
@@ -435,6 +437,22 @@ object StreamRunner {
     val dupIds = ss.read.parquet(s"$outDir/micro_batch_id=$batchId")
       .select(col("batch_id").as("corpus_id")).distinct()
     var keep = g.join(dupIds, Seq("corpus_id"), "left_anti")
+    // Re-ingest guard (ADVICE r15): a doc_id arriving AGAIN in a LATER
+    // micro-batch — plausible in a production daily ingest — could
+    // never match its own absorbed copy (the self-exclusion anti-join
+    // above removes it from the probe's index view), so it would
+    // re-absorb: duplicate gram rows plus a SECOND nc row for the same
+    // corpus_id, silently multiplying later verdict pairs through the
+    // count-table join. Ids already present in the landed count table
+    // (the absorb's commit record) are dropped from the absorb set on
+    // EVERY path — one row-per-doc anti-join against the bucketed
+    // count table's own layout (its scan needs no Exchange; the batch
+    // side's shuffle is day-sized). The grams-landed-without-counts
+    // crash shape is NOT reachable here: micro-batches are sequential,
+    // so the crashed batch's own replay (and its orphan heal below)
+    // runs before any later batch can re-ingest the id.
+    keep = keep.join(Layout.readTable(ss, cT).select(col("corpus_id")),
+      Seq("corpus_id"), "left_anti")
     if (replay) {
       val counted = Layout.readTable(ss, cT)
         .select(col("corpus_id")).distinct()

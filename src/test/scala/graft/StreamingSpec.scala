@@ -489,5 +489,29 @@ class StreamingSpec extends SparkTestBase {
       "healed counts differ from a clean run")
     assert(tbl(cX).groupBy(col("corpus_id")).agg(count(lit(1)).as("k"))
       .filter(col("k") > 1).count() == 0, "healed counts duplicated a doc")
+
+    // re-ingest guard (ADVICE r15): the SAME docs arriving again as a
+    // LATER micro-batch (fresh batch id — not a replay) must not
+    // re-absorb: the self-exclusion anti-join hides their own absorbed
+    // copies from the probe, so without the landed-count guard they
+    // would append duplicate gram rows and a second nc row per doc
+    val (gR, cR) = buildIdx("r")
+    StreamRunner.probeAbsorbStep(spark, gR, cR, bk, day1,
+      s"$work/outr", 0L, s"$sf/documents.parquet")
+    val absorbed = (tbl(gR).count(), tbl(cR).count())
+    StreamRunner.probeAbsorbStep(spark, gR, cR, bk, day1,
+      s"$work/outr", 1L, s"$sf/documents.parquet")
+    assert((tbl(gR).count(), tbl(cR).count()) == absorbed,
+      "re-ingested batch re-absorbed into the index")
+    assert(tbl(cR).groupBy(col("corpus_id")).agg(count(lit(1)).as("k"))
+      .filter(col("k") > 1).count() == 0,
+      "re-ingest landed a second count row for an absorbed doc")
+    // its verdicts still land (fresh partition) and are deterministic:
+    // index minus the batch's own ids is exactly the day-0 view
+    def part(i: Long) = spark.read
+      .parquet(s"$work/outr/micro_batch_id=$i").drop("batch_id")
+      .collect().map(_.toString).sorted.toSeq
+    assert(part(1L) == part(0L),
+      "re-ingest probe verdicts diverged from the original batch")
   }
 }
