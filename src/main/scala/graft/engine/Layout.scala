@@ -352,6 +352,71 @@ object Layout {
     (before, after)
   }
 
+  // ---- Purge-through for LANDED OUTPUTS (VERDICT r15 #4): indexes
+  // tombstone (above), but a retention erasure must also vanish from
+  // the outputs a pipeline already SHIPPED — verdict sinks, lineage
+  // tables, cleaned-corpus dumps. Those are plain parquet trees with
+  // no sidecar-aware reader in front of them, so the purge is a
+  // filtered REWRITE behind the same crash-safe directory swap
+  // `compact` uses.
+
+  /** Restore `base` if a previous swap died between its two
+    * ATOMIC_MOVEs (data stranded under `.old`, dest missing). */
+  private def recoverSwap(base: String): Unit = {
+    val dest = new java.io.File(base)
+    val old = new java.io.File(base + ".old")
+    if (!dest.exists() && old.exists())
+      java.nio.file.Files.move(old.toPath, dest.toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Swap `tmp` into place at `base` via rename-aside: base → .old,
+    * tmp → base, drop .old. Both moves are same-filesystem ATOMIC_MOVEs
+    * (tmp is a sibling); the data is reachable under SOME name at every
+    * instant and recoverSwap rolls an interrupted swap forward. */
+  private def swapDirs(base: String, tmp: String): Unit = {
+    val dest = new java.io.File(base)
+    val old = new java.io.File(base + ".old")
+    deleteRecursively(old)
+    java.nio.file.Files.move(dest.toPath, old.toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    java.nio.file.Files.move(new java.io.File(tmp).toPath, dest.toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    deleteRecursively(old)
+  }
+
+  /** Rewrite the landed parquet tree at `dir`, dropping every row
+    * whose value in ANY of `idCols` appears in `ids` (single-column
+    * frame). `partitionCols` re-lands the tree's partition directories
+    * (e.g. the stream sink's `micro_batch_id=N`) so downstream
+    * partition-pruned readers are unaffected. Returns (rows_before,
+    * rows_after). The erased ids broadcast — retention requests are
+    * request-sized, and unlike the index sidecars nothing accumulates
+    * here (each purge-through rewrites, so there is no backlog to
+    * gate). At 100 TB the rewrite cost is one scan + write of the
+    * OUTPUT tree (not the corpus), paid only when an erasure actually
+    * lands — the same cadence argument as compactBucketed's fold. */
+  def purgeLanded(spark: SparkSession, dir: String, ids: DataFrame,
+      idCols: Seq[String], partitionCols: Seq[String] = Nil): (Long, Long) = {
+    val base = dir.stripSuffix("/")
+    recoverSwap(base)
+    val df = spark.read.parquet(base)
+    val idName = ids.columns.head
+    val idSet = ids.select(col(idName)).distinct().localCheckpoint()
+    val before = df.count()
+    val out = idCols.foldLeft(df)((d, c) =>
+      d.join(broadcast(idSet.withColumnRenamed(idName, c)),
+        Seq(c), "left_anti"))
+      .select(df.columns.map(col).toIndexedSeq: _*) // original column order
+    val tmp = base + ".purging"
+    deleteRecursively(new java.io.File(tmp))
+    val w = out.write.mode("overwrite")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(tmp)
+    swapDirs(base, tmp)
+    (before, spark.read.parquet(base).count())
+  }
+
   /** Compact a directory of small parquet files into ~`targetMB`-sized
     * ones. Small-files is the canonical 100 TB operational problem
     * (per-file open cost, driver listing pressure, tiny tasks); daily
@@ -367,28 +432,15 @@ object Layout {
     // Crash recovery: a previous compact that died between its two
     // ATOMIC_MOVEs leaves `dir` missing with the data stranded in
     // `dir.old` — restore it before reading.
-    locally {
-      val dest = new java.io.File(dir.stripSuffix("/"))
-      val old = new java.io.File(dir.stripSuffix("/") + ".old")
-      if (!dest.exists() && old.exists())
-        java.nio.file.Files.move(old.toPath, dest.toPath,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    }
+    val base = dir.stripSuffix("/")
+    recoverSwap(base)
     val df = spark.read.parquet(dir)
     val bytes = df.inputFiles.map(f =>
       new java.io.File(new java.net.URI(f)).length()).sum
     val parts = math.max(1, (bytes / (targetMB * 1024L * 1024L)).toInt)
-    val base = dir.stripSuffix("/")
     val tmp = base + ".compacting"
     df.repartition(parts).write.mode("overwrite").parquet(tmp)
-    val dest = new java.io.File(base)
-    val old = new java.io.File(base + ".old")
-    deleteRecursively(old) // leftover from a crashed previous compact
-    java.nio.file.Files.move(dest.toPath, old.toPath,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    java.nio.file.Files.move(new java.io.File(tmp).toPath, dest.toPath,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    deleteRecursively(old)
+    swapDirs(base, tmp)
     parts.toLong
   }
 

@@ -507,6 +507,32 @@ object StreamRunner {
     seen.size()
   }
 
+  /** Retention purge-through for the closed daily loop (VERDICT r15
+    * #4): an erased doc must vanish from the LANDED outputs too, not
+    * only from the standing indexes. Tombstones the gram/count tables
+    * (every probe already reads through Layout.readPurged) and
+    * REWRITES the verdict sink, dropping each row that mentions an
+    * erased id in EITHER role — as the probing batch doc (batch_id) or
+    * as the indexed corpus doc (corpus_id) — behind the crash-safe
+    * directory swap. The partition layout (micro_batch_id=N) is
+    * re-landed, so replay detection and partition-pruned readers keep
+    * working. Equality contract (StreamingSpec): for a doc the loop
+    * never absorbed, the purged sink is byte-equal to re-running the
+    * whole loop on the surviving stream — the q_dedup_index_purge
+    * oracle discipline applied one layer down. (For an ABSORBED doc
+    * the erasure is still complete — no landed row mentions it — but
+    * later verdicts it participated in keep their values; re-deriving
+    * those is a recompute, not a purge.) */
+  def purgeThrough(spark: SparkSession, gT: String, cT: String,
+      outDir: String, ids: DataFrame, idCol: String = "doc_id"): (Long, Long) = {
+    import graft.engine.Layout
+    val byCorpus = ids.select(col(idCol).as("corpus_id"))
+    Layout.tombstone(spark, gT, byCorpus, "corpus_id")
+    Layout.tombstone(spark, cT, byCorpus, "corpus_id")
+    Layout.purgeLanded(spark, outDir, ids.select(col(idCol)),
+      Seq("batch_id", "corpus_id"), partitionCols = Seq("micro_batch_id"))
+  }
+
   /** Drive the crawl stream through per-micro-batch incremental dedup
     * into a parquet sink (AvailableNow). */
   def runIncrementalDedup(spark: SparkSession, dir: String,

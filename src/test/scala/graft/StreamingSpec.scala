@@ -514,4 +514,78 @@ class StreamingSpec extends SparkTestBase {
     assert(part(1L) == part(0L),
       "re-ingest probe verdicts diverged from the original batch")
   }
+
+  test("purge-through: an erased doc vanishes from the landed verdict sink, equal to re-running on the surviving stream") {
+    // VERDICT r15 #4 — the retention contract extended one layer down:
+    // tombstoning the indexes is not enough when the loop already
+    // SHIPPED verdict rows mentioning the erased doc. purgeThrough
+    // rewrites the sink; for a never-absorbed doc the result must be
+    // byte-equal to having run the whole loop on the surviving stream.
+    import graft.engine.{Layout, Tables}
+    val work = java.nio.file.Files
+      .createTempDirectory("graft-purgethrough").toString
+    val docs = Tables.t(spark, sf, "documents")
+    val bk = Layout.bucketsFor(s"$sf/documents.parquet")
+    def buildIdx(sfx: String): (String, String) = {
+      val (gT, cT) = (s"gram_pt_$sfx", s"gramcnt_pt_$sfx")
+      val corpus = operators.Pipeline
+        .wordGrams3(docs.filter(col("doc_id") % 10 =!= 0))
+        .select(col("doc_id").as("corpus_id"), col("g"))
+      Layout.writeBucketed(corpus, gT, "g", bk)
+      Layout.writeBucketed(Layout.readTable(spark, gT)
+        .groupBy(col("corpus_id")).agg(count(lit(1)).as("nc")),
+        cT, "corpus_id", bk)
+      (gT, cT)
+    }
+    def mkCrawl(dir: String, dropId: Long): Unit = {
+      val t0 = System.currentTimeMillis()
+      docs.filter(col("doc_id") % 20 === 0 && col("doc_id") =!= dropId)
+        .coalesce(1).write.mode("append").parquet(dir)
+      new java.io.File(dir).listFiles().foreach(_.setLastModified(t0 - 120000))
+      docs.filter(col("doc_id") % 20 === 10 && col("doc_id") =!= dropId)
+        .coalesce(1).write.mode("append").parquet(s"$dir.d2")
+      new java.io.File(s"$dir.d2").listFiles()
+        .filter(_.getName.endsWith(".parquet")).foreach { f =>
+          val dst = new java.io.File(dir, f.getName)
+          java.nio.file.Files.move(f.toPath, dst.toPath)
+          dst.setLastModified(t0)
+        }
+    }
+    val (g1, c1) = buildIdx("full")
+    mkCrawl(s"$work/crawl1", -1L)
+    StreamRunner.runProbeAbsorbLoop(spark, sf, s"$work/crawl1", g1, c1, bk,
+      s"$work/out1", s"$work/ck1")
+    val v0 = spark.read.parquet(s"$work/out1")
+    assert(v0.count() > 0, "vacuous: the loop landed no verdicts")
+    // the erasure target: a verdicted batch doc — dup, so never absorbed
+    val e = v0.select(col("batch_id")).orderBy(col("batch_id"))
+      .head().getLong(0)
+    assert(Layout.readTable(spark, c1)
+      .filter(col("corpus_id") === e).count() == 0,
+      "fixture drift: the chosen doc was absorbed — pick a dup")
+    val ids = spark.range(1).select(lit(e).as("doc_id"))
+    val (nb0, nb1) = StreamRunner.purgeThrough(spark, g1, c1,
+      s"$work/out1", ids)
+    assert(nb1 < nb0, "purge-through removed nothing")
+    val purgedSink = spark.read.parquet(s"$work/out1")
+    assert(purgedSink.filter(col("batch_id") === e ||
+      col("corpus_id") === e).count() == 0,
+      "a landed row still mentions the erased doc")
+    // recompute reference: fresh index, the surviving stream
+    val (g2, c2) = buildIdx("surv")
+    mkCrawl(s"$work/crawl2", e)
+    StreamRunner.runProbeAbsorbLoop(spark, sf, s"$work/crawl2", g2, c2, bk,
+      s"$work/out2", s"$work/ck2")
+    val ref = spark.read.parquet(s"$work/out2")
+    assert(purgedSink.exceptAll(ref).isEmpty &&
+      ref.exceptAll(purgedSink).isEmpty,
+      "purged sink diverged from the surviving-stream recompute")
+    // and the purge-aware index reads equal the recompute's raw tables
+    assert(Layout.readPurged(spark, g1, "corpus_id")
+      .exceptAll(Layout.readTable(spark, g2)).isEmpty,
+      "purged gram read diverged from the survivor rebuild")
+    assert(Layout.readPurged(spark, c1, "corpus_id")
+      .exceptAll(Layout.readTable(spark, c2)).isEmpty,
+      "purged count read diverged from the survivor rebuild")
+  }
 }
