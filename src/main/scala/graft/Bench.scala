@@ -85,6 +85,15 @@ object Bench {
   // Pure functions so the selection semantics are spec-testable
   // (BenchRetrySpec) without running a bench.
 
+  /** Exponential retry backoff (round 16, VERDICT r15 #1): sleep
+    * base × 2^(retry-1), capped at 8× base — with the 45 s default:
+    * 45/90/180/360/360 s. A flat 45 s × 3 budget (~2 min) was shorter
+    * than the co-tenant events it exists to outlast (BENCH_r15: all
+    * retries burned, degraded:true, while the clean pair sat 30
+    * minutes away). */
+  private[graft] def retryBackoff(baseMs: Long, retries: Int): Long =
+    baseMs << math.min(math.max(retries - 1, 0), 3)
+
   /** Another concurrent pass should run while the configured budget
     * is unspent, or — once spent — while NO pass has yet started on a
     * healthy box and retries remain. A single healthy pass ends the
@@ -361,10 +370,19 @@ object Bench {
     // instead of reporting the spike. A query failing ANY pass reports
     // the -1 sentinel.
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt
+    // VERDICT r15 #1: BENCH_r15 exhausted 3 retries × flat 45 s against
+    // a co-tenant that outlasted the whole budget (~2 min) and shipped
+    // degraded:true while the clean number lived only in PERF.md. The
+    // budget is now 5 retries on an exponential backoff (45/90/180/
+    // 360/360 s ≈ 17 min per phase worst-case) — long enough to
+    // outlast a transient co-tenant, still bounded for the driver.
     val maxRetries =
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_DEGRADED_RETRIES", "3").toInt
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_DEGRADED_RETRIES", "5").toInt
     val retrySleepMs =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_RETRY_SLEEP_MS", "45000").toLong
+    // retries counts from 1 at the first retry
+    def retryBackoffMs(retries: Int): Long =
+      retryBackoff(retrySleepMs, retries)
     def halfCores = cpus.toInt / 2.0
     // Degraded-aware SEQ phase (round 11, VERDICT r10 #4 + ADVICE r10):
     // BENCH_r10's per-query map shipped from a loadavg-10 window with
@@ -442,7 +460,7 @@ object Bench {
         seqRetries, maxRetries)) {
       if (seqMaps.length >= passes) {
         seqRetries += 1
-        Thread.sleep(retrySleepMs)
+        Thread.sleep(retryBackoffMs(seqRetries))
         calLead = effectiveParallelism(cpus.toInt) // post-sleep re-bracket
       }
       // ADVICE r13: per-pass t1 re-sample, min-so-far is the scale basis
@@ -527,7 +545,9 @@ object Bench {
     val walls = scala.collection.mutable.ArrayBuffer[Double]()
     while (needAnotherPass(passNo, concPasses, passDegraded.toSeq,
         retries, maxRetries)) {
-      if (passNo >= concPasses) { retries += 1; Thread.sleep(retrySleepMs) }
+      if (passNo >= concPasses) {
+        retries += 1; Thread.sleep(retryBackoffMs(retries))
+      }
       passNo += 1
       // per-pass BRACKET (round 12): a starved pass sits next to its
       // own degraded calibration in the artifact; the trailing probe
@@ -635,7 +655,7 @@ object Bench {
     // ALL diagnostics on their own keyed line (round 14, VERDICT r13
     // #1): the calibration/control/retry payload grew past the driver's
     // tail window when it shared the headline's line
-    println(s"""{"bench_diag":{"queries_slowest":$slowest12,"loadavg":[$load0,$load1],$effJson,"note":"noop-sink; value=min over NON-degraded ${streams}-stream conc walls ($concPasses cfg + ${walls.length - concPasses} retries, ${retrySleepMs / 1000}s backoff), each [lead,trail]-bracketed by a calibrated CPU-spin (effpar ~ cpus = healthy); per-query mins over CLEAN seq passes only (${seqMaps.length} passes, $seqRetries retries; full map on the bench_per_query line); a seq pass is degraded if ANY of: bracket or in-phase calibration (seq_cals=[lead,inMin,trail]) under cpus/2, >=2 pinned control queries >6x their clean-window refs (ctl={name:[ref,run]}, seq_ctl_hit; refs host-scaled by ctl_scale = min per-pass spin t1 / ctl_ref_t1), or any query >6x+5s its cross-pass standing min (seq_outlier); degraded:true = retries never found a healthy window, the number is an environment artifact"}}""")
+    println(s"""{"bench_diag":{"queries_slowest":$slowest12,"loadavg":[$load0,$load1],$effJson,"note":"noop-sink; value=min over NON-degraded ${streams}-stream conc walls ($concPasses cfg + ${walls.length - concPasses} retries, ${retrySleepMs / 1000}s-base exponential backoff), each [lead,trail]-bracketed by a calibrated CPU-spin (effpar ~ cpus = healthy); per-query mins over CLEAN seq passes only (${seqMaps.length} passes, $seqRetries retries; full map on the bench_per_query line); a seq pass is degraded if ANY of: bracket or in-phase calibration (seq_cals=[lead,inMin,trail]) under cpus/2, >=2 pinned control queries >6x their clean-window refs (ctl={name:[ref,run]}, seq_ctl_hit; refs host-scaled by ctl_scale = min per-pass spin t1 / ctl_ref_t1), or any query >6x+5s its cross-pass standing min (seq_outlier); degraded:true = retries never found a healthy window, the number is an environment artifact"}}""")
     println(headlineJson(streams, wall, sfDir, seqTotal, seq.size, failed,
       cpus, passes, degraded, slowest))
   }

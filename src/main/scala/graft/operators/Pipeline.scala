@@ -436,13 +436,21 @@ object Pipeline extends QueryPack {
     * drift (the gram-index invariant: everything derives from landed
     * bytes). */
   private[graft] def buildEmbIndex(s: SparkSession, d: String, suffix: String,
-      corpus: Column): (String, String, String) = {
+      corpus: Column): (String, String, String) =
+    buildEmbIndexOn(s, d, suffix, _.filter(corpus))
+
+  /** Frame-selector form of [[buildEmbIndex]] (round 16): the
+    * re-freeze path's membership is a LANDED id list, not a predicate
+    * the catalog remembers — same split the text family has between
+    * buildLshIndex and refreezeLsh. */
+  private[graft] def buildEmbIndexOn(s: SparkSession, d: String,
+      suffix: String, sel: DataFrame => DataFrame): (String, String, String) = {
     GraftFunctions.register(s)
     val bk = graft.engine.Layout.bucketsFor(s"$d/embeddings.parquet")
     val statT = s"graft_embstat_idx$suffix"
     val sigT = s"graft_embsig_idx$suffix"
     val vecT = s"graft_embvec_idx$suffix"
-    val corp = Tables.t(s, d, "embeddings").filter(corpus)
+    val corp = sel(Tables.t(s, d, "embeddings"))
     annBitsSel(corp).write.mode("overwrite").format("parquet")
       .saveAsTable(statT)
     graft.engine.Layout.writeBucketed(
@@ -509,6 +517,70 @@ object Pipeline extends QueryPack {
     val byCorpus = ids.select(col("vec_id").as("corpus_id"))
     graft.engine.Layout.tombstone(s, sigT, byCorpus, "corpus_id")
     graft.engine.Layout.tombstone(s, vecT, byCorpus, "corpus_id")
+  }
+
+  /** RE-FREEZE for an embedding index (VERDICT r15 #5 — the emb
+    * analogue of Retrieval.refreezeLsh): rebuild the frozen width and
+    * re-sign from raw vectors, membership read from the PURGE-AWARE
+    * vector table (this family's membership manifest IS the vec table
+    * — it holds one row per covered vector and the purge tombstones
+    * it, so a re-freeze after an erasure rebuilds over survivors
+    * only). Old tables stay untouched under their own suffix —
+    * build-new-then-switch, the compactBucketed swap posture at the
+    * index level. */
+  private[graft] def refreezeEmb(s: SparkSession, d: String,
+      suffix: String, t: (String, String, String)): (String, String, String) = {
+    val member = graft.engine.Layout.readPurged(s, t._2, "corpus_id")
+      .select(col("corpus_id").as("vec_id"))
+    buildEmbIndexOn(s, d, suffix, _.join(member, Seq("vec_id"), "left_semi"))
+  }
+
+  /** GROWTH/OCCUPANCY drift gauge for an embedding index (the
+    * q_dedup_emb_index_drift body, factored round 16 so the
+    * maintenance policy reads it over ANY index instance): current
+    * corpus size vs the frozen design capacity 24·2^ab, plus actual
+    * signature-bucket occupancy (avg and max over the packed tb key —
+    * the quantity that multiplies candidate volume). Everything
+    * derives from the LANDED tables through purge-aware reads. At
+    * scale: one map-side-combinable count over the sig table's bucket
+    * layout + two scalars — no vectors move. */
+  private[graft] def embDriftGauge(s: SparkSession,
+      t: (String, String, String)): DataFrame = {
+    val (sigT, vecT, statT) = t
+    val occ = graft.engine.Layout.readPurged(s, sigT, "corpus_id")
+      .groupBy(col("tb")).agg(count(lit(1)).as("k"))
+    val nv = graft.engine.Layout.readPurged(s, vecT, "corpus_id")
+      .agg(count(lit(1)).as("n_vec"))
+    occ.agg(sum(col("k")).as("sig_rows"), count(lit(1)).as("nb"),
+        max(col("k")).as("occ_max"))
+      .crossJoin(broadcast(graft.engine.Layout.readTable(s, statT)))
+      .crossJoin(broadcast(nv))
+      .select(col("n_vec"), col("ab"),
+        expr("shiftleft(cast(24 as bigint), ab)").as("cap"),
+        round(col("n_vec").cast("double") /
+          expr("cast(shiftleft(cast(24 as bigint), ab) as double)"), 6)
+          .as("growth"),
+        round(col("sig_rows").cast("double") / col("nb"), 6)
+          .as("occ_avg"),
+        col("occ_max"))
+  }
+
+  /** The emb gauge WIRED to the re-freeze (VERDICT r15 #5): when the
+    * policy trips (engine.Maintenance.embNeedsRefreeze — ≥4× the
+    * frozen design capacity, or a runaway bucket), rebuild under
+    * `suffix` from the purge-aware vector-table membership and return
+    * the new tables; None while the frozen width is still healthy.
+    * SoakBench drives it end-to-end. */
+  private[graft] def maybeRefreezeEmb(s: SparkSession, d: String,
+      t: (String, String, String), suffix: String,
+      growthMax: Double = 4.0, occSkewMax: Double = 64.0)
+      : Option[(String, String, String)] = {
+    val g = embDriftGauge(s, t).head()
+    if (graft.engine.Maintenance.embNeedsRefreeze(
+        g.getAs[Double]("growth"), g.getAs[Double]("occ_avg"),
+        g.getAs[Long]("occ_max"), growthMax, occSkewMax))
+      Some(refreezeEmb(s, d, suffix, t))
+    else None
   }
 
   /** The daily probe: sign the batch with the frozen width, meet the
@@ -1453,23 +1525,7 @@ object Pipeline extends QueryPack {
         StructField("growth", org.apache.spark.sql.types.DoubleType),
         StructField("occ_avg", org.apache.spark.sql.types.DoubleType),
         StructField("occ_max", org.apache.spark.sql.types.LongType)))) { () =>
-        val (sigT, vecT, statT) = embIndex(s, d)
-        val occ = graft.engine.Layout.readPurged(s, sigT, "corpus_id")
-          .groupBy(col("tb")).agg(count(lit(1)).as("k"))
-        val nv = graft.engine.Layout.readPurged(s, vecT, "corpus_id")
-          .agg(count(lit(1)).as("n_vec"))
-        occ.agg(sum(col("k")).as("sig_rows"), count(lit(1)).as("nb"),
-            max(col("k")).as("occ_max"))
-          .crossJoin(broadcast(graft.engine.Layout.readTable(s, statT)))
-          .crossJoin(broadcast(nv))
-          .select(col("n_vec"), col("ab"),
-            expr("shiftleft(cast(24 as bigint), ab)").as("cap"),
-            round(col("n_vec").cast("double") /
-              expr("cast(shiftleft(cast(24 as bigint), ab) as double)"), 6)
-              .as("growth"),
-            round(col("sig_rows").cast("double") / col("nb"), 6)
-              .as("occ_avg"),
-            col("occ_max"))
+        embDriftGauge(s, embIndex(s, d))
       }),
 
     // Brute-force cosine top-k vs the vec_id=0 query vector.

@@ -492,6 +492,73 @@ object Retrieval extends QueryPack {
       graft.engine.Layout.indexMemoKey(s, d, lshBuckets(d)),
       h => refreezeLsh(s, d, s"r_$h", lshIndexAbsorbed(s, d)))
 
+  /** FROZEN-STATS DRIFT GAUGE for a text-LSH index (the
+    * q_dedup_text_index_drift body, factored round 16 so the
+    * maintenance policy can read it over ANY index instance): one row
+    * per probe — total batch token occurrences, OOV occurrences,
+    * oov_rate, and df_shift = the L1 distance between the batch's and
+    * the frozen corpus's normalized document-frequency distributions
+    * over the SHARED vocabulary (numerator in exact decimal-128, both
+    * engines; the share-based normalization needs no corpus doc count,
+    * which the index does not persist). Everything derives from the
+    * LANDED df table + the raw batch — no corpus re-tokenization.
+    * The one-row result materializes eagerly and the batch-df join's
+    * cache is released (ADVICE r15: repeated gauge reads in a
+    * multi-day session accumulated unreleased cached frames). */
+  private[graft] def lshDriftGauge(s: SparkSession, d: String,
+      t: (String, String, String, String), batchPred: Column): DataFrame = {
+    val (_, _, dfT, _) = t
+    val fdf = graft.engine.Layout.readTable(s, dfT)
+    val btf = Tables.spread(Tables.t(s, d, "documents"), "doc_id")
+      .filter(batchPred)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val bdf = btf.groupBy(col("tok"))
+      .agg(sum(col("tf")).as("occ"), count(lit(1)).as("dfb"))
+    val j = bdf.join(fdf.hint("merge"), Seq("tok"), "left").cache()
+    val sb = bdf.agg(sum(col("dfb")).as("s_b"))
+    val sc = fdf.agg(sum(col("df")).as("s_c"))
+    val tot = j.agg(sum(col("occ")).as("n_tok"),
+      sum(when(col("df").isNull, col("occ")).otherwise(lit(0L)))
+        .as("n_oov"))
+    val l1 = j.filter(col("df").isNotNull)
+      .crossJoin(broadcast(sb)).crossJoin(broadcast(sc))
+      .agg(sum(abs(col("dfb").cast("decimal(38,0)") * col("s_c") -
+        col("df").cast("decimal(38,0)") * col("s_b"))).as("l1num"))
+    val out = tot.crossJoin(broadcast(l1))
+      .crossJoin(broadcast(sb)).crossJoin(broadcast(sc))
+      .select(col("n_tok"), col("n_oov"),
+        round(col("n_oov").cast("double") / col("n_tok"), 6)
+          .as("oov_rate"),
+        round(col("l1num").cast("double") /
+          (col("s_b").cast("double") * col("s_c").cast("double")), 6)
+          .as("df_shift"))
+      .localCheckpoint()
+    j.unpersist()
+    out
+  }
+
+  /** The gauge WIRED to the re-freeze (VERDICT r15 #5): read the drift
+    * gauge for `batchPred` against index `t`; when the policy trips
+    * (engine.Maintenance.textNeedsRefreeze — OOV or df-shift past the
+    * alarm thresholds), rebuild under `suffix` from the purge-aware
+    * membership manifest (refreezeLsh) and return the new tables.
+    * None = the frozen featurization is still healthy. This is the
+    * maintenance decision a deployment's daily cycle runs after each
+    * absorb; SoakBench drives it end-to-end. */
+  private[graft] def maybeRefreezeText(s: SparkSession, d: String,
+      t: (String, String, String, String), batchPred: Column,
+      suffix: String, oovMax: Double = 0.2, shiftMax: Double = 0.5)
+      : Option[(String, String, String, String)] = {
+    val g = lshDriftGauge(s, d, t, batchPred).head()
+    if (graft.engine.Maintenance.textNeedsRefreeze(
+        g.getAs[Double]("oov_rate"), g.getAs[Double]("df_shift"),
+        oovMax, shiftMax))
+      Some(refreezeLsh(s, d, suffix, t))
+    else None
+  }
+
   /** The daily probe: sign the batch with the frozen stats, meet the
     * persisted signatures in a (band, bkt) merge join (hamming ≤ 16
     * inside the join), float-prefilter candidates against the
@@ -603,39 +670,7 @@ object Retrieval extends QueryPack {
         StructField("n_tok", LongType), StructField("n_oov", LongType),
         StructField("oov_rate", DoubleType),
         StructField("df_shift", DoubleType)))) { () =>
-        val (_, _, dfT, _) = lshIndex(s, d)
-        val fdf = graft.engine.Layout.readTable(s, dfT)
-        val btf = Tables.spread(Tables.t(s, d, "documents"), "doc_id")
-          .filter(col("doc_id") % 10 === 0)
-          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-          .filter(col("tok") =!= "")
-          .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
-        val bdf = btf.groupBy(col("tok"))
-          .agg(sum(col("tf")).as("occ"), count(lit(1)).as("dfb"))
-        val j = bdf.join(fdf.hint("merge"), Seq("tok"), "left").cache()
-        val sb = bdf.agg(sum(col("dfb")).as("s_b"))
-        val sc = fdf.agg(sum(col("df")).as("s_c"))
-        val tot = j.agg(sum(col("occ")).as("n_tok"),
-          sum(when(col("df").isNull, col("occ")).otherwise(lit(0L)))
-            .as("n_oov"))
-        val l1 = j.filter(col("df").isNotNull)
-          .crossJoin(broadcast(sb)).crossJoin(broadcast(sc))
-          .agg(sum(abs(col("dfb").cast("decimal(38,0)") * col("s_c") -
-            col("df").cast("decimal(38,0)") * col("s_b"))).as("l1num"))
-        // the gauge is ONE row: materialize it eagerly and release the
-        // batch-df join's cache (ADVICE r15 — repeated gauge reads in a
-        // multi-day session accumulated unreleased cached frames)
-        val out = tot.crossJoin(broadcast(l1))
-          .crossJoin(broadcast(sb)).crossJoin(broadcast(sc))
-          .select(col("n_tok"), col("n_oov"),
-            round(col("n_oov").cast("double") / col("n_tok"), 6)
-              .as("oov_rate"),
-            round(col("l1num").cast("double") /
-              (col("s_b").cast("double") * col("s_c").cast("double")), 6)
-              .as("df_shift"))
-          .localCheckpoint()
-        j.unpersist()
-        out
+        lshDriftGauge(s, d, lshIndex(s, d), col("doc_id") % 10 === 0)
       }),
 
 

@@ -26,6 +26,19 @@ class BenchRetrySpec extends AnyFunSuite {
     assert(!Bench.needAnotherPass(6, 3, Seq.fill(6)(true), 3, 3))
   }
 
+  test("retry backoff doubles from the base and caps at 8x (VERDICT r15 #1)") {
+    // 45s base: 45/90/180/360 then flat 360 — the budget must outlast
+    // a multi-minute co-tenant instead of burning flat 45s sleeps
+    assert(Bench.retryBackoff(45000L, 1) == 45000L)
+    assert(Bench.retryBackoff(45000L, 2) == 90000L)
+    assert(Bench.retryBackoff(45000L, 3) == 180000L)
+    assert(Bench.retryBackoff(45000L, 4) == 360000L)
+    assert(Bench.retryBackoff(45000L, 5) == 360000L)
+    assert(Bench.retryBackoff(45000L, 99) == 360000L)
+    // degenerate inputs stay sane
+    assert(Bench.retryBackoff(45000L, 0) == 45000L)
+  }
+
   test("any healthy configured pass means no retries at all") {
     assert(!Bench.needAnotherPass(3, 3, Seq(true, false, true), 0, 3))
   }
