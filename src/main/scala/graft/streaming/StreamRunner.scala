@@ -214,10 +214,17 @@ object StreamRunner {
     * as the batch/stream equivalence oracle. Verdicts depend only on
     * (doc, corpus): no cross-batch state, so micro-batch boundaries
     * are semantically invisible and the stream needs no watermark. At
-    * scale the corpus gram set is the broadcast side and each
-    * micro-batch is one scan + hash probe. */
+    * scale the batch gram set is the broadcast side and each
+    * micro-batch is one scan + hash probe — gated (round 16, the
+    * ADVICE r15 exploded-frame rule applied to the stream path too):
+    * when `srcPath` names the stream's source tree, the gram side
+    * rides Layout.probeSide with the 8× gramExpansion factor and the
+    * nb side the plain bound; a mega-batch degrades to a merge join
+    * instead of OOMing. None (frame-only unit tests) keeps the
+    * broadcast — the micro-batch contract. */
   def incrementalDedupVerdicts(newDocs: DataFrame,
-      corpusDocs: DataFrame): DataFrame = {
+      corpusDocs: DataFrame, srcPath: Option[String] = None): DataFrame = {
+    import graft.engine.Layout
     val batch = graft.operators.Pipeline
       .wordGrams3(newDocs.filter(col("doc_id") % 10 === 0))
       .select(col("doc_id").as("batch_id"), col("g"))
@@ -226,10 +233,15 @@ object StreamRunner {
       .select(col("doc_id").as("corpus_id"), col("g"))
     val nb = batch.groupBy(col("batch_id")).agg(count(lit(1)).as("nb"))
     val nc = corpus.groupBy(col("corpus_id")).agg(count(lit(1)).as("nc"))
-    corpus.join(broadcast(batch), Seq("g"))
+    val bSide = srcPath.map(p =>
+      Layout.probeSide(batch, p, Layout.gramExpansion))
+      .getOrElse(broadcast(batch))
+    val nbSide = srcPath.map(Layout.probeSide(nb, _))
+      .getOrElse(broadcast(nb))
+    corpus.join(bSide, Seq("g"))
       .groupBy(col("batch_id"), col("corpus_id"))
       .agg(count(lit(1)).as("inter_n"))
-      .join(broadcast(nb), Seq("batch_id"))
+      .join(nbSide, Seq("batch_id"))
       .join(nc, Seq("corpus_id"))
       .filter(col("inter_n") * 3 >= col("nb") + col("nc"))
       .select(col("batch_id"), col("corpus_id"), col("inter_n"),
@@ -270,7 +282,9 @@ object StreamRunner {
       .writeStream.outputMode("append")
       .foreachBatch { (batch: DataFrame, id: Long) =>
         seen.add(id)
-        writeVerdictBatch(incrementalDedupVerdicts(batch, corpus), outDir, id)
+        writeVerdictBatch(
+          incrementalDedupVerdicts(batch, corpus, Some(streamDir)),
+          outDir, id)
       }
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
@@ -541,7 +555,8 @@ object StreamRunner {
     val q = docsStream(spark, dir).writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        incrementalDedupVerdicts(batch, corpus)
+        incrementalDedupVerdicts(batch, corpus,
+          Some(s"$dir/documents.parquet"))
           .write.mode("append").parquet(outDir)
       }
       .option("checkpointLocation", checkpoint)
