@@ -1528,6 +1528,29 @@ object Pipeline extends QueryPack {
         embDriftGauge(s, embIndex(s, d))
       }),
 
+    // MAINTENANCE DECISION over the standing embedding index (round
+    // 16, VERDICT r15 #5 wired end-to-end): the growth/occupancy gauge
+    // PLUS the default re-freeze policy — the Spark side routes
+    // through the SAME engine.Maintenance.embNeedsRefreeze predicate
+    // SoakBench fires, and the oracle recomputes the gauges from raw
+    // embeddings and applies the same thresholds, so the POLICY is
+    // hash-checked. refreeze is 0/1 INT for cross-engine stability.
+    "q_dedup_emb_maint" -> ((s, d) =>
+      Deferred.df(s, "dedup_emb_maint", StructType(Seq(
+        StructField("n_vec", org.apache.spark.sql.types.LongType),
+        StructField("growth", org.apache.spark.sql.types.DoubleType),
+        StructField("occ_avg", org.apache.spark.sql.types.DoubleType),
+        StructField("occ_max", org.apache.spark.sql.types.LongType),
+        StructField("refreeze", org.apache.spark.sql.types.IntegerType)))) { () =>
+        val g = embDriftGauge(s, embIndex(s, d))
+        val r = g.head()
+        val trip = graft.engine.Maintenance.embNeedsRefreeze(
+          r.getAs[Double]("growth"), r.getAs[Double]("occ_avg"),
+          r.getAs[Long]("occ_max"))
+        g.select(col("n_vec"), col("growth"), col("occ_avg"),
+          col("occ_max"), lit(if (trip) 1 else 0).as("refreeze"))
+      }),
+
     // Brute-force cosine top-k vs the vec_id=0 query vector.
     "q_similarity_topk" -> ((s, d) => {
       GraftFunctions.register(s)
@@ -2014,6 +2037,27 @@ object Pipeline extends QueryPack {
   private val incrementalDedupSql =
     incrementalDedupSqlFor("doc_id % 10 = 0", "doc_id % 10 <> 0")
 
+  /** The growth/occupancy recompute (q_dedup_emb_index_drift's
+    * oracle), factored so q_dedup_emb_maint layers the policy
+    * thresholds over the identical gauge derivation. */
+  private lazy val embDriftOracle =
+    s"""WITH ${annBucketCtesWith(" WHERE vec_id % 10 <> 0")},
+       |occ AS (SELECT tbl * 65536 + bkt AS tb, count(*) AS k
+       |        FROM eb WHERE vec_id % 10 <> 0 GROUP BY 1),
+       |agg AS (SELECT sum(k) AS sig_rows, count(*) AS nb,
+       |          max(k) AS occ_max FROM occ),
+       |nv AS (SELECT count(*) AS n_vec FROM embeddings
+       |       WHERE vec_id % 10 <> 0)
+       |SELECT CAST(n_vec AS BIGINT) AS n_vec,
+       |  CAST((SELECT ab FROM absel) AS INT) AS ab,
+       |  CAST(24::BIGINT << (SELECT ab FROM absel) AS BIGINT) AS cap,
+       |  round(CAST(n_vec AS DOUBLE) /
+       |    CAST(24::BIGINT << (SELECT ab FROM absel) AS DOUBLE), 6) AS growth,
+       |  round(CAST(sig_rows AS DOUBLE) / nb, 6) AS occ_avg,
+       |  CAST(occ_max AS BIGINT) AS occ_max
+       |FROM agg, nv
+       |ORDER BY n_vec""".stripMargin
+
   override def oracle: Map[String, String] = Map(
     // FULL sign-LSH ANN mirrored: plane dots, sign buckets, hamming-1
     // multiprobe, candidate equi-join, exact cosine re-rank (round 10;
@@ -2086,22 +2130,16 @@ object Pipeline extends QueryPack {
     // from raw embeddings over the corpus slice with the frozen width,
     // then occupancy over the packed tb key — a stale stat row or a
     // resurrected signature is a hash mismatch
-    "q_dedup_emb_index_drift" ->
-      s"""WITH ${annBucketCtesWith(" WHERE vec_id % 10 <> 0")},
-         |occ AS (SELECT tbl * 65536 + bkt AS tb, count(*) AS k
-         |        FROM eb WHERE vec_id % 10 <> 0 GROUP BY 1),
-         |agg AS (SELECT sum(k) AS sig_rows, count(*) AS nb,
-         |          max(k) AS occ_max FROM occ),
-         |nv AS (SELECT count(*) AS n_vec FROM embeddings
-         |       WHERE vec_id % 10 <> 0)
-         |SELECT CAST(n_vec AS BIGINT) AS n_vec,
-         |  CAST((SELECT ab FROM absel) AS INT) AS ab,
-         |  CAST(24::BIGINT << (SELECT ab FROM absel) AS BIGINT) AS cap,
-         |  round(CAST(n_vec AS DOUBLE) /
-         |    CAST(24::BIGINT << (SELECT ab FROM absel) AS DOUBLE), 6) AS growth,
-         |  round(CAST(sig_rows AS DOUBLE) / nb, 6) AS occ_avg,
-         |  CAST(occ_max AS BIGINT) AS occ_max
-         |FROM agg, nv
+    "q_dedup_emb_index_drift" -> embDriftOracle,
+
+    // the drift oracle + the default policy thresholds — DuckDB
+    // recomputes the gauges AND the decision (Maintenance scaladoc)
+    "q_dedup_emb_maint" ->
+      s"""SELECT n_vec, growth, occ_avg, occ_max,
+         |  CAST(CASE WHEN growth >= 4.0 OR
+         |         (occ_avg > 0 AND occ_max >= 64 * occ_avg)
+         |       THEN 1 ELSE 0 END AS INT) AS refreeze
+         |FROM ($embDriftOracle)
          |ORDER BY n_vec""".stripMargin,
 
     "q_similarity_batch_ann" ->

@@ -673,6 +673,27 @@ object Retrieval extends QueryPack {
         lshDriftGauge(s, d, lshIndex(s, d), col("doc_id") % 10 === 0)
       }),
 
+    // MAINTENANCE DECISION over the standing text index (round 16,
+    // VERDICT r15 #5 wired end-to-end): the drift gauge PLUS the
+    // default re-freeze policy — the Spark side routes through the
+    // SAME engine.Maintenance.textNeedsRefreeze predicate SoakBench
+    // fires, and the oracle recomputes both gauges from raw text and
+    // applies the same thresholds, so the POLICY (not just the gauge)
+    // is hash-checked. refreeze is 0/1 INT for cross-engine type
+    // stability.
+    "q_dedup_text_maint" -> ((s, d) =>
+      Deferred.df(s, "dedup_text_maint", StructType(Seq(
+        StructField("n_tok", LongType), StructField("n_oov", LongType),
+        StructField("oov_rate", DoubleType),
+        StructField("df_shift", DoubleType),
+        StructField("refreeze", IntegerType)))) { () =>
+        val g = lshDriftGauge(s, d, lshIndex(s, d), col("doc_id") % 10 === 0)
+        val r = g.head()
+        val trip = graft.engine.Maintenance.textNeedsRefreeze(
+          r.getAs[Double]("oov_rate"), r.getAs[Double]("df_shift"))
+        g.withColumn("refreeze", lit(if (trip) 1 else 0))
+      }),
+
 
     // TEXT-CONTENT embeddings (round-6, VERDICT r5 #3): a 64-dim
     // feature-hashed tf·idf projection over documents.text in PURE
@@ -1784,6 +1805,39 @@ object Retrieval extends QueryPack {
       |      >= 81 * CAST(na.n2 AS HUGEINT) * nb.n2
       |ORDER BY 1, 2""".stripMargin
 
+  /** The frozen-stats drift recompute (q_dedup_text_index_drift's
+    * oracle), factored so q_dedup_text_maint layers the policy
+    * thresholds over the identical gauge derivation. */
+  private val textDriftOracle =
+    """WITH ctf AS (SELECT doc_id, tok, count(*) AS tf FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      |    FROM documents WHERE doc_id % 10 <> 0) t
+      |  WHERE tok <> '' GROUP BY doc_id, tok),
+      |fdf AS (SELECT tok, count(*) AS df FROM ctf GROUP BY tok),
+      |btf AS (SELECT doc_id, tok, count(*) AS tf FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      |    FROM documents WHERE doc_id % 10 = 0) t
+      |  WHERE tok <> '' GROUP BY doc_id, tok),
+      |bdf AS (SELECT tok, sum(tf) AS occ, count(*) AS dfb
+      |        FROM btf GROUP BY tok),
+      |j AS (SELECT b.tok, b.occ, b.dfb, f.df
+      |      FROM bdf b LEFT JOIN fdf f USING (tok)),
+      |sb AS (SELECT sum(dfb) AS s_b FROM bdf),
+      |sc AS (SELECT sum(df) AS s_c FROM fdf),
+      |tot AS (SELECT sum(occ) AS n_tok,
+      |          sum(CASE WHEN df IS NULL THEN occ ELSE 0 END) AS n_oov
+      |        FROM j),
+      |l1 AS (SELECT sum(abs(CAST(dfb AS HUGEINT) * s_c
+      |                      - CAST(df AS HUGEINT) * s_b)) AS l1num
+      |       FROM j, sb, sc WHERE df IS NOT NULL)
+      |SELECT CAST(n_tok AS BIGINT) AS n_tok,
+      |  CAST(n_oov AS BIGINT) AS n_oov,
+      |  round(CAST(n_oov AS DOUBLE) / CAST(n_tok AS DOUBLE), 6) AS oov_rate,
+      |  round(CAST(l1num AS DOUBLE) /
+      |    (CAST(s_b AS DOUBLE) * CAST(s_c AS DOUBLE)), 6) AS df_shift
+      |FROM tot, l1, sb, sc
+      |ORDER BY n_tok""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q_bpe_apply" -> bpeApplySql,
 
@@ -1929,35 +1983,16 @@ object Retrieval extends QueryPack {
     // drift monitor: frozen df recomputed from the corpus slice, batch
     // stats from raw text; L1 numerator in HUGEINT (the engine's
     // decimal-128 mirror)
-    "q_dedup_text_index_drift" ->
-      """WITH ctf AS (SELECT doc_id, tok, count(*) AS tf FROM (
-        |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok
-        |    FROM documents WHERE doc_id % 10 <> 0) t
-        |  WHERE tok <> '' GROUP BY doc_id, tok),
-        |fdf AS (SELECT tok, count(*) AS df FROM ctf GROUP BY tok),
-        |btf AS (SELECT doc_id, tok, count(*) AS tf FROM (
-        |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok
-        |    FROM documents WHERE doc_id % 10 = 0) t
-        |  WHERE tok <> '' GROUP BY doc_id, tok),
-        |bdf AS (SELECT tok, sum(tf) AS occ, count(*) AS dfb
-        |        FROM btf GROUP BY tok),
-        |j AS (SELECT b.tok, b.occ, b.dfb, f.df
-        |      FROM bdf b LEFT JOIN fdf f USING (tok)),
-        |sb AS (SELECT sum(dfb) AS s_b FROM bdf),
-        |sc AS (SELECT sum(df) AS s_c FROM fdf),
-        |tot AS (SELECT sum(occ) AS n_tok,
-        |          sum(CASE WHEN df IS NULL THEN occ ELSE 0 END) AS n_oov
-        |        FROM j),
-        |l1 AS (SELECT sum(abs(CAST(dfb AS HUGEINT) * s_c
-        |                      - CAST(df AS HUGEINT) * s_b)) AS l1num
-        |       FROM j, sb, sc WHERE df IS NOT NULL)
-        |SELECT CAST(n_tok AS BIGINT) AS n_tok,
-        |  CAST(n_oov AS BIGINT) AS n_oov,
-        |  round(CAST(n_oov AS DOUBLE) / CAST(n_tok AS DOUBLE), 6) AS oov_rate,
-        |  round(CAST(l1num AS DOUBLE) /
-        |    (CAST(s_b AS DOUBLE) * CAST(s_c AS DOUBLE)), 6) AS df_shift
-        |FROM tot, l1, sb, sc
-        |ORDER BY n_tok""".stripMargin,
+    "q_dedup_text_index_drift" -> textDriftOracle,
+
+    // the drift oracle + the default policy thresholds — DuckDB
+    // recomputes the gauges AND the decision (Maintenance scaladoc)
+    "q_dedup_text_maint" ->
+      s"""SELECT n_tok, n_oov, oov_rate, df_shift,
+         |  CAST(CASE WHEN oov_rate >= 0.2 OR df_shift >= 0.5
+         |       THEN 1 ELSE 0 END AS INT) AS refreeze
+         |FROM ($textDriftOracle)
+         |ORDER BY n_tok""".stripMargin,
 
     "q_tfidf" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
