@@ -61,6 +61,11 @@ object ScaleStress {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // managed tables (standing-index queries) land in a fresh tmp
+      // warehouse — a cwd-relative spark-warehouse/ left over from a
+      // previous run makes the index build die on LOCATION_ALREADY_EXISTS
+      .config("spark.sql.warehouse.dir", java.nio.file.Files
+        .createTempDirectory("graft-stress-wh").toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
