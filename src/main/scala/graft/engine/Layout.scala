@@ -259,12 +259,24 @@ object Layout {
     * (SCALING.md §6d — single-maintainer-or-detected is the shipped
     * contract).
     *
-    * `onStaged` is a test seam: invoked after each staging build,
-    * before the drift check — LayoutSpec interleaves an append and a
-    * purge there to pin both races. */
+    * Even the residue is recovered on the happy path: after the swap,
+    * `_old`'s file listing is compared against the last drift check's —
+    * a file that slipped in between the final re-list and RENAME #1
+    * travelled into `_old`, and its rows are re-appended into the new
+    * table before `_old` drops. The one remaining loss shape is a
+    * CRASH inside the swap combined with an append in that same
+    * sub-second window (the crash recovery cannot distinguish the
+    * missed file without the in-memory snapshot) — a double failure a
+    * real deployment's metastore transaction removes.
+    *
+    * `onStaged` / `onChecked` are test seams: invoked after each
+    * staging build (before the drift check) and after the final check
+    * passes (before RENAME #1) — LayoutSpec interleaves appends and a
+    * purge there to pin all three races. */
   def compactBucketed(spark: SparkSession, table: String, key: String,
       buckets: Int, foldTombstonesOn: Option[String] = None,
-      onStaged: () => Unit = () => ()): (Long, Long) = {
+      onStaged: () => Unit = () => (),
+      onChecked: () => Unit = () => ()): (Long, Long) = {
     val staging = table + "_compacting"
     val old = table + "_old"
     val tombT = tombTable(table)
@@ -298,6 +310,7 @@ object Layout {
     // where bucketed reading is disabled outright.
     val autoScanKey = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
     val savedAuto = spark.conf.get(autoScanKey, "true")
+    var checkedFiles = Set.empty[String] // last drift check's listing
     try {
       spark.conf.set(autoScanKey, "false")
       var attempts = 0
@@ -321,7 +334,8 @@ object Layout {
           .format("parquet").saveAsTable(staging)
         onStaged()
         spark.catalog.refreshTable(table) // see cross-session appends
-        if (spark.table(table).inputFiles.toSet == liveFiles) built = true
+        checkedFiles = spark.table(table).inputFiles.toSet
+        if (checkedFiles == liveFiles) built = true
         else {
           attempts += 1
           require(attempts <= 3, s"compactBucketed($table): live table " +
@@ -330,8 +344,24 @@ object Layout {
         }
       }
     } finally spark.conf.set(autoScanKey, savedAuto)
+    onChecked()
     spark.sql(s"ALTER TABLE $table RENAME TO $old")
     spark.sql(s"ALTER TABLE $staging RENAME TO $table")
+    // a file appended between the final re-list and RENAME #1
+    // travelled into _old: re-append its rows into the new table
+    // before the drop (the scaladoc's residue recovery). Such rows
+    // postdate the fold snapshot, so no tombstone handling applies.
+    // Compared by BASENAME: the rename moved the table's directory,
+    // so every _old path differs from the snapshot — part-file names
+    // (task UUIDs) are the stable identity.
+    def base(f: String) = f.substring(f.lastIndexOf('/') + 1)
+    val checkedNames = checkedFiles.map(base)
+    spark.catalog.refreshTable(old)
+    val missed = spark.table(old).inputFiles
+      .filterNot(f => checkedNames.contains(base(f)))
+    if (missed.nonEmpty)
+      appendBucketed(spark.read.parquet(missed.toIndexedSeq: _*)
+        .localCheckpoint(), table, key, buckets)
     spark.sql(s"DROP TABLE $old")
     if (foldTombstonesOn.isDefined && spark.catalog.tableExists(tombT)) {
       spark.catalog.refreshTable(tombT)

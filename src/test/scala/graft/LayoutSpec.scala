@@ -248,6 +248,36 @@ class LayoutSpec extends SparkTestBase {
     assert(back.exceptAll(base).isEmpty && base.exceptAll(back).isEmpty)
   }
 
+  test("compactBucketed recovers an append landing between the final drift check and the swap") {
+    // the residue window (round 16): a file appended AFTER the last
+    // re-list but BEFORE the rename-aside travels into _old — its rows
+    // are re-appended into the new table before _old drops, so the
+    // happy-path lost-append window closes entirely
+    val base = Tables.t(spark, sf, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val main = base.filter(col("o_orderkey") % 2 === 0)
+    val late = base.filter(col("o_orderkey") % 2 =!= 0)
+    Layout.writeBucketed(main, "orders_race2", "o_custkey", 4)
+    var fired = false
+    Layout.compactBucketed(spark, "orders_race2", "o_custkey", 4,
+      onChecked = () => {
+        if (!fired) {
+          fired = true
+          Layout.appendBucketed(late, "orders_race2", "o_custkey", 4)
+        }
+      })
+    assert(fired)
+    val back = Layout.readTable(spark, "orders_race2")
+    assert(back.count() == base.count(),
+      "the append that landed inside the swap window was dropped with _old")
+    assert(back.exceptAll(base).isEmpty && base.exceptAll(back).isEmpty)
+    assert(!spark.catalog.tableExists("orders_race2_old"))
+    // layout still live after the recovery append
+    val agg = back.groupBy("o_custkey").agg(count(lit(1)).as("n"))
+    agg.collect()
+    assert(!agg.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
   test("compactBucketed fold preserves a tombstone landed during the rewrite") {
     // ADVICE r15: the fold used to drop the ENTIRE sidecar after the
     // swap, including tombstones appended after the staging copy was
