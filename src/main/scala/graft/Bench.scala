@@ -444,6 +444,7 @@ object Bench {
       "q_dedup_index_probe", "q_dedup_index_absorb",
       "q_dedup_text_index_probe", "q_dedup_text_index_absorb",
       "q_dedup_emb_index_probe", "q_dedup_emb_index_absorb",
+      "q_similarity_ivf_index_probe", "q_similarity_ivf_index_absorb",
       "q_holdings_drift_dates")
     if (!trackShuffle)
       buildCarriers.filter(selected.contains)

@@ -227,6 +227,47 @@ object SoakBench {
         s""""refreeze":$trip,"refreeze_sec":${round2(rw)},""" +
         s""""post_refreeze_identical":${identical.getOrElse(null)}}""")
     }
+
+    // ---- maintenance policy: IVF growth gauge → re-cluster ---------
+    locally {
+      import graft.engine.{Maintenance, Tables}
+      val bk = graft.engine.Layout.bucketsFor(s"$embDir/embeddings.parquet")
+      val corpusPred = col("vec_id") % 16 === 1
+      val dayPreds = Seq(col("vec_id") % 16 =!= 1 && col("vec_id") % 4 === 0,
+        col("vec_id") % 16 =!= 1 && col("vec_id") % 4 === 2,
+        col("vec_id") % 16 =!= 1 && col("vec_id") % 4 === 3)
+      val batch = Tables.t(spark, embDir, "embeddings")
+        .filter(col("vec_id") % 16 === 5)
+      val t = operators.Pipeline.buildIvfIndex(spark, embDir, "_soakpolI",
+        corpusPred)
+      dayPreds.foreach(p =>
+        operators.Pipeline.absorbIvfBatch(spark, embDir, t, bk, p))
+      val g = operators.Pipeline.ivfDriftGauge(spark, t).head()
+      val (growth, occAvg, occMax) = (g.getAs[Double]("growth"),
+        g.getAs[Double]("occ_avg"), g.getAs[Long]("occ_max"))
+      val trip = Maintenance.ivfNeedsRecluster(growth, occAvg, occMax)
+      val (recl, rw) = if (trip)
+        timed(Some(operators.Pipeline.reclusterIvf(spark, embDir,
+          "_soakpolIR", t)))
+      else (None, 0.0)
+      val identical = recl.map { rt =>
+        val fresh = operators.Pipeline.buildIvfIndex(spark, embDir,
+          "_soakpolIF", dayPreds.foldLeft(corpusPred)(_ || _))
+        def probe(tt: (String, String)) =
+          operators.Pipeline.ivfIndexProbeOn(spark, tt, batch,
+            s"$embDir/embeddings.parquet")
+            .collect().map(_.toString).toSeq
+        val same = probe(rt) == probe(fresh)
+        require(same, "post-recluster probe diverged from fresh fit")
+        same
+      }
+      println(s"""{"scenario":"soak_policy_ivf","sf":"$embDir",""" +
+        s""""n_vec":${g.getAs[Long]("n_vec")},""" +
+        s""""fit_n":${g.getAs[Long]("fit_n")},""" +
+        s""""growth":$growth,"occ_avg":$occAvg,"occ_max":$occMax,""" +
+        s""""recluster":$trip,"recluster_sec":${round2(rw)},""" +
+        s""""post_recluster_identical":${identical.getOrElse(null)}}""")
+    }
     spark.stop()
   }
 }

@@ -34,4 +34,14 @@ object Maintenance {
   def textNeedsRefreeze(oovRate: Double, dfShift: Double,
       oovMax: Double = 0.2, shiftMax: Double = 0.5): Boolean =
     oovRate >= oovMax || dfShift >= shiftMax
+
+  /** Trip when the IVF membership has outgrown the fit-time corpus
+    * (`growth` = n_vec / fit_n) or one cell runs hot (occ_max ≫ the
+    * mean — probe candidate volume is per-cell, so a hot cell costs
+    * every query that probes it). The skew bar sits lower than the
+    * embedding family's (8× vs 64×): k is small (16 cells), so a
+    * single runaway cell is a large fraction of the corpus. */
+  def ivfNeedsRecluster(growth: Double, occAvg: Double, occMax: Long,
+      growthMax: Double = 4.0, occSkewMax: Double = 8.0): Boolean =
+    growth >= growthMax || (occAvg > 0 && occMax >= occSkewMax * occAvg)
 }

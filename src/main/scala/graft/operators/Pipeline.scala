@@ -628,6 +628,228 @@ object Pipeline extends QueryPack {
     StructField("corpus_id", org.apache.spark.sql.types.LongType),
     StructField("cos_sim", org.apache.spark.sql.types.DoubleType)))
 
+  // ---- STANDING IVF index (round 16): the partition-pruning ANN ----
+  // family joins the write-once layout. q_similarity_ivf fits its
+  // coarse quantizer IN-PLAN on every run; here the portable-geometry
+  // fit (scaladoc at that query — every step engine-exact) lands ONCE:
+  // a k-row centroid table freezing the quantizer (plus fit_n, the
+  // corpus count the cells were sized for), and a bucketed+sorted
+  // cells table (corpus_id, cid, embedding, nrm) on the cell id — the
+  // IVF "at rest" shape, so probes meet the cells in a merge join with
+  // zero index-side Exchange and a real deployment's file pruning
+  // falls out of the same layout. Freezing the centroids is what makes
+  // absorb correct (appended vectors assign with the SAME quantizer —
+  // the frozen-width/frozen-df argument, third time); the staleness it
+  // introduces is exactly what ivfDriftGauge measures and
+  // maybeReclusterIvf repairs.
+
+  private val ivfK = 16
+  private val ivfRounds = 2
+  private val ivfNprobe = 4
+
+  /** Portable fixed-point view: vec_id, embedding, nrm, qv with
+    * q_i = floor(v_i · 2^20) — the engine-exact integer geometry
+    * (full argument at q_similarity_ivf). */
+  private def ivfQuant(e0: DataFrame): DataFrame =
+    e0.select(col("vec_id"), col("embedding"),
+      sqrt(GraftFunctions.dot_d(col("embedding"), col("embedding"))).as("nrm"),
+      transform(col("embedding"),
+        x => floor(x.cast("double") * lit(1048576.0)).cast("float")).as("qv"))
+
+  /** Quantized distance rank key vs centroid `cvec`: |c|² − 2·q·c.
+    * |qv|² is constant under per-vector argmin — dropped on BOTH
+    * engines (constant shift preserves order and ties). */
+  private def ivfDQ: Column = GraftFunctions.dot_d(col("cvec"), col("cvec")) -
+    lit(2.0) * GraftFunctions.dot_d(col("qv"), col("cvec"))
+
+  /** Nearest-centroid assignment, ties by cell id (min over the
+    * (dist, cid) struct ≡ the oracle's row_number ordering). */
+  private def ivfAssign(e: DataFrame, cents: DataFrame): DataFrame =
+    e.crossJoin(broadcast(cents))
+      .groupBy(col("vec_id").as("a_vid"))
+      .agg(min(struct(ivfDQ.as("dist"), col("cid"))).as("m"))
+      .select(col("a_vid").as("vec_id"), col("m.cid").as("cid"))
+
+  /** The k-means coarse quantizer fit (k=16, 2 Lloyd rounds,
+    * md5-ranked seeds, floor(sum/count) centroids) over `e` — the
+    * q_similarity_ivf fit factored so the standing index freezes the
+    * SAME quantizer the in-plan query derives. */
+  private def ivfFit(e: DataFrame): DataFrame = {
+    val hRank =
+      conv(substring(md5(col("vec_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+    var cents = e.orderBy(hRank, col("vec_id")).limit(ivfK)
+      .select(col("vec_id").as("cid"), col("qv").as("cvec"))
+    (1 to ivfRounds).foreach { _ =>
+      cents = ivfAssign(e, cents)
+        .join(e, Seq("vec_id"))
+        .groupBy(col("cid"))
+        .agg(count(lit(1)).as("n"),
+          (0 until 64).map(i =>
+            sum(element_at(col("qv"), i + 1)).as(s"s$i")): _*)
+        .select(col("cid"), array((0 until 64).map(i =>
+          floor(col(s"s$i") / col("n")).cast("float")): _*).as("cvec"))
+    }
+    cents
+  }
+
+  /** Land the frozen quantizer (centroids + fit_n) and the bucketed
+    * cells table over the vectors `sel` keeps. */
+  private[graft] def buildIvfIndexOn(s: SparkSession, d: String,
+      suffix: String, sel: DataFrame => DataFrame): (String, String) = {
+    GraftFunctions.register(s)
+    val bk = graft.engine.Layout.bucketsFor(s"$d/embeddings.parquet")
+    val statT = s"graft_ivfcent_idx$suffix"
+    val cellsT = s"graft_ivfcell_idx$suffix"
+    val corp = ivfQuant(sel(Tables.t(s, d, "embeddings"))).cache()
+    val cents = ivfFit(corp).cache()
+    val fitN = corp.count()
+    cents.withColumn("fit_n", lit(fitN))
+      .write.mode("overwrite").format("parquet").saveAsTable(statT)
+    graft.engine.Layout.writeBucketed(
+      ivfAssign(corp, cents).join(corp, Seq("vec_id"))
+        .select(col("vec_id").as("corpus_id"), col("cid"),
+          col("embedding"), col("nrm")),
+      cellsT, "cid", bk)
+    cents.unpersist(); corp.unpersist()
+    (statT, cellsT)
+  }
+
+  private[graft] def buildIvfIndex(s: SparkSession, d: String,
+      suffix: String, corpus: Column): (String, String) =
+    buildIvfIndexOn(s, d, suffix, _.filter(corpus))
+
+  /** One absorb day: assign the batch with the FROZEN centroids,
+    * append into the cells table — one new file per touched bucket,
+    * the standing rows untouched. */
+  private[graft] def absorbIvfBatch(s: SparkSession, d: String,
+      t: (String, String), bk: Int, batch: Column): Unit = {
+    val (statT, cellsT) = t
+    val day = ivfQuant(Tables.t(s, d, "embeddings").filter(batch)).cache()
+    val cents = graft.engine.Layout.readTable(s, statT)
+      .select(col("cid"), col("cvec"))
+    graft.engine.Layout.appendBucketed(
+      ivfAssign(day, cents).join(day, Seq("vec_id"))
+        .select(col("vec_id").as("corpus_id"), col("cid"),
+          col("embedding"), col("nrm")),
+      cellsT, "cid", bk)
+    day.unpersist()
+  }
+
+  /** Retention purge: tombstone the cells table (readers go through
+    * Layout.readPurged; compactBucketed folds later). The frozen
+    * centroids keep a deleted vector's mass until re-cluster — the
+    * same staleness contract the df/width freezes carry, visible to
+    * the gauge below. */
+  private[graft] def purgeIvfIndex(s: SparkSession,
+      t: (String, String), ids: DataFrame): Unit =
+    graft.engine.Layout.tombstone(s, t._2,
+      ids.select(col("vec_id").as("corpus_id")), "corpus_id")
+
+  /** Growth/occupancy drift gauge: current membership vs fit_n (the
+    * corpus the quantizer was fit on) and per-cell occupancy — the
+    * quantity that multiplies probe candidate volume when cells go
+    * stale or hot. Purge-aware reads; one map-side-combinable count
+    * over the cells table's bucket layout + scalars. */
+  private[graft] def ivfDriftGauge(s: SparkSession,
+      t: (String, String)): DataFrame = {
+    val (statT, cellsT) = t
+    val occ = graft.engine.Layout.readPurged(s, cellsT, "corpus_id")
+      .groupBy(col("cid")).agg(count(lit(1)).as("k"))
+    val meta = graft.engine.Layout.readTable(s, statT)
+      .agg(max(col("fit_n")).as("fit_n"))
+    occ.agg(sum(col("k")).as("n_vec"), count(lit(1)).as("n_cells"),
+        max(col("k")).as("occ_max"))
+      .crossJoin(broadcast(meta))
+      .select(col("n_vec"), col("fit_n"),
+        round(col("n_vec").cast("double") / col("fit_n"), 6).as("growth"),
+        round(col("n_vec").cast("double") / col("n_cells"), 6).as("occ_avg"),
+        col("occ_max"))
+  }
+
+  /** RE-CLUSTER: refit the quantizer from the purge-aware cells
+    * membership (this family's manifest IS its cells table) and
+    * re-land under `suffix` — build-new-then-switch. */
+  private[graft] def reclusterIvf(s: SparkSession, d: String,
+      suffix: String, t: (String, String)): (String, String) = {
+    val member = graft.engine.Layout.readPurged(s, t._2, "corpus_id")
+      .select(col("corpus_id").as("vec_id"))
+    buildIvfIndexOn(s, d, suffix, _.join(member, Seq("vec_id"), "left_semi"))
+  }
+
+  /** The gauge WIRED to the re-cluster: fires reclusterIvf when
+    * engine.Maintenance.ivfNeedsRecluster trips. */
+  private[graft] def maybeReclusterIvf(s: SparkSession, d: String,
+      t: (String, String), suffix: String, growthMax: Double = 4.0,
+      occSkewMax: Double = 8.0): Option[(String, String)] = {
+    val g = ivfDriftGauge(s, t).head()
+    if (graft.engine.Maintenance.ivfNeedsRecluster(
+        g.getAs[Double]("growth"), g.getAs[Double]("occ_avg"),
+        g.getAs[Long]("occ_max"), growthMax, occSkewMax))
+      Some(reclusterIvf(s, d, suffix, t))
+    else None
+  }
+
+  /** The daily probe: quantize the batch, rank the FROZEN centroids
+    * per batch vector (k-row broadcast; nprobe=4 nearest, ties by
+    * cell id — the oracle's row_number ordering), meet the cells
+    * table in a cid merge join (zero Exchange on the index side —
+    * its bucketed scan carries the partitioning), exact float cosine
+    * re-rank, top-50 with a total tie-break — the embIndexProbeOn
+    * output discipline. */
+  private[graft] def ivfIndexProbeOn(s: SparkSession, t: (String, String),
+      b: DataFrame, srcPath: String): DataFrame = {
+    GraftFunctions.register(s)
+    val (statT, cellsT) = t
+    val cents = graft.engine.Layout.readTable(s, statT)
+      .select(col("cid"), col("cvec"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("dist"), col("cid"))
+    val probes = ivfQuant(b).crossJoin(broadcast(cents))
+      .withColumn("dist", ivfDQ)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= ivfNprobe)
+      .select(col("vec_id").as("batch_id"), col("cid"),
+        col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+    graft.engine.Layout.readPurged(s, cellsT, "corpus_id").hint("merge")
+      .join(graft.engine.Layout.probeSide(probes, srcPath), Seq("cid"))
+      .select(col("batch_id"), col("corpus_id"),
+        (GraftFunctions.dot_d(col("embedding"), col("q_emb")) /
+          (col("nrm") * col("q_nrm"))).as("cos_sim"))
+      .orderBy(desc("cos_sim"), col("batch_id"), col("corpus_id"))
+      .limit(50)
+  }
+
+  private val ivfProbeSchema = embProbeSchema // same probe output shape
+
+  private val ivfIdxMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, String)]()
+  private val ivfIdxUMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, String)]()
+
+  /** Standing IVF index over the corpus (vec_id % 10 ≠ 0), built once
+    * per (process, warehouse, fixture, bucket count). */
+  private[graft] def ivfIndex(s: SparkSession,
+      d: String): (String, String) =
+    ivfIdxMemo.computeIfAbsent(
+      graft.engine.Layout.indexMemoKey(s, d,
+        graft.engine.Layout.bucketsFor(s"$d/embeddings.parquet")),
+      h => buildIvfIndex(s, d, s"_$h", col("vec_id") % 10 =!= 0))
+
+  /** Standing IVF index plus an ABSORBED day-1 batch (vec_id % 20 =
+    * 0), assigned with the frozen quantizer. */
+  private[graft] def ivfIndexAbsorbed(s: SparkSession,
+      d: String): (String, String) =
+    ivfIdxUMemo.computeIfAbsent(
+      graft.engine.Layout.indexMemoKey(s, d,
+        graft.engine.Layout.bucketsFor(s"$d/embeddings.parquet")),
+      h => {
+        val bk = graft.engine.Layout.bucketsFor(s"$d/embeddings.parquet")
+        val t = buildIvfIndex(s, d, s"u_$h", col("vec_id") % 10 =!= 0)
+        absorbIvfBatch(s, d, t, bk, col("vec_id") % 20 === 0)
+        t
+      })
+
   /** doc_id + h0..h{nSig-1} minhash signature columns.
     * Each 3-word shingle is string-hashed ONCE to a 30-bit base; the
     * nSig permutations are multiply-mod integer hashes of that base
@@ -1620,41 +1842,14 @@ object Pipeline extends QueryPack {
     // prune files; the in-plan fit keeps the query self-contained.
     "q_similarity_ivf" -> ((s, d) => {
       GraftFunctions.register(s)
-      val k = 16; val nprobe = 4; val rounds = 2
-      val e = Tables.t(s, d, "embeddings")
-        .select(col("vec_id"), col("embedding"),
-          sqrt(GraftFunctions.dot_d(col("embedding"), col("embedding"))).as("nrm"),
-          transform(col("embedding"),
-            x => floor(x.cast("double") * lit(1048576.0)).cast("float")).as("qv"))
-        .cache()
-      val hRank =
-        conv(substring(md5(col("vec_id").cast("string")), 1, 15), 16, 10)
-          .cast("bigint")
-      // |qv|² is constant under per-vector argmin — dropped on BOTH
-      // engines (constant shift preserves order and ties)
-      def dQ = GraftFunctions.dot_d(col("cvec"), col("cvec")) -
-        lit(2.0) * GraftFunctions.dot_d(col("qv"), col("cvec"))
-      def assign(cents: DataFrame): DataFrame =
-        e.crossJoin(broadcast(cents))
-          .groupBy(col("vec_id").as("a_vid"))
-          .agg(min(struct(dQ.as("dist"), col("cid"))).as("m"))
-          .select(col("a_vid").as("vec_id"), col("m.cid").as("cid"))
-      var cents = e.orderBy(hRank, col("vec_id")).limit(k)
-        .select(col("vec_id").as("cid"), col("qv").as("cvec"))
-      (1 to rounds).foreach { _ =>
-        cents = assign(cents)
-          .join(e, Seq("vec_id"))
-          .groupBy(col("cid"))
-          .agg(count(lit(1)).as("n"),
-            (0 until 64).map(i =>
-              sum(element_at(col("qv"), i + 1)).as(s"s$i")): _*)
-          .select(col("cid"), array((0 until 64).map(i =>
-            floor(col(s"s$i") / col("n")).cast("float")): _*).as("cvec"))
-      }
+      val nprobe = 4
+      val e = ivfQuant(Tables.t(s, d, "embeddings")).cache()
+      def dQ = ivfDQ
+      def assign(cents: DataFrame): DataFrame = ivfAssign(e, cents)
       // the k-row centroid table feeds BOTH the corpus assignment and
       // the query-probe ranking — cache it so the 2-round Lloyd
       // subtree (the bulk of this plan) executes once, not twice
-      cents = cents.cache()
+      val cents = ivfFit(e).cache()
       val cells = assign(cents)
       val qCells = e.filter(col("vec_id") === 0).crossJoin(broadcast(cents))
         .orderBy(dQ, col("cid")).limit(nprobe)
@@ -1671,6 +1866,52 @@ object Pipeline extends QueryPack {
         .orderBy(desc("cos_sim"), col("vec_id"))
         .limit(10)
     }),
+
+    // Daily probe against the STANDING IVF index (round 16 — the
+    // fourth index family on the write-once layout; module scaladoc at
+    // buildIvfIndexOn): batch = vec_id % 10 = 0, corpus = the frozen
+    // fit. The oracle recomputes the ENTIRE pipeline — portable fit,
+    // assignment, per-batch-vector nprobe ranking, exact cosine — from
+    // raw embeddings, so a stale centroid or resurrected cell row is a
+    // hash mismatch.
+    "q_similarity_ivf_index_probe" -> ((s, d) =>
+      Deferred.df(s, "similarity_ivf_index_probe", ivfProbeSchema) { () =>
+        ivfIndexProbeOn(s, ivfIndex(s, d),
+          Tables.t(s, d, "embeddings").filter(col("vec_id") % 10 === 0),
+          s"$d/embeddings.parquet")
+      }),
+
+    // Index MAINTENANCE twin: day-1's batch (vec_id % 20 = 0) assigns
+    // with the FROZEN quantizer and lands by bucketed append; day-2's
+    // probe (vec_id % 20 = 10) then runs against the updated cells
+    // through the same zero-index-Exchange plan. Oracle: cells over
+    // corpus ∪ absorbed batch, fit still frozen on the corpus.
+    "q_similarity_ivf_index_absorb" -> ((s, d) =>
+      Deferred.df(s, "similarity_ivf_index_absorb", ivfProbeSchema) { () =>
+        ivfIndexProbeOn(s, ivfIndexAbsorbed(s, d),
+          Tables.t(s, d, "embeddings").filter(col("vec_id") % 20 === 10),
+          s"$d/embeddings.parquet")
+      }),
+
+    // MAINTENANCE DECISION over the standing IVF index: the
+    // growth/occupancy gauge PLUS the default re-cluster policy
+    // (engine.Maintenance.ivfNeedsRecluster) — the decision itself is
+    // oracled, the q_dedup_*_maint discipline.
+    "q_similarity_ivf_maint" -> ((s, d) =>
+      Deferred.df(s, "similarity_ivf_maint", StructType(Seq(
+        StructField("n_vec", org.apache.spark.sql.types.LongType),
+        StructField("fit_n", org.apache.spark.sql.types.LongType),
+        StructField("growth", org.apache.spark.sql.types.DoubleType),
+        StructField("occ_avg", org.apache.spark.sql.types.DoubleType),
+        StructField("occ_max", org.apache.spark.sql.types.LongType),
+        StructField("refreeze", org.apache.spark.sql.types.IntegerType)))) { () =>
+        val g = ivfDriftGauge(s, ivfIndex(s, d))
+        val r = g.head()
+        val trip = graft.engine.Maintenance.ivfNeedsRecluster(
+          r.getAs[Double]("growth"), r.getAs[Double]("occ_avg"),
+          r.getAs[Long]("occ_max"))
+        g.withColumn("refreeze", lit(if (trip) 1 else 0))
+      }),
 
     // Batch similarity scoring, exact: a query TABLE (vec_id < 10)
     // against the corpus (vec_id >= 10), top-3 per query vector. The
@@ -1966,18 +2207,21 @@ object Pipeline extends QueryPack {
     "[bkt] || list_transform(range(0, (SELECT ab FROM absel)), " +
       "i -> xor(bkt, CAST(1 AS INT) << CAST(i AS INT)))"
 
-  /** DuckDB mirror of q_similarity_ivf's PORTABLE integer quantizer
-    * (see the query's comment for why every step is engine-exact):
+  /** DuckDB mirror of the PORTABLE integer quantizer (see
+    * q_similarity_ivf's comment for why every step is engine-exact):
     * fixed-point vectors, md5-ranked seeds, two unrolled Lloyd rounds
-    * with floor(sum/count) centroids, 4-cell probe, exact float cosine
-    * re-rank. Ends in CTEs ivq / ivf_cells / ivf_probes. */
-  private val ivfCtes: String = {
-    def assignSql(out: String, cents: String) =
+    * with floor(sum/count) centroids, exact float cosine re-rank.
+    * `fitPred` restricts the rows the quantizer FITS on (the standing
+    * index's frozen-centroid corpus); `cellPred` restricts the rows
+    * the final assignment covers (corpus ∪ absorbed days). Ends in
+    * CTEs ivq / ivf_c2 (the frozen centroids) / ivf_cells. */
+  private def ivfCtesFor(fitPred: String, cellPred: String): String = {
+    def assignSql(out: String, cents: String, pred: String) =
       s"""$out AS (SELECT vec_id, cid FROM (
          |  SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id
          |    ORDER BY list_inner_product(c.cq, c.cq)
          |      - 2 * list_inner_product(e.q, c.cq), c.cid) AS rn
-         |  FROM ivq e CROSS JOIN $cents c) WHERE rn = 1)""".stripMargin
+         |  FROM ivq e CROSS JOIN $cents c WHERE $pred) WHERE rn = 1)""".stripMargin
     def centSql(out: String, asg: String) =
       s"""$out AS MATERIALIZED (SELECT cid, list(m ORDER BY i) AS cq FROM (
          |  SELECT a.cid, u.i, floor(sum(e.q[u.i]) / count(*)) AS m
@@ -1992,20 +2236,45 @@ object Pipeline extends QueryPack {
        |        list_transform(v, x -> floor(x * 1048576.0)) AS q
        |      FROM ivn),
        |ivf_seeds AS (SELECT vec_id AS cid, q AS cq FROM ivq
+       |      WHERE $fitPred
        |      ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT,
        |        vec_id LIMIT 16),
-       |${assignSql("ivf_a1", "ivf_seeds")},
+       |${assignSql("ivf_a1", "ivf_seeds", fitPred)},
        |${centSql("ivf_c1", "ivf_a1")},
-       |${assignSql("ivf_a2", "ivf_c1")},
+       |${assignSql("ivf_a2", "ivf_c1", fitPred)},
        |${centSql("ivf_c2", "ivf_a2")},
-       |${assignSql("ivf_cells", "ivf_c2")},
+       |${assignSql("ivf_cells", "ivf_c2", cellPred)}""".stripMargin
+  }
+
+  /** The in-plan q_similarity_ivf shape: fit and cells over the whole
+    * table, plus the single-query 4-cell probe CTE. */
+  private val ivfCtes: String =
+    s"""${ivfCtesFor("TRUE", "TRUE")},
        |ivf_probes AS (SELECT cid FROM (
        |  SELECT c.cid, row_number() OVER (
        |    ORDER BY list_inner_product(c.cq, c.cq)
        |      - 2 * list_inner_product(q0.q, c.cq), c.cid) AS rn
        |  FROM ivf_c2 c CROSS JOIN (SELECT q FROM ivq WHERE vec_id = 0) q0)
        |  WHERE rn <= 4)""".stripMargin
-  }
+
+  /** Standing-IVF probe recompute: frozen fit over `fitPred` rows,
+    * cells over `cellPred`, per-batch-vector nprobe=4 cell ranking,
+    * exact cosine, top-50 with the total tie-break. */
+  private def ivfIndexProbeSqlFor(fitPred: String, cellPred: String,
+      batchPred: String): String =
+    s"""WITH ${ivfCtesFor(fitPred, cellPred)},
+       |bprobes AS (SELECT batch_id, cid FROM (
+       |  SELECT b.vec_id AS batch_id, c.cid, row_number() OVER (
+       |    PARTITION BY b.vec_id
+       |    ORDER BY list_inner_product(c.cq, c.cq)
+       |      - 2 * list_inner_product(b.q, c.cq), c.cid) AS rn
+       |  FROM ivq b CROSS JOIN ivf_c2 c WHERE $batchPred) WHERE rn <= 4)
+       |SELECT p.batch_id, cl.vec_id AS corpus_id,
+       |  list_inner_product(ev.v, bv.v) / (ev.nrm * bv.nrm) AS cos_sim
+       |FROM ivf_cells cl JOIN bprobes p USING (cid)
+       |  JOIN ivn ev ON ev.vec_id = cl.vec_id
+       |  JOIN ivn bv ON bv.vec_id = p.batch_id
+       |ORDER BY cos_sim DESC, batch_id, corpus_id LIMIT 50""".stripMargin
 
   /** Shared by q_dedup_incremental and the whole standing-index family
     * (probe/absorb/purge): the probes read a persisted bucketed index
@@ -2131,6 +2400,35 @@ object Pipeline extends QueryPack {
     // then occupancy over the packed tb key — a stale stat row or a
     // resurrected signature is a hash mismatch
     "q_dedup_emb_index_drift" -> embDriftOracle,
+
+    // standing IVF family (round 16): the frozen-fit probe, the
+    // absorb twin, and the gauge+policy decision — all recomputed
+    // from raw embeddings via the portable integer quantizer
+    "q_similarity_ivf_index_probe" ->
+      ivfIndexProbeSqlFor("vec_id % 10 <> 0", "vec_id % 10 <> 0",
+        "vec_id % 10 = 0"),
+
+    "q_similarity_ivf_index_absorb" ->
+      ivfIndexProbeSqlFor("vec_id % 10 <> 0",
+        "vec_id % 10 <> 0 OR vec_id % 20 = 0", "vec_id % 20 = 10"),
+
+    "q_similarity_ivf_maint" ->
+      s"""WITH ${ivfCtesFor("vec_id % 10 <> 0", "vec_id % 10 <> 0")},
+         |occ AS (SELECT cid, count(*) AS k FROM ivf_cells GROUP BY cid),
+         |g AS (SELECT CAST(sum(k) AS BIGINT) AS n_vec,
+         |        CAST((SELECT count(*) FROM embeddings
+         |              WHERE vec_id % 10 <> 0) AS BIGINT) AS fit_n,
+         |        round(CAST(sum(k) AS DOUBLE) /
+         |          (SELECT count(*) FROM embeddings
+         |           WHERE vec_id % 10 <> 0), 6) AS growth,
+         |        round(CAST(sum(k) AS DOUBLE) / count(*), 6) AS occ_avg,
+         |        CAST(max(k) AS BIGINT) AS occ_max
+         |      FROM occ)
+         |SELECT n_vec, fit_n, growth, occ_avg, occ_max,
+         |  CAST(CASE WHEN growth >= 4.0 OR
+         |         (occ_avg > 0 AND occ_max >= 8 * occ_avg)
+         |       THEN 1 ELSE 0 END AS INT) AS refreeze
+         |FROM g ORDER BY n_vec""".stripMargin,
 
     // the drift oracle + the default policy thresholds — DuckDB
     // recomputes the gauges AND the decision (Maintenance scaladoc)

