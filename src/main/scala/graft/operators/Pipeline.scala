@@ -643,9 +643,24 @@ object Pipeline extends QueryPack {
   // introduces is exactly what ivfDriftGauge measures and
   // maybeReclusterIvf repairs.
 
-  private val ivfK = 16
+  // Round 17 (VERDICT r16 #1): the coarse quantizer SIZES ITSELF from
+  // the membership it fits — k = clamp(16, ceil(n / cellTarget), 4096)
+  // — the way the emb family re-derives its plane width ab at
+  // re-freeze. A fixed k=16 made every recluster repair balance but
+  // not capacity: after a growth-13 trip each cell stayed 13× its
+  // design occupancy, so probes scanned nprobe/k = a quarter of the
+  // corpus at ANY scale. nprobe scales ∝ √k (recall budget grows with
+  // the cell count while probe cost n·nprobe/k = n/√k still FALLS as
+  // the index grows), floored at the historical 4 so every fixture
+  // ≤ 8192 vectors keeps the byte-identical k=16/nprobe=4 plans of
+  // rounds 10-16. Both derivations are integer/IEEE-exact and mirrored
+  // in the oracle CTE (ivf_kk), so a drifted k is a hash mismatch.
   private val ivfRounds = 2
-  private val ivfNprobe = 4
+  private[graft] val ivfCellTarget = 512L // design rows per cell
+  private[graft] def ivfKFor(n: Long, target: Long = ivfCellTarget): Int =
+    math.min(4096L, math.max(16L, (n + target - 1) / target)).toInt
+  private[graft] def ivfNprobeFor(k: Int): Int =
+    math.max(4, math.ceil(math.sqrt(k.toDouble)).toInt)
 
   /** Portable fixed-point view: vec_id, embedding, nrm, qv with
     * q_i = floor(v_i · 2^20) — the engine-exact integer geometry
@@ -670,15 +685,16 @@ object Pipeline extends QueryPack {
       .agg(min(struct(ivfDQ.as("dist"), col("cid"))).as("m"))
       .select(col("a_vid").as("vec_id"), col("m.cid").as("cid"))
 
-  /** The k-means coarse quantizer fit (k=16, 2 Lloyd rounds,
-    * md5-ranked seeds, floor(sum/count) centroids) over `e` — the
-    * q_similarity_ivf fit factored so the standing index freezes the
-    * SAME quantizer the in-plan query derives. */
-  private def ivfFit(e: DataFrame): DataFrame = {
+  /** The k-means coarse quantizer fit (k derived from the membership
+    * via ivfKFor, 2 Lloyd rounds, md5-ranked seeds, floor(sum/count)
+    * centroids) over `e` — the q_similarity_ivf fit factored so the
+    * standing index freezes the SAME quantizer the in-plan query
+    * derives. */
+  private def ivfFit(e: DataFrame, k: Int): DataFrame = {
     val hRank =
       conv(substring(md5(col("vec_id").cast("string")), 1, 15), 16, 10)
         .cast("bigint")
-    var cents = e.orderBy(hRank, col("vec_id")).limit(ivfK)
+    var cents = e.orderBy(hRank, col("vec_id")).limit(k)
       .select(col("vec_id").as("cid"), col("qv").as("cvec"))
     (1 to ivfRounds).foreach { _ =>
       cents = ivfAssign(e, cents)
@@ -693,18 +709,24 @@ object Pipeline extends QueryPack {
     cents
   }
 
-  /** Land the frozen quantizer (centroids + fit_n) and the bucketed
-    * cells table over the vectors `sel` keeps. */
+  /** Land the frozen quantizer (centroids + fit_n + the DERIVED k and
+    * the cell_target it was derived with — recluster re-reads the
+    * target so capacity re-derivation survives non-default builds) and
+    * the bucketed cells table over the vectors `sel` keeps. */
   private[graft] def buildIvfIndexOn(s: SparkSession, d: String,
-      suffix: String, sel: DataFrame => DataFrame): (String, String) = {
+      suffix: String, sel: DataFrame => DataFrame,
+      cellTarget: Long = ivfCellTarget): (String, String) = {
     GraftFunctions.register(s)
     val bk = graft.engine.Layout.bucketsFor(s"$d/embeddings.parquet")
     val statT = s"graft_ivfcent_idx$suffix"
     val cellsT = s"graft_ivfcell_idx$suffix"
     val corp = ivfQuant(sel(Tables.t(s, d, "embeddings"))).cache()
-    val cents = ivfFit(corp).cache()
     val fitN = corp.count()
+    val k = ivfKFor(fitN, cellTarget)
+    val cents = ivfFit(corp, k).cache()
     cents.withColumn("fit_n", lit(fitN))
+      .withColumn("k", lit(k))
+      .withColumn("cell_target", lit(cellTarget))
       .write.mode("overwrite").format("parquet").saveAsTable(statT)
     graft.engine.Layout.writeBucketed(
       ivfAssign(corp, cents).join(corp, Seq("vec_id"))
@@ -719,13 +741,14 @@ object Pipeline extends QueryPack {
       suffix: String, corpus: Column): (String, String) =
     buildIvfIndexOn(s, d, suffix, _.filter(corpus))
 
-  /** One absorb day: assign the batch with the FROZEN centroids,
-    * append into the cells table — one new file per touched bucket,
-    * the standing rows untouched. */
-  private[graft] def absorbIvfBatch(s: SparkSession, d: String,
-      t: (String, String), bk: Int, batch: Column): Unit = {
+  /** One absorb day from an ALREADY-MATERIALIZED frame of (vec_id,
+    * embedding) rows — the streaming loop's micro-batch shape: assign
+    * with the FROZEN centroids, append into the cells table — one new
+    * file per touched bucket, the standing rows untouched. */
+  private[graft] def absorbIvfFrame(s: SparkSession, t: (String, String),
+      bk: Int, day0: DataFrame): Unit = {
     val (statT, cellsT) = t
-    val day = ivfQuant(Tables.t(s, d, "embeddings").filter(batch)).cache()
+    val day = ivfQuant(day0).cache()
     val cents = graft.engine.Layout.readTable(s, statT)
       .select(col("cid"), col("cvec"))
     graft.engine.Layout.appendBucketed(
@@ -735,6 +758,11 @@ object Pipeline extends QueryPack {
       cellsT, "cid", bk)
     day.unpersist()
   }
+
+  /** One absorb day by corpus predicate (the batch queries' shape). */
+  private[graft] def absorbIvfBatch(s: SparkSession, d: String,
+      t: (String, String), bk: Int, batch: Column): Unit =
+    absorbIvfFrame(s, t, bk, Tables.t(s, d, "embeddings").filter(batch))
 
   /** Retention purge: tombstone the cells table (readers go through
     * Layout.readPurged; compactBucketed folds later). The frozen
@@ -769,12 +797,20 @@ object Pipeline extends QueryPack {
 
   /** RE-CLUSTER: refit the quantizer from the purge-aware cells
     * membership (this family's manifest IS its cells table) and
-    * re-land under `suffix` — build-new-then-switch. */
+    * re-land under `suffix` — build-new-then-switch. Capacity
+    * re-derives too (round 17, VERDICT r16 #1): the rebuild rides
+    * buildIvfIndexOn, which sizes k from the SURVIVING membership at
+    * the cell_target frozen in the stat table — so a recluster after a
+    * growth trip restores design occupancy instead of re-landing the
+    * stale k over a grown corpus. */
   private[graft] def reclusterIvf(s: SparkSession, d: String,
       suffix: String, t: (String, String)): (String, String) = {
+    val target = graft.engine.Layout.readTable(s, t._1)
+      .agg(max(col("cell_target"))).head().getLong(0)
     val member = graft.engine.Layout.readPurged(s, t._2, "corpus_id")
       .select(col("corpus_id").as("vec_id"))
-    buildIvfIndexOn(s, d, suffix, _.join(member, Seq("vec_id"), "left_semi"))
+    buildIvfIndexOn(s, d, suffix, _.join(member, Seq("vec_id"), "left_semi"),
+      cellTarget = target)
   }
 
   /** The gauge WIRED to the re-cluster: fires reclusterIvf when
@@ -791,28 +827,43 @@ object Pipeline extends QueryPack {
   }
 
   /** The daily probe: quantize the batch, rank the FROZEN centroids
-    * per batch vector (k-row broadcast; nprobe=4 nearest, ties by
-    * cell id — the oracle's row_number ordering), meet the cells
-    * table in a cid merge join (zero Exchange on the index side —
-    * its bucketed scan carries the partitioning), exact float cosine
-    * re-rank, top-50 with a total tie-break — the embIndexProbeOn
-    * output discipline. */
+    * per batch vector (k-row broadcast; the nprobe nearest — derived
+    * from the frozen k via ivfNprobeFor; ties by cell id — the
+    * oracle's row_number ordering), meet the cells table in a cid
+    * merge join (zero Exchange on the index side — its bucketed scan
+    * carries the partitioning), exact float cosine re-rank, top-50
+    * with a total tie-break — the embIndexProbeOn output discipline.
+    * The probe frame is ~nprobe× the batch rows, each carrying the
+    * full embedding, so its broadcast gate rides probeSide with
+    * expansion = nprobe (VERDICT r16 #2 — the ADVICE r15
+    * exploded-frame rule applied to its last unconverted callsite). */
   private[graft] def ivfIndexProbeOn(s: SparkSession, t: (String, String),
-      b: DataFrame, srcPath: String): DataFrame = {
+      b: DataFrame, srcPath: String,
+      excludeIds: Option[DataFrame] = None): DataFrame = {
     GraftFunctions.register(s)
     val (statT, cellsT) = t
-    val cents = graft.engine.Layout.readTable(s, statT)
-      .select(col("cid"), col("cvec"))
+    val stat = graft.engine.Layout.readTable(s, statT)
+    val np = ivfNprobeFor(stat.agg(max(col("k"))).head().getInt(0))
+    val cents = stat.select(col("cid"), col("cvec"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("vec_id")).orderBy(col("dist"), col("cid"))
     val probes = ivfQuant(b).crossJoin(broadcast(cents))
       .withColumn("dist", ivfDQ)
       .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= ivfNprobe)
+      .filter(col("rn") <= np)
       .select(col("vec_id").as("batch_id"), col("cid"),
         col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
-    graft.engine.Layout.readPurged(s, cellsT, "corpus_id").hint("merge")
-      .join(graft.engine.Layout.probeSide(probes, srcPath), Seq("cid"))
+    // excludeIds: the streaming loop's self-exclusion (a replay after a
+    // crashed absorb must not pair the batch against its own absorbed
+    // copy — probeAbsorbStep's determinism argument, applied here)
+    val cellsRead0 = graft.engine.Layout.readPurged(s, cellsT, "corpus_id")
+    val cellsRead = excludeIds.fold(cellsRead0)(ex =>
+      cellsRead0.join(graft.engine.Layout.probeSide(
+          ex.select(col(ex.columns.head).as("corpus_id")), srcPath),
+        Seq("corpus_id"), "left_anti"))
+    cellsRead.hint("merge")
+      .join(graft.engine.Layout.probeSide(probes, srcPath,
+        expansion = np.toDouble), Seq("cid"))
       .select(col("batch_id"), col("corpus_id"),
         (GraftFunctions.dot_d(col("embedding"), col("q_emb")) /
           (col("nrm") * col("q_nrm"))).as("cos_sim"))
@@ -848,6 +899,34 @@ object Pipeline extends QueryPack {
         val t = buildIvfIndex(s, d, s"u_$h", col("vec_id") % 10 =!= 0)
         absorbIvfBatch(s, d, t, bk, col("vec_id") % 20 === 0)
         t
+      })
+
+  private val ivfIdxRMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, String)]()
+
+  /** The full capacity-repair lifecycle as one landed artifact
+    * (round 17, VERDICT r16 #1 "done" clause): build the standing
+    * index at a deliberately small cell_target (16 rows/cell — at the
+    * fixture scale the DEFAULT target clamps k to the 16 floor, which
+    * would make a "resize" vacuous), absorb a day on the frozen
+    * quantizer, then RECLUSTER — k re-derives from the grown
+    * membership (fixture sf0.1: 57 → 60 cells), nprobe from the new k.
+    * The day-2 probe against the reclustered index is DuckDB-oracled
+    * via a from-scratch fit over corpus ∪ absorbed at the same target
+    * (recluster ≡ fresh-fit-over-survivors, the MaintenanceSpec
+    * invariant), so a quantizer that failed to re-derive its capacity
+    * parameter is a hash mismatch, not a slow probe. */
+  private[graft] def ivfIndexReclustered(s: SparkSession,
+      d: String): (String, String) =
+    ivfIdxRMemo.computeIfAbsent(
+      graft.engine.Layout.indexMemoKey(s, d,
+        graft.engine.Layout.bucketsFor(s"$d/embeddings.parquet")),
+      h => {
+        val bk = graft.engine.Layout.bucketsFor(s"$d/embeddings.parquet")
+        val t = buildIvfIndexOn(s, d, s"rc_$h",
+          _.filter(col("vec_id") % 10 =!= 0), cellTarget = 16L)
+        absorbIvfBatch(s, d, t, bk, col("vec_id") % 20 === 0)
+        reclusterIvf(s, d, s"rr_$h", t)
       })
 
   /** doc_id + h0..h{nSig-1} minhash signature columns.
@@ -1842,14 +1921,19 @@ object Pipeline extends QueryPack {
     // prune files; the in-plan fit keeps the query self-contained.
     "q_similarity_ivf" -> ((s, d) => {
       GraftFunctions.register(s)
-      val nprobe = 4
       val e = ivfQuant(Tables.t(s, d, "embeddings")).cache()
+      // k and nprobe derive from the fit membership (round 17 — the
+      // standing family's ivfKFor discipline, mirrored in ivf_kk); the
+      // count() is the same one-pass scan the fit's first Lloyd round
+      // pays anyway, and it primes the cache for that round.
+      val k = ivfKFor(e.count())
+      val nprobe = ivfNprobeFor(k)
       def dQ = ivfDQ
       def assign(cents: DataFrame): DataFrame = ivfAssign(e, cents)
       // the k-row centroid table feeds BOTH the corpus assignment and
       // the query-probe ranking — cache it so the 2-round Lloyd
       // subtree (the bulk of this plan) executes once, not twice
-      val cents = ivfFit(e).cache()
+      val cents = ivfFit(e, k).cache()
       val cells = assign(cents)
       val qCells = e.filter(col("vec_id") === 0).crossJoin(broadcast(cents))
         .orderBy(dQ, col("cid")).limit(nprobe)
@@ -1911,6 +1995,19 @@ object Pipeline extends QueryPack {
           r.getAs[Double]("growth"), r.getAs[Double]("occ_avg"),
           r.getAs[Long]("occ_max"))
         g.withColumn("refreeze", lit(if (trip) 1 else 0))
+      }),
+
+    // CAPACITY REPAIR end-to-end (round 17): probe day-2 against the
+    // RECLUSTERED standing index — k re-derived from the grown
+    // membership (see ivfIndexReclustered). The oracle recomputes a
+    // from-scratch fit over corpus ∪ absorbed at the same cell_target,
+    // so both the recluster≡fresh invariant AND the k/nprobe
+    // derivation are hash-checked by the driver.
+    "q_similarity_ivf_recluster" -> ((s, d) =>
+      Deferred.df(s, "similarity_ivf_recluster", ivfProbeSchema) { () =>
+        ivfIndexProbeOn(s, ivfIndexReclustered(s, d),
+          Tables.t(s, d, "embeddings").filter(col("vec_id") % 20 === 10),
+          s"$d/embeddings.parquet")
       }),
 
     // Batch similarity scoring, exact: a query TABLE (vec_id < 10)
@@ -2213,9 +2310,15 @@ object Pipeline extends QueryPack {
     * with floor(sum/count) centroids, exact float cosine re-rank.
     * `fitPred` restricts the rows the quantizer FITS on (the standing
     * index's frozen-centroid corpus); `cellPred` restricts the rows
-    * the final assignment covers (corpus ∪ absorbed days). Ends in
-    * CTEs ivq / ivf_c2 (the frozen centroids) / ivf_cells. */
-  private def ivfCtesFor(fitPred: String, cellPred: String): String = {
+    * the final assignment covers (corpus ∪ absorbed days). Round 17:
+    * the ivf_kk CTE mirrors the ivfKFor/ivfNprobeFor capacity
+    * derivation — k = clamp(16, ceil(n/target), 4096) in exact integer
+    * arithmetic (DuckDB's `//` ≡ Scala's Long division on
+    * non-negatives), np = max(4, ceil(sqrt(k))) (IEEE sqrt/ceil are
+    * correctly rounded in both engines for k ≤ 4096). Ends in CTEs
+    * ivq / ivf_kk / ivf_c2 (the frozen centroids) / ivf_cells. */
+  private def ivfCtesFor(fitPred: String, cellPred: String,
+      target: Long = ivfCellTarget): String = {
     def assignSql(out: String, cents: String, pred: String) =
       s"""$out AS (SELECT vec_id, cid FROM (
          |  SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id
@@ -2235,10 +2338,16 @@ object Pipeline extends QueryPack {
        |ivq AS MATERIALIZED (SELECT vec_id, v, nrm,
        |        list_transform(v, x -> floor(x * 1048576.0)) AS q
        |      FROM ivn),
-       |ivf_seeds AS (SELECT vec_id AS cid, q AS cq FROM ivq
-       |      WHERE $fitPred
-       |      ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT,
-       |        vec_id LIMIT 16),
+       |ivf_kk AS (SELECT k, greatest(4, CAST(ceil(sqrt(CAST(k AS DOUBLE)))
+       |        AS BIGINT)) AS np FROM (
+       |      SELECT least(4096, greatest(16,
+       |        (count(*) + ${target - 1}) // $target)) AS k
+       |      FROM ivq WHERE $fitPred)),
+       |ivf_seeds AS (SELECT cid, cq FROM (
+       |      SELECT vec_id AS cid, q AS cq, row_number() OVER (
+       |        ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT,
+       |          vec_id) AS rn
+       |      FROM ivq WHERE $fitPred) WHERE rn <= (SELECT k FROM ivf_kk)),
        |${assignSql("ivf_a1", "ivf_seeds", fitPred)},
        |${centSql("ivf_c1", "ivf_a1")},
        |${assignSql("ivf_a2", "ivf_c1", fitPred)},
@@ -2247,7 +2356,8 @@ object Pipeline extends QueryPack {
   }
 
   /** The in-plan q_similarity_ivf shape: fit and cells over the whole
-    * table, plus the single-query 4-cell probe CTE. */
+    * table, plus the single-query nprobe-cell probe CTE (np from
+    * ivf_kk — the derived-capacity mirror). */
   private val ivfCtes: String =
     s"""${ivfCtesFor("TRUE", "TRUE")},
        |ivf_probes AS (SELECT cid FROM (
@@ -2255,20 +2365,22 @@ object Pipeline extends QueryPack {
        |    ORDER BY list_inner_product(c.cq, c.cq)
        |      - 2 * list_inner_product(q0.q, c.cq), c.cid) AS rn
        |  FROM ivf_c2 c CROSS JOIN (SELECT q FROM ivq WHERE vec_id = 0) q0)
-       |  WHERE rn <= 4)""".stripMargin
+       |  WHERE rn <= (SELECT np FROM ivf_kk))""".stripMargin
 
   /** Standing-IVF probe recompute: frozen fit over `fitPred` rows,
-    * cells over `cellPred`, per-batch-vector nprobe=4 cell ranking,
-    * exact cosine, top-50 with the total tie-break. */
+    * cells over `cellPred`, per-batch-vector nprobe cell ranking
+    * (nprobe from ivf_kk), exact cosine, top-50 with the total
+    * tie-break. */
   private def ivfIndexProbeSqlFor(fitPred: String, cellPred: String,
-      batchPred: String): String =
-    s"""WITH ${ivfCtesFor(fitPred, cellPred)},
+      batchPred: String, target: Long = ivfCellTarget): String =
+    s"""WITH ${ivfCtesFor(fitPred, cellPred, target)},
        |bprobes AS (SELECT batch_id, cid FROM (
        |  SELECT b.vec_id AS batch_id, c.cid, row_number() OVER (
        |    PARTITION BY b.vec_id
        |    ORDER BY list_inner_product(c.cq, c.cq)
        |      - 2 * list_inner_product(b.q, c.cq), c.cid) AS rn
-       |  FROM ivq b CROSS JOIN ivf_c2 c WHERE $batchPred) WHERE rn <= 4)
+       |  FROM ivq b CROSS JOIN ivf_c2 c WHERE $batchPred)
+       |  WHERE rn <= (SELECT np FROM ivf_kk))
        |SELECT p.batch_id, cl.vec_id AS corpus_id,
        |  list_inner_product(ev.v, bv.v) / (ev.nrm * bv.nrm) AS cos_sim
        |FROM ivf_cells cl JOIN bprobes p USING (cid)
@@ -2411,6 +2523,15 @@ object Pipeline extends QueryPack {
     "q_similarity_ivf_index_absorb" ->
       ivfIndexProbeSqlFor("vec_id % 10 <> 0",
         "vec_id % 10 <> 0 OR vec_id % 20 = 0", "vec_id % 20 = 10"),
+
+    // capacity repair (round 17): recluster ≡ a from-scratch fit over
+    // corpus ∪ absorbed at the frozen cell_target (16 here — small
+    // enough that the fixture derives a non-floor k and the resize is
+    // actually exercised); k and nprobe re-derive in ivf_kk
+    "q_similarity_ivf_recluster" ->
+      ivfIndexProbeSqlFor("vec_id % 10 <> 0 OR vec_id % 20 = 0",
+        "vec_id % 10 <> 0 OR vec_id % 20 = 0", "vec_id % 20 = 10",
+        target = 16L),
 
     "q_similarity_ivf_maint" ->
       s"""WITH ${ivfCtesFor("vec_id % 10 <> 0", "vec_id % 10 <> 0")},

@@ -103,11 +103,15 @@ class MaintenanceSpec extends SparkTestBase {
     val t = operators.Pipeline.buildIvfIndex(spark, sf, "_mntI",
       col("vec_id") % 10 =!= 0)
     val (statT, cellsT) = t
-    // the frozen quantizer landed: k centroid rows + fit_n
-    assert(spark.table(statT).count() == 16)
     val fitN = spark.table(statT).agg(max(col("fit_n"))).head().getLong(0)
     assert(fitN == spark.table(cellsT).count(),
       "fit_n must equal the built cells membership")
+    // the frozen quantizer landed: the DERIVED k (fixture scale clamps
+    // to the 16 floor — the historical constant) plus its non-empty
+    // centroid rows
+    assert(spark.table(statT).agg(max(col("k"))).head().getInt(0) ==
+      operators.Pipeline.ivfKFor(fitN))
+    assert(spark.table(statT).count() == 16)
     // absorb: cells grow by exactly the day's batch, standing rows
     // untouched, centroids unchanged (frozen)
     val centsBefore = spark.table(statT).collect().map(_.toString).sorted.toSeq
@@ -136,10 +140,13 @@ class MaintenanceSpec extends SparkTestBase {
       .count() == 0)
     val purgedSet = purgeIds.collect().map(_.getLong(0)).toSet
     val after = probe(t, col("vec_id") % 20 === 10)
-    // the purge removes pairs against purged ids; survivors may enter
-    // the top-50 tail, so assert containment of the surviving prefix
+    // the purge removes pairs against purged ids — no surviving row may
+    // mention one (ADVICE r16: the old `|| after.nonEmpty` disjunct made
+    // this vacuously true; vacuity is now its own check)
+    assert(after.nonEmpty, "vacuous: post-purge probe found nothing")
     assert(after.forall(r => !purgedSet.exists(id => r.contains(s"[$id,") ||
-      r.contains(s",$id,"))) || after.nonEmpty)
+      r.contains(s",$id,"))),
+      "post-purge probe still pairs against purged ids")
     // re-cluster from the purge-aware membership ≡ a fresh fit over
     // the surviving predicate (cells-as-manifest round trip)
     val recl = operators.Pipeline.reclusterIvf(spark, sf, "_mntIR", t)
@@ -169,6 +176,58 @@ class MaintenanceSpec extends SparkTestBase {
         s"$sf/embeddings.parquet").collect().map(_.toString).toSeq
     // same membership, same quantizer recipe -> identical probes
     assert(probe(recl.get) == probe(t))
+  }
+
+  test("ivf capacity re-derivation: recluster resizes k from the grown membership and restores design occupancy") {
+    import graft.engine.{Layout, Tables}
+    import operators.Pipeline.{ivfKFor, ivfNprobeFor}
+    val bk = Layout.bucketsFor(s"$sf/embeddings.parquet")
+    // cell_target 8: the fixture corpus (450 vecs) derives k=57 — off
+    // the 16 floor, so the resize below is non-vacuous
+    val target = 8L
+    val t = operators.Pipeline.buildIvfIndexOn(spark, sf, "_mntRz",
+      _.filter(col("vec_id") % 10 =!= 0), cellTarget = target)
+    val k0 = spark.table(t._1).agg(max(col("k"))).head().getInt(0)
+    val fitN0 = spark.table(t._1).agg(max(col("fit_n"))).head().getLong(0)
+    assert(k0 == ivfKFor(fitN0, target) && k0 > 16,
+      s"build did not derive a non-floor k (k=$k0, n=$fitN0)")
+    // grow the membership past the build capacity, then let the POLICY
+    // fire the recluster (growthMax forced low — the fixture can't
+    // honestly 4x itself; SoakBench trips the default threshold on the
+    // scaled fixture)
+    operators.Pipeline.absorbIvfBatch(spark, sf, t, bk,
+      col("vec_id") % 20 === 0)
+    val recl = operators.Pipeline.maybeReclusterIvf(spark, sf, t,
+      "_mntRzR", growthMax = 1.0)
+    assert(recl.nonEmpty, "grown index did not trip the forced policy")
+    val n1 = Layout.readPurged(spark, recl.get._2, "corpus_id").count()
+    val k1 = spark.table(recl.get._1).agg(max(col("k"))).head().getInt(0)
+    // capacity RE-derives: k follows the grown membership at the
+    // cell_target frozen in the stat table (not the stale build k)
+    assert(k1 == ivfKFor(n1, target) && k1 > k0,
+      s"recluster did not resize k ($k0 -> $k1 over n=$n1)")
+    // the gauge reads occupancy back in the design band (≤ 2x target:
+    // empty cells shrink n_cells, so occ_avg can sit slightly above
+    // target, never multiples of it)
+    val g = operators.Pipeline.ivfDriftGauge(spark, recl.get).head()
+    assert(g.getAs[Double]("growth") == 1.0,
+      "recluster must reset growth to 1 (fit_n = membership)")
+    assert(g.getAs[Double]("occ_avg") <= 2.0 * target,
+      s"occ_avg ${g.getAs[Double]("occ_avg")} not back in the design band")
+    // nprobe follows the resized k, and the probe ≡ a from-scratch fit
+    // over the same membership at the same target
+    assert(ivfNprobeFor(k1) == math.ceil(math.sqrt(k1.toDouble)).toInt)
+    val fresh = operators.Pipeline.buildIvfIndexOn(spark, sf, "_mntRzF",
+      _.filter(col("vec_id") % 10 =!= 0 || col("vec_id") % 20 === 0),
+      cellTarget = target)
+    def probe(tt: (String, String)) =
+      operators.Pipeline.ivfIndexProbeOn(spark, tt,
+        Tables.t(spark, sf, "embeddings").filter(col("vec_id") % 20 === 10),
+        s"$sf/embeddings.parquet").collect().map(_.toString).toSeq
+    val pR = probe(recl.get)
+    assert(pR.nonEmpty, "vacuous: reclustered probe found nothing")
+    assert(pR == probe(fresh),
+      "resized recluster diverged from a from-scratch fit at the same target")
   }
 
   test("emb re-freeze after a purge covers survivors only (no resurrection)") {
