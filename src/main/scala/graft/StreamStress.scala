@@ -219,6 +219,84 @@ object StreamStress {
       s""""chain_equal":true,"ckpt_bytes":${
         dirBytes(new java.io.File(s"$work/loop_ckpt"))}}""")
 
+    // ---- 1e. the IVF loop WITH THE MAINTENANCE POLICY IN IT (round
+    // 17, VERDICT r16 #3): the standing index is built over a 1/16
+    // corpus slice, three quarter-corpus days stream through
+    // runIvfProbeAbsorbLoop — the DEFAULT growth gauge trips after
+    // day 1, reclusterIvf fires BETWEEN micro-batches (re-fitting AND
+    // re-sizing the quantizer), and days 2-3 probe/absorb through the
+    // repaired index. Equivalence at sf scale: per-batch verdicts and
+    // the final quantizer/cells equal the sequential batch chain run
+    // with the same primitives and the same policy.
+    locally {
+      val bkIvf = Layout.bucketsFor(s"$sfDir/embeddings.parquet")
+      val dayPreds = Seq(
+        col("vec_id") % 16 =!= 1 && col("vec_id") % 4 === 0,
+        col("vec_id") % 16 =!= 1 && col("vec_id") % 4 === 2,
+        col("vec_id") % 16 =!= 1 && col("vec_id") % 4 === 3)
+      val crawl = new java.io.File(s"$work/ivfshards")
+      crawl.mkdirs()
+      val t0m = System.currentTimeMillis()
+      dayPreds.zipWithIndex.foreach { case (p, i) =>
+        val tmp = java.nio.file.Files.createTempDirectory("ivfd").toString
+        em.filter(p).coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dst = new java.io.File(crawl, s"day$i.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        dst.setLastModified(t0m - 120000L * (dayPreds.size - i))
+      }
+      val tIvfIdx = System.nanoTime()
+      val tS = graft.operators.Pipeline.buildIvfIndexOn(spark, sfDir,
+        "_ivfstressS", _.filter(col("vec_id") % 16 === 1))
+      val ivfIdxWall = (System.nanoTime() - tIvfIdx) / 1e9
+      val tIvfLoop = System.nanoTime()
+      val (tEnd, nIvfB, nRecl) = StreamRunner.runIvfProbeAbsorbLoop(spark,
+        sfDir, crawl.getAbsolutePath, tS, bkIvf, s"$work/ivf_out",
+        s"$work/ivf_ckpt", "_ivfstressS")
+      val ivfLoopWall = (System.nanoTime() - tIvfLoop) / 1e9
+      require(nIvfB >= dayPreds.size && nRecl >= 1 && tEnd != tS,
+        s"ivf loop: $nIvfB batches, $nRecl reclusters — the policy " +
+          "never fired mid-stream")
+      var tC = graft.operators.Pipeline.buildIvfIndexOn(spark, sfDir,
+        "_ivfstressC", _.filter(col("vec_id") % 16 === 1))
+      val tChainIvf = System.nanoTime()
+      val chainV = dayPreds.zipWithIndex.map { case (p, i) =>
+        val day = em.filter(p)
+        val v = graft.operators.Pipeline.ivfIndexProbeOn(spark, tC, day,
+          s"$sfDir/embeddings.parquet",
+          excludeIds = Some(day.select(col("vec_id"))))
+          .collect().map(_.toString).toSeq
+        graft.operators.Pipeline.absorbIvfFrame(spark, tC, bkIvf,
+          day.join(Layout.readTable(spark, tC._2)
+              .select(col("corpus_id").as("vec_id")),
+            Seq("vec_id"), "left_anti"))
+        graft.operators.Pipeline.maybeReclusterIvf(spark, sfDir, tC,
+          s"_ivfstressC_m$i").foreach(nt => tC = nt)
+        v
+      }
+      val ivfChainWall = (System.nanoTime() - tChainIvf) / 1e9
+      chainV.zipWithIndex.foreach { case (v, i) =>
+        val got = spark.read.parquet(s"$work/ivf_out/micro_batch_id=$i")
+          .collect().map(_.toString).toSeq
+        require(v.nonEmpty && got.sorted == v.sorted,
+          s"ivf loop day $i verdicts diverged (${got.size} vs ${v.size})")
+      }
+      val cellsDiff = Layout.readTable(spark, tEnd._2)
+        .exceptAll(Layout.readTable(spark, tC._2)).count() +
+        Layout.readTable(spark, tC._2)
+          .exceptAll(Layout.readTable(spark, tEnd._2)).count()
+      require(cellsDiff == 0, s"ivf loop final cells diverged: $cellsDiff")
+      val g = graft.operators.Pipeline.ivfDriftGauge(spark, tEnd).head()
+      println(s"""{"scenario":"ivf_probe_absorb_maint_loop","sf":"$sfDir",""" +
+        s""""wall_sec":${round2(ivfLoopWall)},"index_build_sec":${
+          round2(ivfIdxWall)},"chain_wall_sec":${round2(ivfChainWall)},""" +
+        s""""micro_batches":$nIvfB,"reclusters":$nRecl,""" +
+        s""""post_repair_growth":${g.getAs[Double]("growth")},""" +
+        s""""chain_equal":true,"ckpt_bytes":${
+          dirBytes(new java.io.File(s"$work/ivf_ckpt"))}}""")
+    }
+
     // ---- 2. SCD2 snapshot ingest, one file per trigger vs drain-all ----
     val base = graft.operators.Snapshots.snapshotBase(spark, sfDir)
     def ingest(tag: String, fpt: Option[Int]): (String, Double) = {

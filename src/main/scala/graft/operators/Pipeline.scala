@@ -74,22 +74,51 @@ object Pipeline extends QueryPack {
     val bk = graft.engine.Layout.bucketsFor(s"$d/documents.parquet")
     // warehouse-discriminated key (ADVICE r14) — Layout.indexMemoKey
     val h = graft.engine.Layout.indexMemoKey(s, d, bk)
-    gramIdx.computeIfAbsent(h, _ => {
-      val gT = s"graft_gram_idx_$h"
-      val cT = s"graft_gramcnt_idx_$h"
-      val corpus =
-        wordGrams3(Tables.spread(Tables.t(s, d, "documents"), "doc_id"))
-          .filter(col("doc_id") % 10 =!= 0)
-          .select(col("doc_id").as("corpus_id"), col("g"))
-      graft.engine.Layout.writeBucketed(corpus, gT, "g", bk)
-      // counts derive FROM the landed index (one build-time shuffle),
-      // so the two tables cannot drift from each other
-      graft.engine.Layout.writeBucketed(
-        graft.engine.Layout.readTable(s, gT)
-          .groupBy(col("corpus_id")).agg(count(lit(1)).as("nc")),
-        cT, "corpus_id", bk)
-      (gT, cT)
-    })
+    gramIdx.computeIfAbsent(h, _ =>
+      buildGramIndex(s, d, s"_$h", _.filter(col("doc_id") % 10 =!= 0)))
+  }
+
+  /** Land the two gram-index tables over the docs `sel` keeps (round
+    * 17 — the gramIndex body factored so the StandingIndex seam and
+    * throwaway lifecycle fixtures build through ONE implementation).
+    * Counts derive FROM the landed gram table (one build-time
+    * shuffle), so the two tables cannot drift from each other. */
+  private[graft] def buildGramIndex(s: SparkSession, d: String,
+      suffix: String, sel: DataFrame => DataFrame): (String, String) = {
+    val bk = graft.engine.Layout.bucketsFor(s"$d/documents.parquet")
+    val gT = s"graft_gram_idx$suffix"
+    val cT = s"graft_gramcnt_idx$suffix"
+    val corpus =
+      wordGrams3(sel(Tables.spread(Tables.t(s, d, "documents"), "doc_id")))
+        .select(col("doc_id").as("corpus_id"), col("g"))
+    graft.engine.Layout.writeBucketed(corpus, gT, "g", bk)
+    graft.engine.Layout.writeBucketed(
+      graft.engine.Layout.readTable(s, gT)
+        .groupBy(col("corpus_id")).agg(count(lit(1)).as("nc")),
+      cT, "corpus_id", bk)
+    (gT, cT)
+  }
+
+  /** One absorb day for a gram index (round 17 — the StandingIndex
+    * seam's gram absorb): append the day's grams, then counts derived
+    * FROM the landed gram table filtered to the day's ids (the
+    * gramIndexAbsorbed/ADVICE r13 discipline — the in-memory batch
+    * frame could drift from what actually landed). Day ids must be
+    * disjoint from the landed corpus — the streaming loop's re-ingest
+    * guard enforces exactly that on the production path. */
+  private[graft] def absorbGramBatch(s: SparkSession, d: String,
+      t: (String, String), bk: Int, sel: DataFrame => DataFrame): Unit = {
+    val (gT, cT) = t
+    val day =
+      wordGrams3(sel(Tables.spread(Tables.t(s, d, "documents"), "doc_id")))
+        .select(col("doc_id").as("corpus_id"), col("g"))
+    graft.engine.Layout.appendBucketed(day, gT, "g", bk)
+    val dayIds = day.select(col("corpus_id")).distinct()
+    graft.engine.Layout.appendBucketed(
+      graft.engine.Layout.readTable(s, gT)
+        .join(dayIds, Seq("corpus_id"), "left_semi")
+        .groupBy(col("corpus_id")).agg(count(lit(1)).as("nc")),
+      cT, "corpus_id", bk)
   }
 
   private val gramIdxU =

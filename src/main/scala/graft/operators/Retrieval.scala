@@ -244,7 +244,7 @@ object Retrieval extends QueryPack {
   /** Data-derived bucket count for the LSH index tables (VERDICT r13
     * #4 — Layout.bucketsFor scaladoc): all four tables share one count
     * so the co-keyed joins stay aligned. */
-  private def lshBuckets(d: String): Int =
+  private[graft] def lshBuckets(d: String): Int =
     graft.engine.Layout.bucketsFor(s"$d/documents.parquet")
 
   /** The 128×64 md5-derived ±1 plane matrix (the q_dedup_text_lsh

@@ -494,10 +494,26 @@ object StreamRunner {
     * [[probeAbsorbStep]] — the index the stream probes GROWS as the
     * stream runs, which is the production shape a daily ingest
     * pipeline actually has. Returns distinct micro-batch ids
-    * processed. */
+    * processed.
+    *
+    * `maintain` (round 17, VERDICT r16 #3): the MAINTENANCE HOOK,
+    * invoked BETWEEN micro-batches — after batch N's absorb commits,
+    * before batch N+1's probe plans — with the batch's own session and
+    * the batch id. This is where a deployment runs the index's
+    * periodic upkeep: for the gram family (exact semantics, no frozen
+    * stats) that is compaction cadence — fold the tombstone backlog
+    * and the append fan-in via Layout.compactBucketed — which the
+    * default no-op leaves to an external maintenance window. The
+    * frozen-stat families run their gauge→policy→repair here instead:
+    * see [[runIvfProbeAbsorbLoop]], where the hook's decision SWAPS
+    * the index the remaining stream probes. Running upkeep inside the
+    * hook (micro-batches are sequential) is what makes the
+    * single-maintainer compaction contract (SCALING §6d) hold by
+    * construction on the streaming path. */
   def runProbeAbsorbLoop(spark: SparkSession, corpusDir: String,
       streamDir: String, gT: String, cT: String, buckets: Int,
-      outDir: String, checkpoint: String): Int = {
+      outDir: String, checkpoint: String,
+      maintain: (SparkSession, Long) => Unit = (_, _) => ()): Int = {
     val schema = graft.engine.Tables.t(spark, corpusDir, "documents").schema
     val src = s"$corpusDir/documents.parquet"
     val seen = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
@@ -508,6 +524,7 @@ object StreamRunner {
       .foreachBatch { (batch: DataFrame, id: Long) =>
         seen.add(id)
         probeAbsorbStep(spark, gT, cT, buckets, batch, outDir, id, src)
+        maintain(batch.sparkSession, id)
       }
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
@@ -519,6 +536,80 @@ object StreamRunner {
     spark.catalog.refreshTable(gT)
     spark.catalog.refreshTable(cT)
     seen.size()
+  }
+
+  /** The IVF similarity loop as ONE stream WITH THE MAINTENANCE POLICY
+    * IN IT (round 17, VERDICT r16 #3 — the gauges previously fired only
+    * from SoakBench and specs, so the production-shaped path could
+    * silently age its frozen quantizer, the exact failure the policy
+    * exists to prevent). Each micro-batch of embedding rows (drawn
+    * from the corpus source at `corpusDir` — the recluster's membership
+    * semi-join resolves vectors there):
+    *
+    *  1. PROBES the current standing IVF index (self-excluding the
+    *     batch's own ids, so a replay after a crashed absorb meets the
+    *     same index view as the first attempt — probeAbsorbStep's
+    *     determinism argument),
+    *  2. lands the verdicts replay-idempotently (partition overwrite),
+    *  3. ABSORBS the batch with the frozen quantizer — guarded by a
+    *     row-per-vector anti-join against the cells table so a replay
+    *     or re-ingested id never lands twice (the raw-table read, NOT
+    *     readPurged: a purged id stays barred until the fold — the
+    *     gram loop's pinned re-ingest contract), then
+    *  4. consults engine.Maintenance BETWEEN batches (every
+    *     `maintainEvery` batches): when ivfNeedsRecluster trips,
+    *     reclusterIvf re-fits AND re-sizes the quantizer from the
+    *     membership (build-new-then-switch — the new tables land
+    *     completely before the reference flips, SoakBench's
+    *     transactional-swap posture), and every remaining micro-batch
+    *     probes and absorbs through the repaired index.
+    *
+    * Stream ≡ the sequential batch chain (same primitives, same
+    * policy, same order) — pinned in MaintenanceSpec with the gauge
+    * tripping mid-stream, and run at sf scale in StreamStress. Returns
+    * (final index tables, distinct micro-batch ids, reclusters
+    * fired). */
+  def runIvfProbeAbsorbLoop(spark: SparkSession, corpusDir: String,
+      streamDir: String, t0: (String, String), buckets: Int,
+      outDir: String, checkpoint: String, suffixBase: String,
+      maintainEvery: Int = 1, growthMax: Double = 4.0,
+      occSkewMax: Double = 8.0): ((String, String), Int, Int) = {
+    import graft.operators.Pipeline
+    val schema = graft.engine.Tables.t(spark, corpusDir, "embeddings").schema
+    val src = s"$corpusDir/embeddings.parquet"
+    val current =
+      new java.util.concurrent.atomic.AtomicReference[(String, String)](t0)
+    val reclusters = new java.util.concurrent.atomic.AtomicInteger(0)
+    val seen = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(streamDir)
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        seen.add(id)
+        val ss = batch.sparkSession // one session end-to-end, see
+        val t = current.get()       // probeAbsorbStep's session note
+        writeVerdictBatch(Pipeline.ivfIndexProbeOn(ss, t, batch, src,
+          excludeIds = Some(batch.select(col("vec_id")))), outDir, id)
+        // absorb guard (replay / re-ingest): only ids not yet landed
+        Pipeline.absorbIvfFrame(ss, t, buckets,
+          batch.join(graft.engine.Layout.readTable(ss, t._2)
+              .select(col("corpus_id").as("vec_id")),
+            Seq("vec_id"), "left_anti"))
+        if ((id + 1) % maintainEvery == 0)
+          Pipeline.maybeReclusterIvf(ss, corpusDir, t,
+            s"${suffixBase}_m$id", growthMax, occSkewMax).foreach { nt =>
+            current.set(nt)
+            reclusters.incrementAndGet()
+          }
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    Seq(t0._2, current.get()._2).distinct
+      .foreach(spark.catalog.refreshTable)
+    (current.get(), seen.size(), reclusters.get())
   }
 
   /** Retention purge-through for the closed daily loop (VERDICT r15
@@ -536,7 +627,7 @@ object StreamRunner {
     * oracle discipline applied one layer down. (For an ABSORBED doc
     * the erasure is still complete — no landed row mentions it — but
     * later verdicts it participated in keep their values; re-deriving
-    * those is a recompute, not a purge.) */
+    * those is [[recomputeAfterErasure]]'s job.) */
   def purgeThrough(spark: SparkSession, gT: String, cT: String,
       outDir: String, ids: DataFrame, idCol: String = "doc_id"): (Long, Long) = {
     import graft.engine.Layout
@@ -545,6 +636,120 @@ object StreamRunner {
     Layout.tombstone(spark, cT, byCorpus, "corpus_id")
     Layout.purgeLanded(spark, outDir, ids.select(col(idCol)),
       Seq("batch_id", "corpus_id"), partitionCols = Seq("micro_batch_id"))
+  }
+
+  /** COMPLETE erasure, absorbed docs included (round 17, VERDICT r16
+    * #4 — purgeThrough's stated limit): once an erased doc was
+    * ABSORBED, later batches probed an index that contained it, so
+    * beyond the rows that MENTION it (purgeThrough's job) its presence
+    * shaped VALUES — a later doc whose only near-dup match was the
+    * erased doc was verdicted dup and never absorbed, and everything
+    * downstream of that flipped keep-decision cascades. This helper
+    * performs the documented recompute: REPLAY the affected
+    * micro-batch files against the corrected index.
+    *
+    * Mechanics (exactness argument in each step):
+    *  1. Find the first affected batch N0 BEFORE purging destroys the
+    *     evidence: the batch after the earliest one that ABSORBED an
+    *     erased id (its absorb is what later batches saw — its own
+    *     batch's rows are handled by the purge, since intra-batch docs
+    *     never pair), or the earliest batch holding a surviving doc
+    *     whose dup matches were ALL erased (its keep decision flips).
+    *     No affected batch → purgeThrough alone is already exact.
+    *  2. purgeThrough the ids.
+    *  3. ROLL BACK the index to its as-of-N0 state: tombstone every
+    *     absorbed id whose FIRST arrival file is ≥ N0, then fold both
+    *     tables (compactBucketed) so the rolled-back ids can RE-ABSORB
+    *     during the replay — a live tombstone would hide their
+    *     re-appended rows (the purged-id-barred-until-fold contract,
+    *     applied deliberately). After the fold the tables hold exactly
+    *     corpus ∪ absorbs-before-N0 minus the erased ids.
+    *  4. Replay files N0.. in trigger order through the SAME
+    *     [[probeAbsorbStep]] the stream runs, each batch minus the
+    *     erased ids. Each replayed step meets the index state the
+    *     surviving stream would have had (induction: step 3 gives N0's
+    *     view; each replay absorbs what the surviving loop absorbs),
+    *     so verdict partitions overwrite with the surviving stream's
+    *     bytes and the index converges to its rebuild.
+    *
+    * Cost: the purge rewrite + one index fold + O(affected batches)
+    * replays — each batch-day-sized — NOT a from-scratch rebuild of
+    * the unaffected prefix. Equality to the full-loop re-run on the
+    * surviving stream (sink AND index) is pinned in StreamingSpec with
+    * a planted absorbed-then-erased near-dup chain. */
+  def recomputeAfterErasure(spark: SparkSession, gT: String, cT: String,
+      buckets: Int, streamDir: String, outDir: String, ids: DataFrame,
+      srcPath: String, idCol: String = "doc_id"): Unit = {
+    import graft.engine.Layout
+    val e = ids.select(col(idCol).as("doc_id")).distinct().localCheckpoint()
+    val eC = e.select(col("doc_id").as("corpus_id"))
+    // stream files in trigger order — the file source's (mtime, path)
+    // ordering, under which the loop assigned batch id N to file N
+    val files = Option(new java.io.File(streamDir).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(_.getName.endsWith(".parquet"))
+      .sortBy(f => (f.lastModified, f.getName)).toSeq
+    def fileDocs(f: java.io.File): DataFrame =
+      spark.read.parquet(f.getAbsolutePath)
+    // 1a. earliest batch that absorbed an erased id (erasure requests
+    // are request-sized; the per-file membership checks are limit-1)
+    val absorbedErased = Layout.readTable(spark, cT)
+      .join(eC, Seq("corpus_id"), "left_semi")
+      .select(col("corpus_id")).localCheckpoint()
+    val aAfter = files.zipWithIndex.find { case (f, _) =>
+      fileDocs(f).select(col("doc_id").as("corpus_id"))
+        .join(absorbedErased, Seq("corpus_id"), "left_semi")
+        .limit(1).count() > 0
+    }.map(_._2 + 1)
+    // 1b. earliest batch with a surviving doc dup ONLY against erased
+    val eB = e.select(col("doc_id").as("batch_id"))
+    val eK = eC.withColumn("er", lit(1))
+    val sinkAll = spark.read.parquet(outDir)
+    val flipRow = sinkAll
+      .join(eB, Seq("batch_id"), "left_anti")
+      .join(eK, Seq("corpus_id"), "left")
+      .groupBy(col("micro_batch_id"), col("batch_id"))
+      .agg(max(when(col("er").isNull, 1).otherwise(0)).as("has_surv"))
+      .filter(col("has_surv") === 0)
+      .agg(min(col("micro_batch_id").cast("int")).as("m")).head()
+    val bFlip = if (flipRow.isNullAt(0)) None else Some(flipRow.getInt(0))
+    val n0Opt = (aAfter.toSeq ++ bFlip.toSeq).sorted.headOption
+    // 2. the mention-level purge (tombstones + sink rewrite)
+    purgeThrough(spark, gT, cT, outDir, e, "doc_id")
+    n0Opt.filter(_ < files.size).foreach { n0 =>
+      // 3. roll the index back to its as-of-N0 state
+      val arrivedBefore = files.take(n0).map(f =>
+          fileDocs(f).select(col("doc_id").as("corpus_id")))
+        .reduceOption(_ unionByName _)
+      val arrivedReplay = files.drop(n0).map(f =>
+          fileDocs(f).select(col("doc_id").as("corpus_id")))
+        .reduce(_ unionByName _)
+      val rolled0 = Layout.readPurged(spark, cT, "corpus_id")
+        .join(arrivedReplay, Seq("corpus_id"), "left_semi")
+      val rolled = arrivedBefore.fold(rolled0)(b =>
+          rolled0.join(b, Seq("corpus_id"), "left_anti"))
+        .select(col("corpus_id")).distinct().localCheckpoint()
+      Layout.tombstone(spark, gT, rolled, "corpus_id")
+      Layout.tombstone(spark, cT, rolled, "corpus_id")
+      Layout.compactBucketed(spark, gT, "g", buckets,
+        foldTombstonesOn = Some("corpus_id"))
+      Layout.compactBucketed(spark, cT, "corpus_id", buckets,
+        foldTombstonesOn = Some("corpus_id"))
+      // a FULL purge left one schema-bearing root file (purgeLanded);
+      // replaying lands partition dirs, which cannot mix with root
+      // data files — drop the (empty by construction) placeholder
+      if (spark.read.parquet(outDir).isEmpty)
+        Option(new java.io.File(outDir).listFiles()).getOrElse(Array.empty)
+          .filter(f => f.isFile &&
+            (f.getName.endsWith(".parquet") || f.getName == "_SUCCESS"))
+          .foreach(f => java.nio.file.Files.delete(f.toPath))
+      // 4. replay the affected suffix on the surviving stream
+      files.zipWithIndex.drop(n0).foreach { case (f, n) =>
+        probeAbsorbStep(spark, gT, cT, buckets,
+          fileDocs(f).join(e, Seq("doc_id"), "left_anti"),
+          outDir, n.toLong, srcPath)
+      }
+    }
   }
 
   /** Drive the crawl stream through per-micro-batch incremental dedup

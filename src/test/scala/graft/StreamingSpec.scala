@@ -588,4 +588,199 @@ class StreamingSpec extends SparkTestBase {
       .exceptAll(Layout.readTable(spark, c2)).isEmpty,
       "purged count read diverged from the survivor rebuild")
   }
+
+  private def buildLoopIdx(sfx: String): (String, String) = {
+    import graft.engine.{Layout, Tables}
+    val docs = Tables.t(spark, sf, "documents")
+    val bk = Layout.bucketsFor(s"$sf/documents.parquet")
+    val (gT, cT) = (s"gram_sx_$sfx", s"gramcnt_sx_$sfx")
+    Layout.writeBucketed(operators.Pipeline
+      .wordGrams3(docs.filter(col("doc_id") % 10 =!= 0))
+      .select(col("doc_id").as("corpus_id"), col("g")), gT, "g", bk)
+    Layout.writeBucketed(Layout.readTable(spark, gT)
+      .groupBy(col("corpus_id")).agg(count(lit(1)).as("nc")),
+      cT, "corpus_id", bk)
+    (gT, cT)
+  }
+
+  /** One synthetic planted doc in the documents schema. */
+  private def plant(id: Long, text: String) =
+    spark.range(1).select(lit(id).as("doc_id"), lit(text).as("text"),
+      lit("en").as("lang"), lit("planted").as("source"),
+      lit(text.length.toLong).as("n_chars"))
+
+  test("absorbed-doc erasure: recomputeAfterErasure ≡ the loop re-run on the surviving stream (keep decisions flip back)") {
+    // VERDICT r16 #4 — the value-level half of the retention story.
+    // Planted chain: X (day 1) is token-unique -> ABSORBED; Y (day 2)
+    // near-dups X and ONLY X (5 of its 7 grams, jac 0.714) -> verdicted
+    // dup, never absorbed. Erasing X must drop every row mentioning it
+    // (purgeThrough's job) AND resurrect Y into the index (Y's keep
+    // decision depended on X's presence) — the effect purgeThrough
+    // alone documents away.
+    import graft.engine.{Layout, Tables}
+    val work = java.nio.file.Files
+      .createTempDirectory("graft-recompute").toString
+    val docs = Tables.t(spark, sf, "documents")
+    val bk = Layout.bucketsFor(s"$sf/documents.parquet")
+    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+    val xId = maxId + 1
+    val yId = maxId + 2
+    val xText = "zqa zqb zqc zqd zqe zqf zqg zqh"
+    val yText = "zqa zqb zqc zqd zqe zqf zqg zqi"
+    def mkCrawl(dir: String, dropX: Boolean): Unit = {
+      val t0 = System.currentTimeMillis()
+      val d1base = docs.filter(col("doc_id") % 20 === 0)
+      (if (dropX) d1base else d1base.unionByName(plant(xId, xText)))
+        .coalesce(1).write.mode("append").parquet(dir)
+      new java.io.File(dir).listFiles().foreach(_.setLastModified(t0 - 120000))
+      docs.filter(col("doc_id") % 20 === 10).unionByName(plant(yId, yText))
+        .coalesce(1).write.mode("append").parquet(s"$dir.d2")
+      new java.io.File(s"$dir.d2").listFiles()
+        .filter(_.getName.endsWith(".parquet")).foreach { f =>
+          val dst = new java.io.File(dir, f.getName)
+          java.nio.file.Files.move(f.toPath, dst.toPath)
+          dst.setLastModified(t0)
+        }
+    }
+    val (g1, c1) = buildLoopIdx("rcF")
+    mkCrawl(s"$work/crawl1", dropX = false)
+    StreamRunner.runProbeAbsorbLoop(spark, sf, s"$work/crawl1", g1, c1, bk,
+      s"$work/out1", s"$work/ck1")
+    // the plant took: X absorbed; (Y,X) landed; Y NOT absorbed
+    assert(Layout.readTable(spark, c1)
+      .filter(col("corpus_id") === xId).count() == 1, "X was not absorbed")
+    val v0 = spark.read.parquet(s"$work/out1")
+    assert(v0.filter(col("batch_id") === yId &&
+      col("corpus_id") === xId).count() == 1, "the (Y,X) pair never landed")
+    assert(v0.filter(col("batch_id") === yId).count() == 1,
+      "Y matched more than X — the plant is not isolated")
+    assert(Layout.readTable(spark, c1)
+      .filter(col("corpus_id") === yId).count() == 0,
+      "Y was absorbed despite its dup verdict")
+    // erase X: mention-level purge + value-level replay
+    StreamRunner.recomputeAfterErasure(spark, g1, c1, bk, s"$work/crawl1",
+      s"$work/out1", spark.range(1).select(lit(xId).as("doc_id")),
+      s"$sf/documents.parquet")
+    // reference: a fresh loop on the surviving stream (X never crawled)
+    val (g2, c2) = buildLoopIdx("rcS")
+    mkCrawl(s"$work/crawl2", dropX = true)
+    StreamRunner.runProbeAbsorbLoop(spark, sf, s"$work/crawl2", g2, c2, bk,
+      s"$work/out2", s"$work/ck2")
+    val got = spark.read.parquet(s"$work/out1")
+    val ref = spark.read.parquet(s"$work/out2")
+    assert(got.exceptAll(ref).isEmpty && ref.exceptAll(got).isEmpty,
+      s"recomputed sink diverged from the surviving-stream re-run " +
+        s"(${got.count()} vs ${ref.count()} rows)")
+    // the value-level effects really happened
+    assert(got.filter(col("batch_id") === xId ||
+      col("corpus_id") === xId).count() == 0, "a row still mentions X")
+    assert(Layout.readTable(spark, c1)
+      .filter(col("corpus_id") === yId).count() == 1,
+      "Y's keep decision did not flip back — no resurrection")
+    // the index equals the survivor rebuild, raw reads (the recompute
+    // folds its tombstones, so no sidecar hides the comparison)
+    def tb(t: String) = Layout.readTable(spark, t)
+    assert(tb(g1).exceptAll(tb(g2)).isEmpty &&
+      tb(g2).exceptAll(tb(g1)).isEmpty, "gram tables diverged")
+    assert(tb(c1).exceptAll(tb(c2)).isEmpty &&
+      tb(c2).exceptAll(tb(c1)).isEmpty, "count tables diverged")
+  }
+
+  test("a purged id is BARRED from re-absorb until the fold, and re-absorbs as a fresh doc after it") {
+    // ADVICE r16: the re-ingest guard anti-joins the RAW count table
+    // (tombstones included), so a purged id arriving again must be
+    // dropped — index membership may not depend on compaction timing.
+    // Pinned contract: barred until the fold physically removes the
+    // rows AND the tombstone; after the fold a re-arrival is a fresh
+    // doc (deliberate re-ingest). The doc is PLANTED token-unique so
+    // its keep decision is dup-free on every arrival.
+    import graft.engine.{Layout, Tables}
+    val work = java.nio.file.Files
+      .createTempDirectory("graft-reingest").toString
+    val docs = Tables.t(spark, sf, "documents")
+    val bk = Layout.bucketsFor(s"$sf/documents.parquet")
+    val src = s"$sf/documents.parquet"
+    val pId = docs.agg(max(col("doc_id"))).head().getLong(0) + 11
+    val p = plant(pId, "zru zrv zrw zrx zry zrz zsa zsb")
+    val (gT, cT) = buildLoopIdx("rg")
+    val day1 = docs.filter(col("doc_id") % 20 === 0).unionByName(p)
+    StreamRunner.probeAbsorbStep(spark, gT, cT, bk, day1,
+      s"$work/out", 0L, src)
+    def rawCnt = Layout.readTable(spark, cT)
+      .filter(col("corpus_id") === pId).count()
+    def purgedCnt = Layout.readPurged(spark, cT, "corpus_id")
+      .filter(col("corpus_id") === pId).count()
+    assert(rawCnt == 1, "the planted doc was not absorbed")
+    val ids = spark.range(1).select(lit(pId).as("corpus_id"))
+    Layout.tombstone(spark, gT, ids, "corpus_id")
+    Layout.tombstone(spark, cT, ids, "corpus_id")
+    assert(purgedCnt == 0)
+    // re-arrival BEFORE the fold: barred — nothing new lands
+    StreamRunner.probeAbsorbStep(spark, gT, cT, bk, p, s"$work/out", 1L, src)
+    assert(rawCnt == 1 && purgedCnt == 0,
+      "a purged id re-absorbed before the fold")
+    // the fold: rows and tombstone physically gone
+    Layout.compactBucketed(spark, gT, "g", bk,
+      foldTombstonesOn = Some("corpus_id"))
+    Layout.compactBucketed(spark, cT, "corpus_id", bk,
+      foldTombstonesOn = Some("corpus_id"))
+    assert(rawCnt == 0, "the fold left the purged rows behind")
+    // re-arrival AFTER the fold: a fresh doc — absorbs exactly once
+    StreamRunner.probeAbsorbStep(spark, gT, cT, bk, p, s"$work/out", 2L, src)
+    assert(rawCnt == 1 && purgedCnt == 1,
+      "a post-fold re-arrival did not absorb as a fresh doc")
+  }
+
+  test("the gram loop's maintenance hook folds between micro-batches without moving a verdict") {
+    // round 17 (VERDICT r16 #3): runProbeAbsorbLoop's `maintain` hook
+    // runs between batches — here the gram family's upkeep, a
+    // tombstone-folding compaction after every batch — and the
+    // verdicts and final index must equal the no-maintenance loop.
+    import graft.engine.{Layout, Tables}
+    val work = java.nio.file.Files
+      .createTempDirectory("graft-loopmaint").toString
+    val docs = Tables.t(spark, sf, "documents")
+    val bk = Layout.bucketsFor(s"$sf/documents.parquet")
+    def mkCrawl(dir: String): Unit = {
+      val t0 = System.currentTimeMillis()
+      docs.filter(col("doc_id") % 20 === 0).coalesce(1)
+        .write.mode("append").parquet(dir)
+      new java.io.File(dir).listFiles().foreach(_.setLastModified(t0 - 120000))
+      docs.filter(col("doc_id") % 20 === 10).coalesce(1)
+        .write.mode("append").parquet(s"$dir.d2")
+      new java.io.File(s"$dir.d2").listFiles()
+        .filter(_.getName.endsWith(".parquet")).foreach { f =>
+          val dst = new java.io.File(dir, f.getName)
+          java.nio.file.Files.move(f.toPath, dst.toPath)
+          dst.setLastModified(t0)
+        }
+    }
+    val (gP, cP) = buildLoopIdx("mhP") // plain
+    mkCrawl(s"$work/crawlP")
+    StreamRunner.runProbeAbsorbLoop(spark, sf, s"$work/crawlP", gP, cP, bk,
+      s"$work/outP", s"$work/ckP")
+    val (gM, cM) = buildLoopIdx("mhM") // maintained
+    mkCrawl(s"$work/crawlM")
+    var folds = 0
+    StreamRunner.runProbeAbsorbLoop(spark, sf, s"$work/crawlM", gM, cM, bk,
+      s"$work/outM", s"$work/ckM",
+      maintain = (ss, _) => {
+        Layout.compactBucketed(ss, gM, "g", bk,
+          foldTombstonesOn = Some("corpus_id"))
+        Layout.compactBucketed(ss, cM, "corpus_id", bk,
+          foldTombstonesOn = Some("corpus_id"))
+        folds += 1
+      })
+    assert(folds >= 2, "the hook never ran between batches")
+    def v(d: String) = spark.read.parquet(d).drop("micro_batch_id")
+    assert(v(s"$work/outP").exceptAll(v(s"$work/outM")).isEmpty &&
+      v(s"$work/outM").exceptAll(v(s"$work/outP")).isEmpty,
+      "per-batch maintenance moved a verdict")
+    def tb(t: String) = Layout.readTable(spark, t)
+    assert(tb(gP).exceptAll(tb(gM)).isEmpty &&
+      tb(gM).exceptAll(tb(gP)).isEmpty, "maintained gram table diverged")
+    // and the fold really compacted: one file per bucket at the end
+    assert(spark.table(gM).inputFiles.length.toLong <= bk,
+      "the between-batch folds left the fan-in unfolded")
+  }
 }
