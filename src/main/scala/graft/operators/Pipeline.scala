@@ -1948,13 +1948,19 @@ object Pipeline extends QueryPack {
     // the quantizer would fit on a hash-sample and the corpus would
     // be written bucketed by cell id (Layout.bucketed) so probes
     // prune files; the in-plan fit keeps the query self-contained.
-    "q_similarity_ivf" -> ((s, d) => {
+    "q_similarity_ivf" -> ((s, d) => Deferred.df(s, "similarity_ivf",
+        StructType(Seq(
+          StructField("vec_id", org.apache.spark.sql.types.LongType),
+          StructField("cos_sim", org.apache.spark.sql.types.DoubleType)))) { () =>
       GraftFunctions.register(s)
       val e = ivfQuant(Tables.t(s, d, "embeddings")).cache()
       // k and nprobe derive from the fit membership (round 17 — the
       // standing family's ivfKFor discipline, mirrored in ivf_kk); the
       // count() is the same one-pass scan the fit's first Lloyd round
-      // pays anyway, and it primes the cache for that round.
+      // pays anyway, and it primes the cache for that round. The
+      // count is an ACTION, so the whole body rides plans.Deferred —
+      // building the DataFrame stays job-free (the lazy-build
+      // contract) and the fit runs at first execution.
       val k = ivfKFor(e.count())
       val nprobe = ivfNprobeFor(k)
       def dQ = ivfDQ
