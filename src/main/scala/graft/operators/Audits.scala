@@ -309,13 +309,35 @@ object Audits extends QueryPack {
     "q_audit_text_recall" -> ((s, d) => {
       graft.functions.GraftFunctions.register(s)
       val cvf = Retrieval.packedVecsF(s, d).filter(col("doc_id") < 2000)
-      val a = cvf.select(col("doc_id").as("da"), col("cv").as("cva"),
+      // r17 optimization (guide §4/§2.3, measured): the brute-force
+      // join carries ONLY the float mirror + id — the integer cv
+      // arrays used to ride the BNLJ output, and without a barrier
+      // the optimizer merged the interpreted integer folds into the
+      // join condition, paying 3 × 64-element ArrayAggregate on every
+      // enumerated pair (the round-11 float-survivor lesson, here).
+      // The float prefilter is also the single-dot form — one codegen
+      // dot per pair instead of three (fdot ≥ 0.88·√(n2a·n2b) admits
+      // the same superset: float error ~1e-6 relative against the
+      // 0.88-vs-0.90 margin, packedVecsF scaladoc); the integer gate
+      // below stays the AUTHORITATIVE filter, so output is unchanged.
+      val a = cvf.select(col("doc_id").as("da"),
         col("vf").as("vfa"), col("n2f").as("n2a"))
-      val b = cvf.select(col("doc_id").as("db"), col("cv").as("cvb"),
+      val b = cvf.select(col("doc_id").as("db"),
         col("vf").as("vfb"), col("n2f").as("n2b"))
       val fdot = graft.functions.GraftFunctions.dot_d(col("vfa"), col("vfb"))
-      val exh = a.join(broadcast(b), col("da") < col("db") && fdot > 0 &&
-          fdot * fdot >= lit(0.7744) * col("n2a") * col("n2b"))
+      // distinct() = the float-survivor barrier: interpreted folds run
+      // on survivors only (q_audit_semantic's shape, applied here)
+      // no separate fdot > 0 conjunct: the threshold is positive
+      // (norms > 0 — docs with < 4 nonzero dims are excluded upstream),
+      // and a second fdot occurrence would evaluate the dot twice
+      val cand = a.join(broadcast(b), col("da") < col("db") &&
+          fdot >= lit(0.88) * sqrt(col("n2a") * col("n2b")))
+        .select(col("da"), col("db")).distinct()
+      val exh = cand
+        .join(broadcast(cvf.select(col("doc_id").as("da"),
+          col("cv").as("cva"))), Seq("da"))
+        .join(broadcast(cvf.select(col("doc_id").as("db"),
+          col("cv").as("cvb"))), Seq("db"))
         .select(col("da"), col("db"), expr(
           "aggregate(zip_with(cva, cvb, (x, y) -> x * y), " +
             "cast(0 as bigint), (acc, x) -> acc + x)").as("dot"),

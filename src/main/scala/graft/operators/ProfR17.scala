@@ -1,0 +1,304 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.SparkEntry
+import graft.engine.Tables
+import graft.functions.GraftFunctions
+
+/** Round-17 optimization-round profiling harness (guide §1): time
+  * named SUB-FRAGMENTS of the expensive queries through the noop sink
+  * so a query's seconds can be attributed to its stages. Each
+  * experiment warms once (JIT/caches, like the bench's build-carrier
+  * warm) and reports the min of `reps` timed runs. Job-labelled so a
+  * UI or event-log read maps jobs to fragments.
+  *
+  * Usage: runMain graft.operators.ProfR17 [sfDir] [exp1 exp2 ...]
+  * (no exp names = run all). This main is a measurement tool only —
+  * nothing in the declared query surface depends on it. */
+object ProfR17 {
+  private def t[A](f: => A): Double = {
+    val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.warehouse.dir", java.nio.file.Files
+        .createTempDirectory("graft-prof-wh").toString)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    GraftFunctions.register(spark)
+
+    def noop(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
+    // ---- experiment registry ----
+    val exps = scala.collection.mutable.LinkedHashMap[String, () => DataFrame]()
+
+    // q_audit_text_recall attribution: exhaustive BNLJ side vs the
+    // banded-LSH side vs the full audit.
+    exps("audit_exh") = () => {
+      val cvf = Retrieval.packedVecsF(spark, sfDir).filter(col("doc_id") < 2000)
+      val a = cvf.select(col("doc_id").as("da"), col("cv").as("cva"),
+        col("vf").as("vfa"), col("n2f").as("n2a"))
+      val b = cvf.select(col("doc_id").as("db"), col("cv").as("cvb"),
+        col("vf").as("vfb"), col("n2f").as("n2b"))
+      val fdot = GraftFunctions.dot_d(col("vfa"), col("vfb"))
+      a.join(broadcast(b), col("da") < col("db") && fdot > 0 &&
+          fdot * fdot >= lit(0.7744) * col("n2a") * col("n2b"))
+        .select(col("da"), col("db"), expr(
+          "aggregate(zip_with(cva, cvb, (x, y) -> x * y), " +
+            "cast(0 as bigint), (acc, x) -> acc + x)").as("dot"),
+          expr("aggregate(cva, cast(0 as bigint), (acc, x) -> acc + x * x)").as("na"),
+          expr("aggregate(cvb, cast(0 as bigint), (acc, x) -> acc + x * x)").as("nb"))
+        .filter(col("dot") > 0 &&
+          col("dot").cast("decimal(38,0)") * col("dot") * 100 >=
+            col("na").cast("decimal(38,0)") * col("nb") * 81)
+    }
+
+    // single-dot reformulation of the float prefilter (same superset
+    // by the packedVecsF margin argument; integer gate unchanged)
+    exps("audit_exh_1dot") = () => {
+      val cvf = Retrieval.packedVecsF(spark, sfDir).filter(col("doc_id") < 2000)
+      val a = cvf.select(col("doc_id").as("da"), col("cv").as("cva"),
+        col("vf").as("vfa"), col("n2f").as("n2a"))
+      val b = cvf.select(col("doc_id").as("db"), col("cv").as("cvb"),
+        col("vf").as("vfb"), col("n2f").as("n2b"))
+      val fdot = GraftFunctions.dot_d(col("vfa"), col("vfb"))
+      a.join(broadcast(b), col("da") < col("db") &&
+          fdot >= lit(0.88) * sqrt(col("n2a") * col("n2b")))
+        .select(col("da"), col("db"), expr(
+          "aggregate(zip_with(cva, cvb, (x, y) -> x * y), " +
+            "cast(0 as bigint), (acc, x) -> acc + x)").as("dot"),
+          expr("aggregate(cva, cast(0 as bigint), (acc, x) -> acc + x * x)").as("na"),
+          expr("aggregate(cvb, cast(0 as bigint), (acc, x) -> acc + x * x)").as("nb"))
+        .filter(col("dot") > 0 &&
+          col("dot").cast("decimal(38,0)") * col("dot") * 100 >=
+            col("na").cast("decimal(38,0)") * col("nb") * 81)
+    }
+
+    // join + float gate only (no integer fold, no cv arrays in flight)
+    exps("audit_exh_gateonly") = () => {
+      val cvf = Retrieval.packedVecsF(spark, sfDir).filter(col("doc_id") < 2000)
+      val a = cvf.select(col("doc_id").as("da"),
+        col("vf").as("vfa"), col("n2f").as("n2a"))
+      val b = cvf.select(col("doc_id").as("db"),
+        col("vf").as("vfb"), col("n2f").as("n2b"))
+      val fdot = GraftFunctions.dot_d(col("vfa"), col("vfb"))
+      a.join(broadcast(b), col("da") < col("db") && fdot > 0 &&
+          fdot * fdot >= lit(0.7744) * col("n2a") * col("n2b"))
+        .select(col("da"), col("db"))
+    }
+    exps("audit_exh_gateonly_1dot") = () => {
+      val cvf = Retrieval.packedVecsF(spark, sfDir).filter(col("doc_id") < 2000)
+      val a = cvf.select(col("doc_id").as("da"),
+        col("vf").as("vfa"), col("n2f").as("n2a"))
+      val b = cvf.select(col("doc_id").as("db"),
+        col("vf").as("vfb"), col("n2f").as("n2b"))
+      val fdot = GraftFunctions.dot_d(col("vfa"), col("vfb"))
+      a.join(broadcast(b), col("da") < col("db") &&
+          fdot >= lit(0.88) * sqrt(col("n2a") * col("n2b")))
+        .select(col("da"), col("db"))
+    }
+    // id-gate first, then float gate on the ~halved pair stream:
+    // d a< db is a cheap long compare — how much of the cost is the
+    // dot on pairs the id order already kills?
+    exps("audit_exh_idfirst") = () => {
+      val cvf = Retrieval.packedVecsF(spark, sfDir).filter(col("doc_id") < 2000)
+      val a = cvf.select(col("doc_id").as("da"),
+        col("vf").as("vfa"), col("n2f").as("n2a"))
+      val b = cvf.select(col("doc_id").as("db"),
+        col("vf").as("vfb"), col("n2f").as("n2b"))
+      val fdot = GraftFunctions.dot_d(col("vfa"), col("vfb"))
+      a.join(broadcast(b), col("da") < col("db"))
+        .filter(fdot >= lit(0.88) * sqrt(col("n2a") * col("n2b")))
+        .select(col("da"), col("db"))
+    }
+    // in-session A/B for the connectedComponents loop change: the OLD
+    // per-round checkpoint+sum loop, replicated verbatim
+    def ccOld(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+      val edges = pairs.select(col("da").as("a"), col("db").as("b"))
+        .unionByName(pairs.select(col("db").as("a"), col("da").as("b")))
+        .localCheckpoint()
+      var labels = edges.select(col("a").as("node")).distinct()
+        .withColumn("label", col("node"))
+        .localCheckpoint()
+      def labelSum(df: DataFrame): Long = {
+        val r = df.agg(sum(col("label"))).collect()(0)
+        if (r.isNullAt(0)) 0L else r.getLong(0)
+      }
+      var prevSum = labelSum(labels)
+      var converged = false
+      var i = 0
+      while (!converged && i < maxIter) {
+        val viaNeighbors = edges
+          .join(labels, col("b") === col("node"))
+          .groupBy(col("a").as("node2"))
+          .agg(min(col("label")).as("nlabel"))
+        var next = labels.join(viaNeighbors, col("node") === col("node2"), "left")
+          .select(col("node"), least(col("label"),
+            coalesce(col("nlabel"), col("label"))).as("label"))
+        if (i >= 3) {
+          val stepped = next.localCheckpoint()
+          next = stepped.join(
+            stepped.select(col("node").as("ln"), col("label").as("llabel")),
+            col("label") === col("ln"), "left")
+            .select(col("node"), least(col("label"),
+              coalesce(col("llabel"), col("label"))).as("label"))
+        }
+        labels = next.localCheckpoint()
+        val s = labelSum(labels)
+        converged = s == prevSum
+        prevSum = s
+        i += 1
+      }
+      labels.withColumnRenamed("label", "cluster_id")
+    }
+    lazy val mhPairs = Pipeline.queries("q_dedup_minhash")(spark, sfDir)
+      .select(col("da"), col("db")).localCheckpoint()
+    exps("cc_old") = () => {
+      val cc = ccOld(mhPairs)
+      Tables.t(spark, sfDir, "documents").select(col("doc_id"))
+        .join(cc, col("doc_id") === col("node"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+    }
+    exps("cc_new") = () => {
+      val cc = Pipeline.connectedComponents(mhPairs)
+      Tables.t(spark, sfDir, "documents").select(col("doc_id"))
+        .join(cc, col("doc_id") === col("node"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+    }
+
+    exps("text_lsh") = () => Retrieval.queries("q_dedup_text_lsh")(spark, sfDir)
+
+    // q_dedup_text_lsh stage attribution (sub-cap branch shapes)
+    def lshKeyed(): DataFrame = {
+      val dense = Retrieval.centeredDense(spark, sfDir)
+      val nD = dense.agg(countDistinct(col("doc_id")).as("nd"))
+      val wSel = spark.range(8, 17).select(col("id").cast("int").as("w"))
+        .crossJoin(nD)
+        .agg(coalesce(min(when(
+          expr("shiftleft(cast(1 as bigint), w)") * 24 >= col("nd"), col("w"))),
+          lit(16)).as("w"))
+      val rmat = spark.range(0, 128).select(col("id").cast("int").as("k"))
+        .crossJoin(spark.range(0, 64).select(col("id").cast("int").as("j")))
+        .withColumn("r", expr(
+          "case when cast(conv(substring(md5(concat(cast(k as string), " +
+            "'_', cast(j as string))), 1, 15), 16, 10) as bigint) % 2 = 0 " +
+            "then cast(1 as bigint) else cast(-1 as bigint) end"))
+      val proj = dense.join(broadcast(rmat), Seq("j"))
+        .crossJoin(broadcast(wSel))
+        .filter(col("k") < col("w") * 8)
+        .groupBy(col("doc_id"), col("k"), col("w"))
+        .agg(sum(col("r") * col("c")).as("p"))
+        .cache()
+      val buckets = proj.groupBy(col("doc_id"), expr("k div w").as("band"))
+        .agg(sum(when(col("p") >= 0,
+          expr("shiftleft(cast(1 as bigint), k % w)")).otherwise(0L)).as("bkt"))
+      val sigs = proj.filter(col("k") < 63).groupBy(col("doc_id"))
+        .agg(sum(when(col("p") >= 0,
+          expr("shiftleft(cast(1 as bigint), k)")).otherwise(0L)).as("sig"))
+      buckets.join(sigs, Seq("doc_id")).cache()
+    }
+    exps("lsh_keyed") = () => lshKeyed()
+    exps("lsh_cand") = () => {
+      val keyed = lshKeyed()
+      val aa = keyed.select(col("doc_id").as("da"), col("band").as("band_a"),
+        col("bkt").as("bkt_a"), col("sig").as("sig_a"))
+      val bb = keyed.select(col("doc_id").as("db"), col("band").as("band_b"),
+        col("bkt").as("bkt_b"), col("sig").as("sig_b"))
+      val residual = col("da") < col("db") &&
+        expr("bit_count(sig_a ^ sig_b)") <= 16
+      aa.join(bb, col("band_a") === col("band_b") &&
+          col("bkt_a") === col("bkt_b") && residual)
+        .select(col("da"), col("db")).distinct()
+    }
+    exps("lsh_pre") = () => {
+      val keyed = lshKeyed()
+      val aa = keyed.select(col("doc_id").as("da"), col("band").as("band_a"),
+        col("bkt").as("bkt_a"), col("sig").as("sig_a"))
+      val bb = keyed.select(col("doc_id").as("db"), col("band").as("band_b"),
+        col("bkt").as("bkt_b"), col("sig").as("sig_b"))
+      val residual = col("da") < col("db") &&
+        expr("bit_count(sig_a ^ sig_b)") <= 16
+      val cand = aa.join(bb, col("band_a") === col("band_b") &&
+          col("bkt_a") === col("bkt_b") && residual)
+        .select(col("da"), col("db")).distinct()
+      val cvf = Retrieval.packedVecsF(spark, sfDir)
+      val fdot = GraftFunctions.dot_d(col("vfa"), col("vfb"))
+      val floatGate = fdot > 0 &&
+        fdot * fdot >= lit(0.7744) * col("n2a") * col("n2b")
+      cand.join(broadcast(cvf.select(col("doc_id").as("da"),
+          col("vf").as("vfa"), col("n2f").as("n2a"))), Seq("da"))
+        .join(broadcast(cvf.select(col("doc_id").as("db"),
+          col("vf").as("vfb"), col("n2f").as("n2b"))), Seq("db"))
+        .filter(floatGate)
+        .select(col("da"), col("db"))
+    }
+    exps("audit_full") = () => SparkEntry.queries("q_audit_text_recall")(spark, sfDir)
+
+    exps("cascade") = () => SparkEntry.queries("q_dedup_cascade")(spark, sfDir)
+    exps("pagerank") = () => SparkEntry.queries("q_graph_pagerank")(spark, sfDir)
+    exps("cluster_star") = () => SparkEntry.queries("q_dedup_cluster_star")(spark, sfDir)
+    exps("span_apply") = () => SparkEntry.queries("q_dedup_span_apply")(spark, sfDir)
+    exps("cluster") = () => SparkEntry.queries("q_dedup_cluster")(spark, sfDir)
+    exps("gopher") = () => SparkEntry.queries("q_quality_gopher")(spark, sfDir)
+    exps("holdings_overlap") = () => SparkEntry.queries("q_holdings_overlap")(spark, sfDir)
+    exps("holdings_drift") = () => SparkEntry.queries("q_holdings_drift")(spark, sfDir)
+    exps("text_idx_absorb") = () => SparkEntry.queries("q_dedup_text_index_absorb")(spark, sfDir)
+    exps("text_idx_probe") = () => SparkEntry.queries("q_dedup_text_index_probe")(spark, sfDir)
+    exps("audit_semantic") = () => SparkEntry.queries("q_audit_semantic")(spark, sfDir)
+    exps("median_mad") = () => SparkEntry.queries("q_median_mad")(spark, sfDir)
+    exps("contain_attrib") = () => SparkEntry.queries("q_contain_attrib")(spark, sfDir)
+    exps("gram_idx_probe") = () => SparkEntry.queries("q_dedup_index_probe")(spark, sfDir)
+    exps("bpe_apply") = () => SparkEntry.queries("q_bpe_apply")(spark, sfDir)
+    exps("recursive_reach") = () => SparkEntry.queries("q_recursive_reach")(spark, sfDir)
+
+    val wanted =
+      if (args.length > 1) args.drop(1).toSeq else exps.keys.toSeq
+    val reps = sys.env.getOrElse("PROF_REPS", "2").toInt
+    def loadavg: Double = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    // co-tenant gate: wait (bounded) for a quiet 1-min loadavg before
+    // each timed rep — this box swings under outside load and an
+    // ungated rep is unusable for before/after comparison
+    val gate = sys.env.getOrElse("PROF_LOAD_GATE", "2.5").toDouble
+    def awaitQuiet(): Unit = {
+      var waited = 0
+      while (loadavg > gate && waited < 180) { Thread.sleep(10000); waited += 10 }
+    }
+    val out = scala.collection.mutable.ArrayBuffer[(String, Double, Double, String)]()
+    wanted.foreach { name =>
+      val mk = exps(name)
+      spark.sparkContext.setJobDescription(s"prof:$name:warm")
+      val warm = t(noop(mk()))
+      if (sys.env.get("PROF_EXPLAIN").contains("1"))
+        println(s"[prof-plan] $name\n" +
+          mk().queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode))
+      val obs = (1 to reps).map { i =>
+        awaitQuiet()
+        val l0 = loadavg
+        spark.sparkContext.setJobDescription(s"prof:$name:$i")
+        (t(noop(mk())), l0)
+      }
+      val best = obs.minBy(_._1)
+      val loads = obs.map(o => f"${o._2}%.1f").mkString(",")
+      out += ((name, warm, best._1, loads))
+      println(f"[prof] $name%-22s warm=$warm%7.3f  min=${best._1}%7.3f  load=[$loads]")
+    }
+    println("[prof] === summary (name warm min loads) ===")
+    out.foreach { case (n, w, m, l) =>
+      println(f"[prof] $n%-22s $w%7.3f $m%7.3f [$l]") }
+    spark.stop()
+  }
+}
