@@ -88,9 +88,24 @@ object Tables {
 
   /** Exact decimal views of double columns: sums over these are
     * order-independent (exact), so parallel aggregation is deterministic
-    * and bit-matches DuckDB once cast back to double. */
-  def dec2(c: Column): Column = c.cast("decimal(18,2)")
-  def dec4(c: Column): Column = c.cast("decimal(18,4)")
+    * and bit-matches DuckDB once cast back to double.
+    *
+    * r17 (guide §4): precision dropped 18 → 8 and the cast replaced by
+    * the codegen'd FastDecimal — value-identical to the old
+    * cast-to-decimal(18,2) for every |value| < 10^(8-scale) (proof at
+    * ExprHelpers.fastDec; every caller's column is a bounded TPC-H
+    * money/quantity/rate or the events value ≤ ~10^3 — bounds are
+    * SF-independent per-row properties). Two wins: the per-row
+    * Double.toString/BigDecimal allocation goes away, and precision 8
+    * lets Spark's DecimalAggregates rule turn sum(dec2(x)) into a
+    * pure-long unscaled sum (18-digit capacity ≈ 10^16 dollars —
+    * comfortable at 100 TB; a corpus summing past that needs the old
+    * wide form back). Measured: q_agg_group 1.51 → 0.52 s at sf0.1,
+    * same hash vs the DuckDB oracle. */
+  def dec2(c: Column): Column =
+    org.apache.spark.sql.GraftSqlBridge.fastDec(c, 8, 2)
+  def dec4(c: Column): Column =
+    org.apache.spark.sql.GraftSqlBridge.fastDec(c, 8, 4)
 
   /** Exact decimal(18,2) sum of a double column, emitted as double. */
   def dsum2(c: Column): Column = sum(dec2(c)).cast("double")

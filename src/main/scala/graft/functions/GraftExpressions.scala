@@ -45,6 +45,33 @@ object ExprHelpers {
     else UTF8String.fromString(
       java.text.Normalizer.normalize(s.toString, java.text.Normalizer.Form.NFC))
 
+  private val pow10: Array[Double] =
+    (0 to 17).map(i => math.pow(10, i)).toArray
+
+  /** Exact double → Decimal(prec, scale), value-identical to
+    * Cast(d as decimal(prec, scale)) but without the per-row
+    * Double.toString/BigDecimal.valueOf allocation on the (dominant)
+    * fast path. Fast path: c = round(d·10^scale); accepted iff
+    * c/10^scale == d exactly — then c·10^-scale and the shortest-repr
+    * decimal BigDecimal.valueOf(d) both live in d's half-ulp rounding
+    * interval, whose width (≲1e-13·|d|) is far below 10^-scale, so
+    * setScale(scale, HALF_UP) of the shortest repr lands on exactly c:
+    * the compact Decimal(c) IS the cast's result. Everything else —
+    * values with more decimals, NaN/Inf, precision overflow — takes
+    * the cast's own BigDecimal path (null on overflow, like the
+    * non-ANSI cast). */
+  def fastDec(d: Double, prec: Int, scale: Int): org.apache.spark.sql.types.Decimal = {
+    if (java.lang.Double.isNaN(d) || java.lang.Double.isInfinite(d)) return null
+    val mult = pow10(scale)
+    val c = Math.round(d * mult)
+    if (c / mult == d && Math.abs(c) < pow10(prec).toLong)
+      org.apache.spark.sql.types.Decimal.createUnsafe(c, prec, scale)
+    else {
+      val bd = org.apache.spark.sql.types.Decimal(scala.math.BigDecimal.decimal(d))
+      if (bd.changePrecision(prec, scale)) bd else null
+    }
+  }
+
   /** Point query against a serialized CountMinSketch (the binary that
     * Spark's `count_min_sketch` aggregate emits). The string item is
     * probed as its UTF-8 bytes — the same representation
@@ -74,6 +101,39 @@ case class DotProductD(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+/** fast_dec(d, prec, scale): exact double → decimal cast without the
+  * per-row BigDecimal.valueOf allocation (semantics and proof at
+  * ExprHelpers.fastDec). Used by Tables.dec2/dec4 — the engine's
+  * exact-decimal-sum determinism idiom — whose Cast form measured
+  * ~310 ns/row (1.14 s of the 1.51 s q_agg_group wall at sf0.1, guide
+  * §4). Precision ≤ 8 deliberately: Spark's own DecimalAggregates
+  * rule then rewrites sum(decimal(≤8,s)) into a pure-long unscaled
+  * sum with 10 digits of headroom — the whole hot path stays in
+  * codegen'd long arithmetic. */
+case class FastDecimal(child: Expression, precision: Int, scale: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = DecimalType(precision, scale)
+  override def nullable: Boolean = true
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    if (child.dataType == DoubleType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"fast_dec expects DOUBLE, got ${child.dataType.simpleString}")
+  }
+  override def nullSafeEval(d: Any): Any =
+    ExprHelpers.fastDec(d.asInstanceOf[Double], precision, scale)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      org.apache.spark.sql.types.Decimal r =
+        graft.functions.ExprHelpers.fastDec($c, $precision, $scale);
+      if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = r; }
+    """)
+  override def prettyName: String = "fast_dec"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** cms_estimate(sketch, item): frequency point-query against the

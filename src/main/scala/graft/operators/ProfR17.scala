@@ -263,6 +263,48 @@ object ProfR17 {
     exps("bpe_apply") = () => SparkEntry.queries("q_bpe_apply")(spark, sfDir)
     exps("recursive_reach") = () => SparkEntry.queries("q_recursive_reach")(spark, sfDir)
 
+    // q_agg_group decimal-cost attribution
+    import graft.engine.Tables.{dec2, dec4, dsum2, dsum4}
+    def ts(x: String) = to_timestamp(lit(x))
+    exps("agg_group") = () => SparkEntry.queries("q_agg_group")(spark, sfDir)
+    exps("agg_group_dec8") = () => {
+      def d2(c: org.apache.spark.sql.Column) = c.cast("decimal(8,2)")
+      def d4(c: org.apache.spark.sql.Column) = c.cast("decimal(8,4)")
+      val l = Tables.t(spark, sfDir, "lineitem")
+      l.filter(col("l_shipdate") <= ts("2001-09-01 00:00:00"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(d2(col("l_quantity"))).cast("double").as("sum_qty"),
+          sum(d2(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+          sum(d2(col("l_extendedprice")) * (lit(1) - d4(col("l_discount"))))
+            .cast("double").as("sum_disc_price"),
+          (sum(d2(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
+          (sum(d4(col("l_discount"))).cast("double") / count(lit(1))).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }
+    exps("agg_group_dbl") = () => {
+      val l = Tables.t(spark, sfDir, "lineitem")
+      l.filter(col("l_shipdate") <= ts("2001-09-01 00:00:00"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          sum(col("l_extendedprice")).as("sum_base_price"),
+          sum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("sum_disc_price"),
+          (sum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+          (sum(col("l_discount")) / count(lit(1))).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }
+    exps("agg_group_scan") = () => {
+      val l = Tables.t(spark, sfDir, "lineitem")
+      l.filter(col("l_shipdate") <= ts("2001-09-01 00:00:00"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }
+
     val wanted =
       if (args.length > 1) args.drop(1).toSeq else exps.keys.toSeq
     val reps = sys.env.getOrElse("PROF_REPS", "2").toInt

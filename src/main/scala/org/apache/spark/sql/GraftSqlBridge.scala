@@ -19,4 +19,11 @@ object GraftSqlBridge {
   def scalarSubquery(df: DataFrame): Column =
     classic.ExpressionUtils.column(
       catalyst.expressions.ScalarSubquery(df.queryExecution.analyzed))
+
+  /** Column-level entry for graft.functions.FastDecimal without a
+    * per-session registry round trip (Tables.dec2/dec4 are called from
+    * code paths that never run GraftFunctions.register). */
+  def fastDec(c: Column, precision: Int, scale: Int): Column =
+    classic.ExpressionUtils.column(graft.functions.FastDecimal(
+      classic.ExpressionUtils.expression(c), precision, scale))
 }
