@@ -220,10 +220,27 @@ object HoldingsContent extends QueryPack {
     })
   }
 
+  // r17 (guide §1/§6): readHoldings uses inferSchema=true, and csv
+  // schema inference is an EXTRA FULL SCAN of the landed tree that ran
+  // at every Deferred-body build — i.e. on every execution of every
+  // holdings query (each bench run re-built the body). The resolved
+  // relation is memoized per (session, dir) exactly like Tables.t
+  // (these trees are written once per process by the build memos
+  // above, so the cached file listing can never go stale in-process);
+  // the DATA scan still runs on every execution — only the inference
+  // pass and relation resolution are amortized. Measured:
+  // q_holdings_overlap 2.25 -> ~1.3 s, q_holdings_drift 2.11 -> ~1.2 s.
+  private val ingestMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private def readLanded(s: SparkSession, dir: String): DataFrame = {
+    ingestMemo.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    ingestMemo.computeIfAbsent((s, dir), _ => Holdings.readHoldings(s, dir))
+  }
+
   /** Ingest a landed tree back through the reference's real path:
     * one distributed csv scan, fund id from the filename. */
   private def holdings(s: SparkSession, dir: String): DataFrame =
-    Holdings.readHoldings(s, dir)
+    readLanded(s, dir)
       .select(col("isin"),
         col("constituent").cast("long").as("constituent"),
         // inferSchema lands the printed decimal as a double; the cast
@@ -294,7 +311,7 @@ object HoldingsContent extends QueryPack {
       graft.plans.Deferred.df(s, "holdings_xprovider", schema) { () =>
         val base = xproviderBase(s, d)
         def ingest(sub: String, side: String) =
-          Holdings.readHoldings(s, s"$base/$sub")
+          readLanded(s, s"$base/$sub")
             .select(col("isin"), col("cid").as(s"${side}_id"), col("name"),
               col("weight").cast("decimal(12,10)").as(s"w$side"))
         val a = ingest("provA", "a")
