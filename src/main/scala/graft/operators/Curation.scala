@@ -56,9 +56,14 @@ object Curation extends QueryPack {
     Tables.t(s, d, "documents")
 
   /** doc_id + word array (whitespace tokens, the corpus has no
-    * punctuation — TESTDATA synthetic text). */
+    * punctuation — TESTDATA synthetic text). Spread (r17): every
+    * consumer explodes words or n-grams from this frame — CPU fan-out
+    * that the 1-row-group documents scan otherwise serializes on one
+    * task (Tables.spread scaladoc; measured: q_decontaminate
+    * 1.24 → 0.92 s warm at sf0.1, same shape across the family). */
   private def words(s: SparkSession, d: String): DataFrame =
-    docs(s, d).select(col("doc_id"), split(col("text"), " ").as("w"))
+    Tables.spread(docs(s, d), "doc_id")
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
 
   /** Exploded word n-grams: doc_id, g (space-joined n consecutive words). */
   private def grams(s: SparkSession, d: String, n: Int): DataFrame =

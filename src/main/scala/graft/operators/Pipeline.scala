@@ -972,7 +972,11 @@ object Pipeline extends QueryPack {
     * No distinct() on shingles: min-aggregation is duplicate-idempotent,
     * so the dedup shuffle is pure waste. */
   private def minhashSig(docs: DataFrame): DataFrame = {
-    val base = docs.select(col("doc_id"), split(lower(col("text")), " ").as("toks"))
+    // spread (r17): the shingle explode below is the CPU stage, and the
+    // 1-row-group documents scan otherwise serializes it on one task
+    // (Tables.spread scaladoc; measured on the minhash consumers)
+    val base = Tables.spread(docs, "doc_id")
+      .select(col("doc_id"), split(lower(col("text")), " ").as("toks"))
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(0, size(toks)-3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"))
@@ -1547,13 +1551,32 @@ object Pipeline extends QueryPack {
         .groupBy(col("doc_id"))
         .agg(expr("sort_array(collect_list(struct(span_start, span_end)))")
           .as("spans"))
+      // r17 (guide §4): the cut used to run three interpreted
+      // higher-order passes PER WORD (transform→struct, filter→exists
+      // over spans, transform→extract) on EVERY doc — ~O(words·spans)
+      // interpreted lambda calls corpus-wide, on mostly span-free
+      // docs. Spans are disjoint and sorted (dupSpans gaps-and-islands
+      // + sort_array), so the kept words are the CONCATENATION OF THE
+      // GAPS between spans: one aggregate over the span list —
+      // O(spans) lambda calls per doc, each a codegen'd slice — and
+      // span-free docs short-circuit through the codegen'd CASE
+      // without touching a higher-order function at all. Output
+      // string-identical (same words, same order), DuckDB-oracled.
+      // greatest(): spans sort by start but a +4-extended span CAN
+      // overlap the next island's start (gram-start gap of 2–4), so
+      // the fold is a union-merge — gap length clamps at 0 and the
+      // cursor never moves backwards; identical to the exists()
+      // semantics for overlapping and contained spans alike.
       val kept = expr(
-        """transform(filter(transform(w, (x, i) ->
-          |  struct(x as x, i + 1 as p)), t ->
-          |  case when spans is null then true
-          |       else not exists(spans, sp ->
-          |         t.p >= sp.span_start and t.p <= sp.span_end) end),
-          |  t -> t.x)""".stripMargin)
+        """case when spans is null then w else
+          |  aggregate(spans,
+          |    struct(cast(1 as int) as nxt, cast(array() as array<string>) as acc),
+          |    (a, sp) -> struct(
+          |      greatest(cast(sp.span_end + 1 as int), a.nxt) as nxt,
+          |      concat(a.acc, slice(w, a.nxt,
+          |        greatest(sp.span_start - a.nxt, 0))) as acc),
+          |    a -> concat(a.acc, slice(w, a.nxt, size(w) - a.nxt + 1)))
+          |end""".stripMargin)
       Tables.spread(Tables.t(s, d, "documents"), "doc_id")
         .select(col("doc_id"), split(col("text"), " ").as("w"))
         .join(spans, Seq("doc_id"), "left")

@@ -305,6 +305,85 @@ object ProfR17 {
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     }
 
+    // spread-the-fanout experiments: explode/shingle work on the
+    // 1-row-group scan task vs after a doc_id repartition
+    exps("decon_now") = () => SparkEntry.queries("q_decontaminate")(spark, sfDir)
+    exps("decon_spread") = () => {
+      val w = Tables.spread(Tables.t(spark, sfDir, "documents"), "doc_id")
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+      val g = w.filter(size(col("w")) >= 3)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(w)-2), i -> concat_ws(' ', slice(w, i, 3)))"))
+          .as("g"))
+      val bench = g.filter(col("doc_id") % 97 === 0).select(col("g")).distinct()
+      g.filter(col("doc_id") % 97 =!= 0)
+        .join(broadcast(bench), Seq("g"))
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("g")).as("n_hit_grams"))
+        .orderBy(col("doc_id"))
+    }
+    exps("minhash_now") = () => SparkEntry.queries("q_dedup_minhash")(spark, sfDir)
+    exps("gopher_now") = () => SparkEntry.queries("q_quality_gopher")(spark, sfDir)
+    // UNSPREAD replicas (the pre-r17 shapes) for in-session A/B
+    def wordsOld() = Tables.t(spark, sfDir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+    def gramsOld(n: Int) = wordsOld()
+      .filter(size(col("w")) >= n)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(w)-${n - 1}), i -> concat_ws(' ', slice(w, i, $n)))"))
+        .as("g"))
+    exps("gopher_old") = () => {
+      val base = wordsOld().select(col("doc_id"), col("w"),
+        size(col("w")).as("n_words"),
+        size(array_distinct(col("w"))).as("n_distinct"))
+      val uni = base
+        .select(col("doc_id"), explode(col("w")).as("tok"))
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id")).agg(max(col("c")).as("top_word_n"))
+      val bi = gramsOld(2)
+        .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id")).agg(max(col("c")).as("top_bigram_n"),
+          sum(col("c")).cast("long").as("n_bigrams"))
+      base.select(col("doc_id"), col("n_words"), col("n_distinct"))
+        .join(uni, Seq("doc_id")).join(bi, Seq("doc_id"))
+        .select(col("doc_id"), col("n_words"),
+          round(col("n_distinct") / col("n_words"), 6).as("distinct_ratio"),
+          round(col("top_word_n") / col("n_words"), 6).as("top_word_frac"),
+          round(col("top_bigram_n") / col("n_bigrams"), 6).as("top_bigram_frac"),
+          when(col("n_distinct") / col("n_words") >= 0.4 &&
+            col("top_word_n") / col("n_words") <= 0.1 &&
+            col("top_bigram_n") / col("n_bigrams") <= 0.08, 1).otherwise(0)
+            .as("keep"))
+        .orderBy(col("doc_id"))
+    }
+    exps("span_apply_old") = () => {
+      val spans = Pipeline.queries("q_dedup_substring")(spark, sfDir)
+        .groupBy(col("doc_id"))
+        .agg(expr("sort_array(collect_list(struct(span_start, span_end)))")
+          .as("spans"))
+      val kept = expr(
+        """transform(filter(transform(w, (x, i) ->
+          |  struct(x as x, i + 1 as p)), t ->
+          |  case when spans is null then true
+          |       else not exists(spans, sp ->
+          |         t.p >= sp.span_start and t.p <= sp.span_end) end),
+          |  t -> t.x)""".stripMargin)
+      Tables.spread(Tables.t(spark, sfDir, "documents"), "doc_id")
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .join(spans, Seq("doc_id"), "left")
+        .withColumn("kept", kept)
+        .select(col("doc_id"),
+          concat_ws(" ", col("kept")).as("clean_text"),
+          size(col("kept")).cast("long").as("n_kept"),
+          (size(col("w")) - size(col("kept"))).cast("long").as("n_removed"))
+        .orderBy(col("doc_id"))
+    }
+    exps("span_apply_new") = () => SparkEntry.queries("q_dedup_span_apply")(spark, sfDir)
+    exps("source_kl_now") = () => SparkEntry.queries("q_source_kl")(spark, sfDir)
+    exps("dsir_now") = () => SparkEntry.queries("q_importance_dsir")(spark, sfDir)
+    exps("tfidf_now") = () => SparkEntry.queries("q_tfidf")(spark, sfDir)
+    exps("embed_text_now") = () => SparkEntry.queries("q_embed_text")(spark, sfDir)
+
     val wanted =
       if (args.length > 1) args.drop(1).toSeq else exps.keys.toSeq
     val reps = sys.env.getOrElse("PROF_REPS", "2").toInt

@@ -295,12 +295,20 @@ object Relational extends QueryPack {
     // needs a per-group full sort). Rows-only; tolerance vs the exact
     // discrete percentile asserted in RegressionSpec.
     "q_agg_approx_percentile" -> ((s, d) => {
+      // r17 (guide §1.2 "don't compute things twice"): ONE sketch per
+      // group serving both percentiles — the KLL/GK summary is built
+      // from (column, accuracy) alone, the requested percentages only
+      // index into it at output, so the two-sketch form computed the
+      // identical summary twice. Values bit-identical by construction.
       Tables.t(s, d, "orders")
         .groupBy(col("o_orderstatus"))
         .agg(
-          percentile_approx(col("o_totalprice"), lit(0.5), lit(10000)).as("ap50"),
-          percentile_approx(col("o_totalprice"), lit(0.9), lit(10000)).as("ap90"),
+          percentile_approx(col("o_totalprice"),
+            array(lit(0.5), lit(0.9)), lit(10000)).as("aps"),
           count(lit(1)).as("n"))
+        .select(col("o_orderstatus"),
+          col("aps").getItem(0).as("ap50"),
+          col("aps").getItem(1).as("ap90"), col("n"))
         .orderBy(col("o_orderstatus"))
     }),
 

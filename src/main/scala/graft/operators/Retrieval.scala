@@ -62,7 +62,10 @@ object Retrieval extends QueryPack {
     Tables.t(s, d, "documents")
 
   private def tokens(s: SparkSession, d: String): DataFrame =
-    docs(s, d).select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    // spread (r17): the token explode is the CPU stage; without it the
+    // 1-row-group documents scan runs it on one task (Tables.spread)
+    Tables.spread(docs(s, d), "doc_id")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .filter(col("tok") =!= "")
 
   /** Dense mean-centered text-content vectors (doc_id, j, c) — the
