@@ -445,7 +445,11 @@ object Bench {
       "q_dedup_text_index_probe", "q_dedup_text_index_absorb",
       "q_dedup_emb_index_probe", "q_dedup_emb_index_absorb",
       "q_similarity_ivf_index_probe", "q_similarity_ivf_index_absorb",
-      "q_holdings_drift_dates")
+      "q_holdings_drift_dates",
+      // r17: the audit now builds the session-shared LSH pair-set memo
+      // (Retrieval.lshPairsShared) at first execution — one-time
+      // layout-class cost, warmed like the other build carriers
+      "q_audit_text_recall")
     if (!trackShuffle)
       buildCarriers.filter(selected.contains)
         .foreach(n => runOne(n, selected(n)))

@@ -308,6 +308,20 @@ object Audits extends QueryPack {
     // the production path stays the banded join.
     "q_audit_text_recall" -> ((s, d) => {
       graft.functions.GraftFunctions.register(s)
+      // Deferred (r17): the LSH side now comes from the session-shared
+      // pair-set memo (Retrieval.lshPairsShared — the semantic-audit
+      // idiom), whose localCheckpoint runs jobs; Deferred keeps the
+      // query BUILD job-free (LazyBuildSpec) exactly like
+      // q_audit_semantic. q_dedup_text_lsh itself still recomputes its
+      // full pipeline every run — only the audit's re-derivation of
+      // the same pair set is shared.
+      val idT = graft.engine.Tables.t(s, d, "documents")
+        .schema("doc_id").dataType
+      Deferred.df(s, s"audit_text_recall:$d", StructType(Seq(
+        StructField("da", idT), StructField("db", idT),
+        StructField("cos", org.apache.spark.sql.types.DoubleType),
+        StructField("found", org.apache.spark.sql.types.BooleanType,
+          nullable = false)))) { () =>
       val cvf = Retrieval.packedVecsF(s, d).filter(col("doc_id") < 2000)
       // r17 optimization (guide §4/§2.3, measured): the brute-force
       // join carries ONLY the float mirror + id — the integer cv
@@ -350,12 +364,12 @@ object Audits extends QueryPack {
           round(col("dot").cast("double") /
             sqrt(col("na").cast("double") * col("nb").cast("double")), 6)
             .as("cos"))
-      val lsh = Retrieval.queries("q_dedup_text_lsh")(s, d)
-        .select(col("da"), col("db")).withColumn("hit", lit(true))
+      val lsh = Retrieval.lshPairsShared(s, d).withColumn("hit", lit(true))
       exh.join(lsh, Seq("da", "db"), "left")
         .select(col("da"), col("db"), col("cos"),
           coalesce(col("hit"), lit(false)).as("found"))
         .orderBy(col("da"), col("db"))
+      }
     })
   )
 
