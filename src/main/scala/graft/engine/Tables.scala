@@ -93,15 +93,34 @@ object Tables {
     * r17 (guide §4): precision dropped 18 → 8 and the cast replaced by
     * the codegen'd FastDecimal — value-identical to the old
     * cast-to-decimal(18,2) for every |value| < 10^(8-scale) (proof at
-    * ExprHelpers.fastDec; every caller's column is a bounded TPC-H
-    * money/quantity/rate or the events value ≤ ~10^3 — bounds are
-    * SF-independent per-row properties). Two wins: the per-row
+    * ExprHelpers.fastDec). Two wins: the per-row
     * Double.toString/BigDecimal allocation goes away, and precision 8
     * lets Spark's DecimalAggregates rule turn sum(dec2(x)) into a
     * pure-long unscaled sum (18-digit capacity ≈ 10^16 dollars —
     * comfortable at 100 TB; a corpus summing past that needs the old
     * wide form back). Measured: q_agg_group 1.51 → 0.52 s at sf0.1,
-    * same hash vs the DuckDB oracle. */
+    * same hash vs the DuckDB oracle.
+    *
+    * r18 (ADVICE r17 medium): a PER-ROW value past the 10^(8-scale)
+    * bound now THROWS instead of the cast's silent null — under the
+    * exact-sum contract a nulled row silently vanishes from sums, which
+    * is data corruption, not overflow handling (FastDecimalSpec pins
+    * both semantics). Per-caller bound audit (all SF-independent
+    * per-ROW properties; dec2 capacity 10^6, dec4 capacity 10^4):
+    *   l_quantity ≤ 50, l_extendedprice < 2·10^5, l_discount/l_tax ≤
+    *   0.1 (TPC-H generator constants, re-scaled nowhere); o_totalprice
+    *   < 6·10^5; events.value ∈ [0, 10^3) (SfGen bounded draw);
+    *   session/window sums aggregate AFTER the per-row conversion, so
+    *   only the SUM capacity (~10^16) grows with data, never the
+    *   per-row operand.
+    * SUM headroom (VERDICT r17 #2): sum(dec2) accumulates in a Java
+    * long via DecimalAggregates — ~9.2·10^18 unscaled ≈ 9·10^16 at
+    * scale 2. Every dsum2/dsum4 caller is GROUPED (flag/status/day/
+    * fund keys) except q_agg_stats' global sums, which at 100 TB ≈
+    * 7·10^11 lineitem rows × <2·10^7 unscaled stay < 1.4·10^19 /
+    * group-count — within a factor of the wrap only for a single-group
+    * corpus an order past 100 TB; such a corpus must use dec2Wide. */
+  def dec2Wide(c: Column): Column = c.cast("decimal(18,2)")
   def dec2(c: Column): Column =
     org.apache.spark.sql.GraftSqlBridge.fastDec(c, 8, 2)
   def dec4(c: Column): Column =

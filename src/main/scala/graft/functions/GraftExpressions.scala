@@ -56,19 +56,36 @@ object ExprHelpers {
     * decimal BigDecimal.valueOf(d) both live in d's half-ulp rounding
     * interval, whose width (≲1e-13·|d|) is far below 10^-scale, so
     * setScale(scale, HALF_UP) of the shortest repr lands on exactly c:
-    * the compact Decimal(c) IS the cast's result. Everything else —
-    * values with more decimals, NaN/Inf, precision overflow — takes
-    * the cast's own BigDecimal path (null on overflow, like the
-    * non-ANSI cast). */
+    * the compact Decimal(c) IS the cast's result. Values with more
+    * decimals take the cast's own BigDecimal path; NaN/Inf → null
+    * (cast parity).
+    *
+    * OVERFLOW THROWS (r18, ADVICE r17 medium): the non-ANSI cast
+    * returns null past 10^(prec−scale), and every caller sits under
+    * the exact-deterministic-SUM contract (Tables.dec2/dec4) — a
+    * silently nulled row would VANISH from sums with no error, the
+    * worst possible failure at a scale where no oracle runs. All
+    * current callers are bounded far below the limit (capacity table
+    * at Tables.dec2); a future unbounded caller now fails loudly
+    * instead of corrupting sums. Bound check is two-sided (not
+    * Math.abs) because Math.round saturates at Long.MinValue, whose
+    * abs is negative — the saturated c could otherwise slip through
+    * as garbage (ADVICE r17 low). */
   def fastDec(d: Double, prec: Int, scale: Int): org.apache.spark.sql.types.Decimal = {
     if (java.lang.Double.isNaN(d) || java.lang.Double.isInfinite(d)) return null
     val mult = pow10(scale)
     val c = Math.round(d * mult)
-    if (c / mult == d && Math.abs(c) < pow10(prec).toLong)
+    val lim = pow10(prec).toLong
+    if (c / mult == d && c > -lim && c < lim)
       org.apache.spark.sql.types.Decimal.createUnsafe(c, prec, scale)
     else {
       val bd = org.apache.spark.sql.types.Decimal(scala.math.BigDecimal.decimal(d))
-      if (bd.changePrecision(prec, scale)) bd else null
+      if (bd.changePrecision(prec, scale)) bd
+      else throw new ArithmeticException(
+        s"fast_dec: $d does not fit decimal($prec,$scale) — callers sum " +
+          s"these exactly, so a null-on-overflow row would silently vanish " +
+          s"from the sum; widen the decimal or bound the column " +
+          s"(|value| < 1e${prec - scale})")
     }
   }
 

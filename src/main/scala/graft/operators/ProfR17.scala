@@ -25,9 +25,18 @@ object ProfR17 {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // r18 A/B toggle: let AQE re-size the FINAL stage of cached plans
+    // (InMemoryRelation partition count follows bytes instead of
+    // pinning spark.sql.shuffle.partitions = cpus). Hypothesis for the
+    // 8-vs-32-core inversion on the cache-heavy LSH family: every
+    // .cache()d fragment materializes at 32 kilobyte-sized partitions
+    // and each consumer stage pays 32 task launches for it.
+    val cachedAqe = sys.env.getOrElse("PROF_CACHED_AQE", "0") == "1"
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        cachedAqe.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.warehouse.dir", java.nio.file.Files
         .createTempDirectory("graft-prof-wh").toString)
@@ -249,6 +258,15 @@ object ProfR17 {
     exps("cascade") = () => SparkEntry.queries("q_dedup_cascade")(spark, sfDir)
     exps("pagerank") = () => SparkEntry.queries("q_graph_pagerank")(spark, sfDir)
     exps("cluster_star") = () => SparkEntry.queries("q_dedup_cluster_star")(spark, sfDir)
+    // r18 additions: the never-profiled >=2.5 s bench residents
+    // (VERDICT r17 #4) and the embedding-side LSH twins
+    exps("batch_ann") = () => SparkEntry.queries("q_similarity_batch_ann")(spark, sfDir)
+    exps("embedding_lsh") = () => SparkEntry.queries("q_dedup_embedding_lsh")(spark, sfDir)
+    exps("emb_idx_probe") = () => SparkEntry.queries("q_dedup_emb_index_probe")(spark, sfDir)
+    exps("emb_idx_absorb") = () => SparkEntry.queries("q_dedup_emb_index_absorb")(spark, sfDir)
+    exps("similarity_ann") = () => SparkEntry.queries("q_similarity_ann")(spark, sfDir)
+    exps("gram_idx_absorb") = () => SparkEntry.queries("q_dedup_index_absorb")(spark, sfDir)
+    exps("gram_idx_purge") = () => SparkEntry.queries("q_dedup_index_purge")(spark, sfDir)
     exps("span_apply") = () => SparkEntry.queries("q_dedup_span_apply")(spark, sfDir)
     exps("cluster") = () => SparkEntry.queries("q_dedup_cluster")(spark, sfDir)
     exps("gopher") = () => SparkEntry.queries("q_quality_gopher")(spark, sfDir)
