@@ -298,6 +298,19 @@ object Bench {
     val builder = SparkSession.builder()
       .master(master)
       .config("spark.sql.shuffle.partitions", shuffleParts)
+      // r18 negative result (VERDICT r17 #1 hypothesis): enabling
+      // spark.sql.optimizer.canChangeCachedPlanOutputPartitioning was
+      // A/B'd as the suspected cause of the 8-vs-32-core inversion on
+      // the cache-heavy LSH family. A PAIRED in-session A/B
+      // (graft.operators.ProfAB — both confs alternated inside one
+      // process, cache cleared+rewarmed per arm, so window drift hits
+      // both arms) measured it a WASH: identical task counts (225) and
+      // medians within noise on q_dedup_text_lsh/pagerank/cluster_star
+      // — the cached fragments end in projections, not exchanges, so
+      // the final-stage partitioning the conf governs never applies.
+      // Split-session A/Bs had shown ±30% "wins" at equal 1-min
+      // loadavg; treat any future conf claim here with the same
+      // paired-methodology bar. Spark default (false) kept.
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.scheduler.mode", "FAIR")
       // managed tables (the bucketed-layout queries) land in a fresh

@@ -19,10 +19,16 @@ object PlanOne {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // SPARK_GRAFT_PLAN_EXEC=1 (r18): dump the EXECUTED plan for every
+    // query, not just Deferred ones — the post-AQE tree is the only
+    // place runtime re-optimization (AQEShuffleRead coalescing, join
+    // rewrites, the cached-plan partitioning change) is visible; the
+    // static FormattedMode text is identical across those confs.
+    val execAll = sys.env.get("SPARK_GRAFT_PLAN_EXEC").contains("1")
     names.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)
       val pre = df.queryExecution.explainString(FormattedMode).trim
-      val txt = if (pre.contains("Deferred")) {
+      val txt = if (execAll || pre.contains("Deferred")) {
         df.write.format("noop").mode("overwrite").save()
         df.queryExecution.executedPlan.toString.trim
       } else pre

@@ -302,8 +302,12 @@ object Curation extends QueryPack {
           org.apache.spark.sql.types.StructField("pagerank",
             org.apache.spark.sql.types.DoubleType)))) { () =>
         val fpOne = 1000000000000000L // 1e15 fixed-point scale
+        // localCheckpoint BEFORE the edge union (r18): the union
+        // references `pairs` twice and exchange reuse does not fire
+        // across the swapped branches — un-checkpointed, the minhash
+        // pipeline ran twice per execution (366 tasks/run vs 161 + ~45)
         val pairs = Pipeline.queries("q_dedup_minhash")(s, d)
-          .select(col("da"), col("db"))
+          .select(col("da"), col("db")).localCheckpoint()
         val edges = pairs
           .unionByName(pairs.select(col("db").as("da"), col("da").as("db")))
           .select(col("da").as("src"), col("db").as("dst"))

@@ -1149,7 +1149,14 @@ object Pipeline extends QueryPack {
       val idT = Tables.t(s, d, "documents").schema("doc_id").dataType
       Deferred.df(s, "dedup_cluster", StructType(Seq(
         StructField("doc_id", idT), StructField("cluster_id", idT)))) { () =>
-        val pairs = queries("q_dedup_minhash")(s, d).select(col("da"), col("db"))
+        // localCheckpoint BEFORE the loop (r18, guide §1.2): the CC
+        // edge union references `pairs` twice, and without a barrier
+        // the whole minhash shingle→sig→band pipeline is PLANNED TWICE
+        // and not exchange-reused (task-count witness: q_dedup_cluster
+        // 348 tasks/run vs 161 for one pair derivation + 29 for the
+        // loop). Same idiom as q_dedup_apply/q_dedup_cascade.
+        val pairs = queries("q_dedup_minhash")(s, d)
+          .select(col("da"), col("db")).localCheckpoint()
         connectedComponents(pairs)
           .select(col("node").as("doc_id"), col("cluster_id"))
           .orderBy(col("doc_id"))
@@ -1165,7 +1172,13 @@ object Pipeline extends QueryPack {
       val idT = Tables.t(s, d, "documents").schema("doc_id").dataType
       Deferred.df(s, "dedup_cluster_star", StructType(Seq(
         StructField("doc_id", idT), StructField("cluster_id", idT)))) { () =>
-        val pairs = queries("q_dedup_minhash")(s, d).select(col("da"), col("db"))
+        // localCheckpoint BEFORE the loop (r18): starComponents reads
+        // `pairs` once for the edge orientation and TWICE more for the
+        // final node labeling — un-checkpointed, the minhash pipeline
+        // ran 3× per execution (task-count witness: 478 tasks/run vs
+        // 161 + 30 for derivation + loop).
+        val pairs = queries("q_dedup_minhash")(s, d)
+          .select(col("da"), col("db")).localCheckpoint()
         starComponents(pairs)
           .select(col("node").as("doc_id"), col("cluster_id"))
           .orderBy(col("doc_id"))

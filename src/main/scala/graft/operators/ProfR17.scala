@@ -45,6 +45,17 @@ object ProfR17 {
     spark.sparkContext.setLogLevel("ERROR")
     GraftFunctions.register(spark)
 
+    // task-launch accounting (r18): tasks-per-execution is the honest
+    // witness for partitioning changes (the cached-plan AQE conf moves
+    // RUNTIME partition counts, which no static explain shows)
+    val taskCount = new java.util.concurrent.atomic.AtomicLong()
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          taskCount.incrementAndGet()
+      })
+
     def noop(df: DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
@@ -186,6 +197,62 @@ object ProfR17 {
         .select(col("doc_id"),
           coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
     }
+
+    // r18 A/B: the PRE-r18 q_dedup_cluster_star body (pairs NOT
+    // checkpointed before the loop — the minhash pipeline plans 3×)
+    exps("cluster_star_dup") = () => {
+      val pairs = Pipeline.queries("q_dedup_minhash")(spark, sfDir)
+        .select(col("da"), col("db"))
+      val cc = Pipeline.starComponents(pairs)
+      val idc = cc.select(col("node").as("doc_id"), col("cluster_id"))
+      idc.orderBy(col("doc_id"))
+    }
+    exps("cluster_star_now") = () =>
+      SparkEntry.queries("q_dedup_cluster_star")(spark, sfDir)
+    // PRE-r18 q_dedup_cluster body (pairs planned twice via the CC
+    // edge union) and the pagerank edge union twin
+    exps("cluster_dup") = () => {
+      val pairs = Pipeline.queries("q_dedup_minhash")(spark, sfDir)
+        .select(col("da"), col("db"))
+      Pipeline.connectedComponents(pairs)
+        .select(col("node").as("doc_id"), col("cluster_id"))
+        .orderBy(col("doc_id"))
+    }
+    exps("pagerank_dup") = () => {
+      val pairs = Pipeline.queries("q_dedup_minhash")(spark, sfDir)
+        .select(col("da"), col("db"))
+      val edges = pairs
+        .unionByName(pairs.select(col("db").as("da"), col("da").as("db")))
+        .select(col("da").as("src"), col("db").as("dst"))
+        .localCheckpoint()
+      edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .orderBy(col("src"))
+    }
+    exps("pagerank_edges_now") = () => {
+      val pairs = Pipeline.queries("q_dedup_minhash")(spark, sfDir)
+        .select(col("da"), col("db")).localCheckpoint()
+      val edges = pairs
+        .unionByName(pairs.select(col("db").as("da"), col("da").as("db")))
+        .select(col("da").as("src"), col("db").as("dst"))
+        .localCheckpoint()
+      edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .orderBy(col("src"))
+    }
+    exps("pagerank_now") = () =>
+      SparkEntry.queries("q_graph_pagerank")(spark, sfDir)
+    exps("cluster_now") = () =>
+      SparkEntry.queries("q_dedup_cluster")(spark, sfDir)
+
+    // r18: loop-only twins over the memoized pair set — the delta vs
+    // the full cluster queries is the pair-derivation share
+    exps("star_new") = () => {
+      val cc = Pipeline.starComponents(mhPairs)
+      Tables.t(spark, sfDir, "documents").select(col("doc_id"))
+        .join(cc, col("doc_id") === col("node"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+    }
+    exps("minhash_pairs") = () => Pipeline.queries("q_dedup_minhash")(spark, sfDir)
 
     exps("text_lsh") = () => Retrieval.queries("q_dedup_text_lsh")(spark, sfDir)
 
@@ -415,7 +482,47 @@ object ProfR17 {
       var waited = 0
       while (loadavg > gate && waited < 180) { Thread.sleep(10000); waited += 10 }
     }
+    // PROF_INTERLEAVE=1 (r18): alternate the selected experiments'
+    // reps (a1 b1 a2 b2 ...) instead of exhausting each in turn, so an
+    // A/B pair shares its measurement window — the box drifts ±30%
+    // across minutes even at equal 1-min loadavg and sequential-block
+    // A/Bs confound shape with window.
+    val interleave = sys.env.get("PROF_INTERLEAVE").contains("1")
     val out = scala.collection.mutable.ArrayBuffer[(String, Double, Double, String)]()
+    if (interleave) {
+      val mks = wanted.map(n => n -> exps(n))
+      mks.foreach { case (name, mk) =>
+        spark.sparkContext.setJobDescription(s"prof:$name:warm")
+        t(noop(mk()))
+      }
+      val obsBy = scala.collection.mutable.Map[String,
+        scala.collection.mutable.ArrayBuffer[(Double, Double, Long)]]()
+      (1 to reps).foreach { i =>
+        mks.foreach { case (name, mk) =>
+          awaitQuiet()
+          val l0 = loadavg
+          spark.sparkContext.setJobDescription(s"prof:$name:$i")
+          val t0tasks = taskCount.get()
+          val secs = t(noop(mk()))
+          Thread.sleep(150)
+          obsBy.getOrElseUpdate(name,
+            scala.collection.mutable.ArrayBuffer()) +=
+            ((secs, l0, taskCount.get() - t0tasks))
+          println(f"[prof] $name%-22s rep$i=$secs%7.3f  load=$l0%.1f")
+        }
+      }
+      mks.foreach { case (name, _) =>
+        val obs = obsBy(name)
+        val best = obs.minBy(_._1)
+        val loads = obs.map(o => f"${o._2}%.1f").mkString(",")
+        out += ((name, best._1, best._1, s"$loads] tasks=${best._3}"))
+      }
+      println("[prof] === summary (name warm min loads) ===")
+      out.foreach { case (n, w, m, l) =>
+        println(f"[prof] $n%-22s $w%7.3f $m%7.3f [$l]") }
+      spark.stop()
+      return
+    }
     wanted.foreach { name =>
       val mk = exps(name)
       spark.sparkContext.setJobDescription(s"prof:$name:warm")
@@ -428,12 +535,16 @@ object ProfR17 {
         awaitQuiet()
         val l0 = loadavg
         spark.sparkContext.setJobDescription(s"prof:$name:$i")
-        (t(noop(mk())), l0)
+        val t0tasks = taskCount.get()
+        val secs = t(noop(mk()))
+        Thread.sleep(150) // listener bus settle, outside the timed region
+        (secs, l0, taskCount.get() - t0tasks)
       }
       val best = obs.minBy(_._1)
       val loads = obs.map(o => f"${o._2}%.1f").mkString(",")
-      out += ((name, warm, best._1, loads))
-      println(f"[prof] $name%-22s warm=$warm%7.3f  min=${best._1}%7.3f  load=[$loads]")
+      out += ((name, warm, best._1, s"$loads] tasks=${best._3}"))
+      println(f"[prof] $name%-22s warm=$warm%7.3f  min=${best._1}%7.3f  " +
+        s"tasks=${best._3}  load=[$loads]")
     }
     println("[prof] === summary (name warm min loads) ===")
     out.foreach { case (n, w, m, l) =>
