@@ -220,31 +220,34 @@ object HoldingsContent extends QueryPack {
     })
   }
 
-  // r17 (guide §1/§6): readHoldings uses inferSchema=true, and csv
-  // schema inference is an EXTRA FULL SCAN of the landed tree that ran
-  // at every Deferred-body build — i.e. on every execution of every
-  // holdings query (each bench run re-built the body). The resolved
-  // relation is memoized per (session, dir) exactly like Tables.t
-  // (these trees are written once per process by the build memos
-  // above, so the cached file listing can never go stale in-process);
-  // the DATA scan still runs on every execution — only the inference
-  // pass and relation resolution are amortized. Measured:
-  // q_holdings_overlap 2.25 -> ~1.3 s, q_holdings_drift 2.11 -> ~1.2 s.
-  private val ingestMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-  private def readLanded(s: SparkSession, dir: String): DataFrame = {
-    ingestMemo.keySet.removeIf(k => k._1.sparkContext.isStopped)
-    ingestMemo.computeIfAbsent((s, dir), _ => Holdings.readHoldings(s, dir))
-  }
+  // r18 (guide §6, VERDICT r17 #5): the landed trees are WRITTEN by
+  // this object (landPerKeyCsv over known frames), so their content
+  // schemas are knowledge the reader should declare, not re-infer —
+  // csv inference is an extra full scan of the tree per resolved
+  // relation, which the r17 (session, dir) memo only amortized
+  // in-session (and which at 100 TB is a full extra pass of the
+  // landed data on every process start). The explicit schema kills
+  // the inference scan outright — first run included — and the memo
+  // with it (one less stopped-session retention site, ADVICE r17 low).
+  // Value identity: the csv value parser is the same one the inferred
+  // path used (printed DECIMAL(12,10) → double, integer → long), so
+  // ingested values are bit-identical; all four holdings oracles
+  // hash-checked after the change.
+  private val baseContent = StructType(Seq(
+    StructField("constituent", LongType),
+    StructField("weight", DoubleType)))
+  private val xprovContent = StructType(Seq(
+    StructField("cid", StringType),
+    StructField("name", StringType),
+    StructField("weight", DoubleType)))
 
   /** Ingest a landed tree back through the reference's real path:
     * one distributed csv scan, fund id from the filename. */
   private def holdings(s: SparkSession, dir: String): DataFrame =
-    readLanded(s, dir)
-      .select(col("isin"),
-        col("constituent").cast("long").as("constituent"),
-        // inferSchema lands the printed decimal as a double; the cast
-        // back to DECIMAL(12,10) is lossless (header comment)
+    Holdings.readHoldingsAs(s, dir, baseContent)
+      .select(col("isin"), col("constituent"),
+        // the printed decimal lands as a double; the cast back to
+        // DECIMAL(12,10) is lossless (header comment)
         col("weight").cast("decimal(12,10)").as("w"))
 
   override def queries: Map[String, Q] = Map(
@@ -311,7 +314,7 @@ object HoldingsContent extends QueryPack {
       graft.plans.Deferred.df(s, "holdings_xprovider", schema) { () =>
         val base = xproviderBase(s, d)
         def ingest(sub: String, side: String) =
-          readLanded(s, s"$base/$sub")
+          Holdings.readHoldingsAs(s, s"$base/$sub", xprovContent)
             .select(col("isin"), col("cid").as(s"${side}_id"), col("name"),
               col("weight").cast("decimal(12,10)").as(s"w$side"))
         val a = ingest("provA", "a")

@@ -339,6 +339,29 @@ object ProfR17 {
     exps("gopher") = () => SparkEntry.queries("q_quality_gopher")(spark, sfDir)
     exps("holdings_overlap") = () => SparkEntry.queries("q_holdings_overlap")(spark, sfDir)
     exps("holdings_drift") = () => SparkEntry.queries("q_holdings_drift")(spark, sfDir)
+    // r18 A/B: the PRE-r18 ingest (inferSchema per resolved relation —
+    // the r17 memo amortized it in-session; this replica re-infers per
+    // run, the honest first-run/process-start cost)
+    exps("holdings_overlap_infer") = () => {
+      val landed = HoldingsContent.holdingsBase(spark, sfDir) + "/full"
+      val w = graft.sources.Holdings.readHoldings(spark, landed)
+        .select(col("isin"),
+          col("constituent").cast("long").as("constituent"),
+          col("weight").cast("decimal(12,10)").as("w"))
+      val a = w.select(col("isin").as("fund_a"), col("constituent"),
+        col("w").as("wa"))
+      val b = w.select(col("isin").as("fund_b"), col("constituent"),
+        col("w").as("wb"))
+      a.join(broadcast(b), Seq("constituent"))
+        .filter(col("fund_a") < col("fund_b"))
+        .groupBy(col("fund_a"), col("fund_b"))
+        .agg(count(lit(1)).as("n_common"),
+          sum(least(expr("cast(wa * 10000000000 as bigint)"),
+            expr("cast(wb * 10000000000 as bigint)"))).as("u"))
+        .select(col("fund_a"), col("fund_b"), col("n_common"),
+          (col("u").cast("double") / 1e10).as("overlap_wt"))
+        .orderBy(col("fund_a"), col("fund_b"))
+    }
     exps("text_idx_absorb") = () => SparkEntry.queries("q_dedup_text_index_absorb")(spark, sfDir)
     exps("text_idx_probe") = () => SparkEntry.queries("q_dedup_text_index_probe")(spark, sfDir)
     exps("audit_semantic") = () => SparkEntry.queries("q_audit_semantic")(spark, sfDir)
