@@ -463,9 +463,17 @@ object Bench {
       // (Retrieval.lshPairsShared) at first execution — one-time
       // layout-class cost, warmed like the other build carriers
       "q_audit_text_recall")
+    // r18 (ADVICE r17 low): the warm run of each build carrier is now
+    // TIMED and shipped on the diag line as `build_warm` — the
+    // memo-COLD cost the per-query map deliberately excludes (e.g.
+    // q_audit_text_recall's warm run builds the session LSH pair-set
+    // memo). Cross-round comparisons of a carrier must read both
+    // numbers; the timing methodology itself is unchanged
+    // (additions-only disclosure).
+    val buildWarmSecs = scala.collection.mutable.LinkedHashMap[String, Double]()
     if (!trackShuffle)
       buildCarriers.filter(selected.contains)
-        .foreach(n => runOne(n, selected(n)))
+        .foreach(n => buildWarmSecs(n) = runOne(n, selected(n)))
     var seqRetries = 0
     inSeqPhase = true
     // in-phase sampling cadence: ~10 calibration probes per pass
@@ -640,7 +648,11 @@ object Bench {
         "\"" + n + "\":[" + round3(r) + "," +
           round3(seq.getOrElse(n, -1.0)) + "]"
       }.mkString("{", ",", "}")
-    val effJson = s""""effpar":{"seq":${round3(calSeq)},"conc":[${
+    val buildWarmJson = buildWarmSecs
+      .map { case (k, v) => "\"" + k + "\":" + round3(v) }
+      .mkString("{", ",", "}")
+    val effJson = s""""build_warm":$buildWarmJson,""" +
+      s""""effpar":{"seq":${round3(calSeq)},"conc":[${
       calConc.map(c => s"[${round3(c._1)},${round3(c._2)}]")
         .mkString(",")}],"post":${round3(calPost)}},""" +
       s""""cpu_max":"$cpuMaxRaw","cpu_quota_cores":${round3(cpuQuotaCores)},""" +

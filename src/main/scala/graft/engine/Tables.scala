@@ -15,6 +15,44 @@ object Tables {
   val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Session-memo reaper (r18, ADVICE r17 low): the engine's
+    * session-keyed memo maps (table relations here, the semantic/LSH
+    * pair memos in Retrieval, the media fixture in Multimodal) evicted
+    * stopped sessions only on the NEXT lookup — a process that stops a
+    * session and never touches a memo path again retained the dead
+    * session's DataFrames (and localCheckpoint RDD block references)
+    * indefinitely. Each memo map registers one idempotent sweep hook
+    * (`removeIf(stopped)`) at class init; each memo INSERT calls
+    * `watch(session)`, which attaches one listener per SparkContext;
+    * application end then runs every sweep. Hooks are sweeps, not
+    * per-entry closures, so duplicate registration is impossible and
+    * a sweep triggered by ANY context's end also clears other
+    * already-stopped sessions' leftovers. */
+  object MemoReaper {
+    private val hooks =
+      new java.util.concurrent.CopyOnWriteArrayList[() => Unit]()
+    private val watched = java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[
+        org.apache.spark.SparkContext, java.lang.Boolean]())
+    /** Register a sweep that drops stopped sessions' entries. Called
+      * once per memo map. */
+    def hook(sweep: () => Unit): Unit = hooks.add(sweep)
+    /** Ensure `s`'s context triggers the sweeps when it ends. Called
+      * on every memo insert (idempotent per context). */
+    def watch(s: SparkSession): Unit = {
+      val sc = s.sparkContext
+      if (!sc.isStopped && watched.add(sc))
+        sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+          override def onApplicationEnd(
+              e: org.apache.spark.scheduler.SparkListenerApplicationEnd)
+              : Unit = {
+            hooks.forEach(f => f())
+            watched.remove(sc)
+          }
+        })
+    }
+  }
+
   /** Collision-resistant digest for per-fixture table/dir name suffixes.
     * String.hashCode is 32 bits — two fixture dirs colliding in one JVM
     * would silently overwrite/rm each other's landed data while the
@@ -40,9 +78,12 @@ object Tables {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
   private val rawSchemas =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), org.apache.spark.sql.types.StructType]()
+  MemoReaper.hook(() => loaded.keySet.removeIf(_._1.sparkContext.isStopped))
+  MemoReaper.hook(() => rawSchemas.keySet.removeIf(_._1.sparkContext.isStopped))
 
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     loaded.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    MemoReaper.watch(spark)
     loaded.computeIfAbsent((spark, dir, name), _ => {
       // events.ts has shipped in two parquet generations: TIMESTAMP(NANOS)
       // (Spark's reader rejects it; the legacy flag surfaces it as raw
@@ -66,6 +107,7 @@ object Tables {
     * generation actually on disk instead of hard-coding one. */
   def rawSchema(spark: SparkSession, dir: String, name: String): org.apache.spark.sql.types.StructType = {
     rawSchemas.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    MemoReaper.watch(spark)
     rawSchemas.computeIfAbsent((spark, dir, name), _ => {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       spark.read.parquet(s"$dir/$name.parquet").schema

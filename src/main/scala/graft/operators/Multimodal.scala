@@ -688,8 +688,11 @@ object Multimodal extends QueryPack {
     * plans.Deferred body (media() builds fixtures = runs jobs). */
   private val realEmb =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  graft.engine.Tables.MemoReaper.hook(() =>
+    realEmb.keySet.removeIf(_._1.sparkContext.isStopped))
   private[operators] def realEmbeddings(s: SparkSession, d: String): DataFrame = {
     realEmb.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    graft.engine.Tables.MemoReaper.watch(s)
     realEmb.computeIfAbsent((s, d), _ => {
       import s.implicits._
       media(s, d, "png")

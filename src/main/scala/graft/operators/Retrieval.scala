@@ -50,6 +50,8 @@ object Retrieval extends QueryPack {
   // q_dedup_semantic's session-scoped memo (see the entry's comment)
   private val semanticMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  Tables.MemoReaper.hook(() =>
+    semanticMemo.keySet.removeIf(_._1.sparkContext.isStopped))
 
   /** System property that bypasses the semantic memo so every call
     * re-fits the cluster hierarchy from scratch — the fresh-fit mode
@@ -74,8 +76,11 @@ object Retrieval extends QueryPack {
   // q_audit_semantic posture) to keep query BUILDS job-free.
   private val lshPairsMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  Tables.MemoReaper.hook(() =>
+    lshPairsMemo.keySet.removeIf(_._1.sparkContext.isStopped))
   private[operators] def lshPairsShared(s: SparkSession, d: String): DataFrame = {
     lshPairsMemo.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    Tables.MemoReaper.watch(s)
     lshPairsMemo.computeIfAbsent((s, d), _ =>
       queries("q_dedup_text_lsh")(s, d)
         .select(col("da"), col("db")).localCheckpoint())
@@ -1041,6 +1046,7 @@ object Retrieval extends QueryPack {
     // in-process).
     "q_dedup_semantic" -> ((s, d) => {
       semanticMemo.keySet.removeIf(k => k._1.sparkContext.isStopped)
+      Tables.MemoReaper.watch(s)
       def buildSemantic: DataFrame = {
       GraftFunctions.register(s)
       val idT = Tables.t(s, d, "documents").schema("doc_id").dataType
