@@ -124,8 +124,44 @@ object Tables {
     * though each row fans out into real CPU work (measured on the
     * codec queries: 8.9 s -> 1.4 s). At 100 TB inputs arrive
     * many-file and pre-split, but the guard keeps pathological
-    * layouts (one giant unsplittable file) from serializing a stage. */
-  def spread(df: DataFrame, key: String): DataFrame =
+    * layouts (one giant unsplittable file) from serializing a stage.
+    *
+    * r18 (guide §2.2, VERDICT r17 #1/#4): the count is capped AT THE
+    * DATA, not at the core count — jstack-sampled 32-core runs showed
+    * each task paying ~100-200 ms of task-binary DESERIALIZATION
+    * (JavaSerializer resolveClass + LambdaDeserializer; plan-heavy
+    * closures), so a kilobyte-scale input split 32 ways spends ~7×
+    * more total CPU on per-task fixed cost than on the fan-out work
+    * itself (q_dedup_text_lsh: 29 task-seconds at 32 partitions vs
+    * 4.3 at 8 for identical output — and the .cache()d fragments
+    * inherit the width through narrow chains, multiplying it into
+    * every consumer stage). Partitions = clamp(optimizer-estimated
+    * bytes / bytesPerTask, 1, defaultParallelism): stats come from the
+    * optimized subtree (file-size-based under scans — job-free, so
+    * builds stay lazy), unreliable huge estimates saturate at the old
+    * full-width behavior, and at 100 TB bytes/floor >> cores so the
+    * cap never binds. bytesPerTask is prop-tunable for A/B; 64 KiB
+    * keeps the fan-out CPU per task well above the deser floor on the
+    * measured corpora (interleaved A/B in OPTIMIZATION_r18.md). */
+  private[graft] val spreadBytesPerTaskProp = "graft.spread.bytesPerTask"
+  def spread(df: DataFrame, key: String): DataFrame = {
+    val sc = df.sparkSession.sparkContext
+    val floor = BigInt(
+      java.lang.Long.getLong(spreadBytesPerTaskProp, 64L * 1024).longValue)
+    val bytes =
+      try df.queryExecution.optimizedPlan.stats.sizeInBytes
+      catch { case _: Throwable => BigInt(Long.MaxValue) }
+    val n = ((bytes + floor - 1) / floor)
+      .min(BigInt(sc.defaultParallelism)).max(BigInt(1)).toInt
+    df.repartition(n, col(key))
+  }
+
+  /** Full-width spread for rows whose BYTES are a useless proxy for
+    * their CPU cost (e.g. the media fixture synthesis: a doc_id-only
+    * frame where every row encodes images/audio). Callers must justify
+    * per-row cost >> the ~100 ms per-task fixed overhead the byte cap
+    * exists to amortize. */
+  def spreadFull(df: DataFrame, key: String): DataFrame =
     df.repartition(df.sparkSession.sparkContext.defaultParallelism, col(key))
 
   /** Exact decimal views of double columns: sums over these are

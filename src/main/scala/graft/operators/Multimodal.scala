@@ -643,7 +643,9 @@ object Multimodal extends QueryPack {
         rmTree(tmp)
         import s.implicits._
         Tables.t(s, d, "documents").select(col("doc_id"))
-          .transform(Tables.spread(_, "doc_id")) // parallel synthesis
+          // spreadFull: per-row image/audio ENCODING — CPU-heavy rows
+          // whose byte size (8 B of doc_id) would defeat the byte cap
+          .transform(Tables.spreadFull(_, "doc_id")) // parallel synthesis
           .as[Long]
           .mapPartitions(_.map { id =>
             val imgFmt = ((id / 3) % 3) match {

@@ -49,12 +49,34 @@ object ProfR17 {
     // witness for partitioning changes (the cached-plan AQE conf moves
     // RUNTIME partition counts, which no static explain shows)
     val taskCount = new java.util.concurrent.atomic.AtomicLong()
+    val taskMillis = new java.util.concurrent.atomic.AtomicLong()
+    val jobCount = new java.util.concurrent.atomic.AtomicLong()
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
         override def onTaskEnd(
-            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
           taskCount.incrementAndGet()
+          if (e.taskInfo != null) taskMillis.addAndGet(e.taskInfo.duration)
+        }
+        override def onJobStart(
+            e: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobCount.incrementAndGet()
       })
+    // PROF_STAGES=1: per-stage run/cpu/gc attribution of the last rep
+    val stageRows = new java.util.concurrent.ConcurrentLinkedQueue[
+      (Int, String, Int, Long, Long, Long)]()
+    if (sys.env.get("PROF_STAGES").contains("1"))
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onStageCompleted(
+              e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+            val si = e.stageInfo
+            val m = si.taskMetrics
+            stageRows.add((si.stageId,
+              si.name.takeWhile(_ != '\n').take(90), si.numTasks,
+              m.executorRunTime, m.executorCpuTime / 1000000, m.jvmGCTime))
+          }
+        })
 
     def noop(df: DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
@@ -255,6 +277,25 @@ object ProfR17 {
     exps("minhash_pairs") = () => Pipeline.queries("q_dedup_minhash")(spark, sfDir)
 
     exps("text_lsh") = () => Retrieval.queries("q_dedup_text_lsh")(spark, sfDir)
+
+    // r18 spread-floor A/B: same query built under a bytes-capped vs
+    // full-width spread (the prop is read at plan-build time, so each
+    // arm re-plans; caches key on the canonicalized plan, so the two
+    // arms keep separate cache entries and stay honest)
+    // the prop stays SET until the other arm flips it: Deferred bodies
+    // build at EXECUTION time (inside the timed noop), so a
+    // set-then-clear wrapper would leave deferred arms at the default
+    def withFloor(bytes: String, q: String): DataFrame = {
+      System.setProperty(Tables.spreadBytesPerTaskProp, bytes)
+      SparkEntry.queries(q)(spark, sfDir)
+    }
+    for (q <- Seq("q_quality_gopher", "q_decontaminate", "q_dedup_minhash",
+        "q_dedup_text_lsh", "q_dedup_cluster_star", "q_tfidf",
+        "q_dedup_winnow", "q_repetition_filter")) {
+      val short = q.stripPrefix("q_")
+      exps(s"${short}_s64k") = () => withFloor("65536", q)
+      exps(s"${short}_sfull") = () => withFloor("1", q)
+    }
 
     // q_dedup_text_lsh stage attribution (sub-cap branch shapes)
     def lshKeyed(): DataFrame = {
@@ -521,7 +562,11 @@ object ProfR17 {
       val obsBy = scala.collection.mutable.Map[String,
         scala.collection.mutable.ArrayBuffer[(Double, Double, Long)]]()
       (1 to reps).foreach { i =>
-        mks.foreach { case (name, mk) =>
+        // alternate A/B order per round: the second arm of a pair runs
+        // on a JVM the first arm just warmed (JIT, allocator), a
+        // consistent ~10-30% bias on sub-second readings
+        val ordered = if (i % 2 == 0) mks.reverse else mks
+        ordered.foreach { case (name, mk) =>
           awaitQuiet()
           val l0 = loadavg
           spark.sparkContext.setJobDescription(s"prof:$name:$i")
@@ -559,15 +604,29 @@ object ProfR17 {
         val l0 = loadavg
         spark.sparkContext.setJobDescription(s"prof:$name:$i")
         val t0tasks = taskCount.get()
+        val t0ms = taskMillis.get()
+        val t0jobs = jobCount.get()
         val secs = t(noop(mk()))
         Thread.sleep(150) // listener bus settle, outside the timed region
-        (secs, l0, taskCount.get() - t0tasks)
+        (secs, l0, taskCount.get() - t0tasks,
+          taskMillis.get() - t0ms, jobCount.get() - t0jobs)
       }
       val best = obs.minBy(_._1)
       val loads = obs.map(o => f"${o._2}%.1f").mkString(",")
-      out += ((name, warm, best._1, s"$loads] tasks=${best._3}"))
+      out += ((name, warm, best._1,
+        s"$loads] tasks=${best._3} taskSec=${best._4 / 1000.0} jobs=${best._5}"))
       println(f"[prof] $name%-22s warm=$warm%7.3f  min=${best._1}%7.3f  " +
-        s"tasks=${best._3}  load=[$loads]")
+        s"tasks=${best._3} taskSec=${best._4 / 1000.0} jobs=${best._5}  " +
+        s"load=[$loads]")
+      if (sys.env.get("PROF_STAGES").contains("1")) {
+        import scala.jdk.CollectionConverters._
+        stageRows.asScala.toSeq.sortBy(-_._4).take(8).foreach {
+          case (id, nm, nt, run, cpu, gc) =>
+            println(f"[prof-stage] $name stage=$id%-5d tasks=$nt%-4d " +
+              f"runMs=$run%-7d cpuMs=$cpu%-7d gcMs=$gc%-6d $nm")
+        }
+        stageRows.clear()
+      }
     }
     println("[prof] === summary (name warm min loads) ===")
     out.foreach { case (n, w, m, l) =>
