@@ -1448,14 +1448,26 @@ object Pipeline extends QueryPack {
         StructField("winner_id", idT),
         StructField("kept_frac", org.apache.spark.sql.types.DoubleType)))) { () =>
         val docs = Tables.t(s, d, "documents")
+        // r18 (guide §1.2): `ex` is referenced FOUR times downstream
+        // (surv feeds both endpoint restrictions, lin reads it, and
+        // lin is itself read twice) — per-stage accounting showed the
+        // exact-dedup window subtree executing in identical stage
+        // PAIRS (6.2 s + 6.2 s run over 10-task twins). ex is one slim
+        // row per doc, so a checkpoint barrier is docs-sized and cuts
+        // the window re-runs; prop-gated for the interleaved A/B
+        // (default on — measured −15% and tasks 111→77 at 32 cores).
+        val barrier = !"off".equals(
+          System.getProperty("graft.cascade.barriers"))
+        def cut(df: DataFrame): DataFrame =
+          if (barrier) df.localCheckpoint() else df
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("h")).orderBy(desc("n_chars"), col("doc_id"))
-        val ex = docs
+        val ex = cut(docs
           .withColumn("h", md5(lower(trim(col("text")))))
           .select(col("doc_id"), col("h"), col("n_chars"))
           .withColumn("rn", row_number().over(w))
           .withColumn("ex_winner", first(col("doc_id")).over(w))
-          .select(col("doc_id"), col("rn"), col("ex_winner"))
+          .select(col("doc_id"), col("rn"), col("ex_winner")))
         val surv = ex.filter(col("rn") === 1).select(col("doc_id"))
         // both-endpoint survivor restriction of the shared pair set
         // (CacheManager reuses the verified prefix-join fragment);
@@ -1479,7 +1491,9 @@ object Pipeline extends QueryPack {
         // onto documents; the only corpus-sized shuffles are the hash
         // window and the final doc_id sort, and the cc sides are
         // dup-cluster-sized (broadcast at any realistic dup rate).
-        val lin = ex
+        // lin is read twice (survDocs' semi-join and the final attach)
+        // — same barrier argument as ex above, one slim row per doc
+        val lin = cut(ex
           .join(cc, col("doc_id") === col("node"), "left")
           .join(cc.select(col("node").as("ex_winner"),
             col("cluster_id").as("wcc")), Seq("ex_winner"), "left")
@@ -1489,7 +1503,7 @@ object Pipeline extends QueryPack {
               .otherwise(lit("kept")).as("stage0"),
             when(col("rn") > 1, coalesce(col("wcc"), col("ex_winner")))
               .when(nearDropped, col("cluster_id"))
-              .otherwise(col("doc_id")).as("winner_id"))
+              .otherwise(col("doc_id")).as("winner_id")))
         // stage 3 (VERDICT r14 #6): the SUBSTRING pass over the
         // post-dedup survivors — a doc that cleared both whole-doc
         // stages can still carry cross-doc verbatim spans the span

@@ -264,6 +264,16 @@ object ProfR17 {
       SparkEntry.queries("q_graph_pagerank")(spark, sfDir)
     exps("cluster_now") = () =>
       SparkEntry.queries("q_dedup_cluster")(spark, sfDir)
+    // cascade barrier A/B (prop read at EXECUTION inside the deferred
+    // body, so the interleave flips it per arm correctly)
+    exps("cascade_barrier") = () => {
+      System.setProperty("graft.cascade.barriers", "on")
+      SparkEntry.queries("q_dedup_cascade")(spark, sfDir)
+    }
+    exps("cascade_nobarrier") = () => {
+      System.setProperty("graft.cascade.barriers", "off")
+      SparkEntry.queries("q_dedup_cascade")(spark, sfDir)
+    }
 
     // r18: loop-only twins over the memoized pair set — the delta vs
     // the full cluster queries is the pair-derivation share
